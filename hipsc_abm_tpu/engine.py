@@ -1,0 +1,477 @@
+"""The TPU engine: a fused, jit-compiled simulation step over a fixed-capacity
+struct-of-arrays state PyTree resident in HBM.
+
+This is the TPU-native replacement for the reference's per-step driver
+(``cell_simulation.py:77-126``) plus its entire L0/L1 compute tier: instead of
+ten Python methods each bouncing between numpy, igraph and Numba/CUDA kernels
+with host<->device copies on every call (``simulation.py:249-274``), the whole
+step — neighbor search, division, death, FDS pathway, differentiation,
+motility, 11 physics substeps of JKR contact + Stokes integration, and
+optional morphogen diffusion — is one pure function ``step(state) -> state``
+traced once by XLA. Dynamic population lives in an ``alive`` mask over
+preallocated slots; the reference's adaptive-capacity retry loops
+(``simulation.py:198-221,242-281``) become on-device overflow probes checked
+by the host between steps, with exact re-execution after capacity doubling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hipsc_abm_tpu.models import biology
+from hipsc_abm_tpu.models.params import (
+    BiologyParams,
+    DiffusionParams,
+    ExperimentalParams,
+    GeneralParams,
+)
+from hipsc_abm_tpu.ops import diffusion as diffusion_ops
+from hipsc_abm_tpu.ops import neighbors as nbr_ops
+from hipsc_abm_tpu.ops.integrate import stokes_integrate
+from hipsc_abm_tpu.ops.jkr import BondState, clear_bond_rows, drop_dead_partners, jkr_substep
+from hipsc_abm_tpu.ops.neighbors import GridSpec
+
+
+class CellState(NamedTuple):
+    """Complete simulation state as a PyTree (bit-exact checkpointable)."""
+
+    arrays: Dict[str, jnp.ndarray]  # per-agent slot arrays (SoA)
+    alive: jnp.ndarray  # (C,) bool slot occupancy
+    bonds: BondState  # persistent JKR bond graph
+    gradients: Dict[str, jnp.ndarray]  # morphogen lattices
+    key: jax.Array  # jax.random key threaded through all stochastic phases
+    step: jnp.ndarray  # int32 current step counter
+
+    @property
+    def capacity(self) -> int:
+        return self.alive.shape[0]
+
+    def num_agents(self) -> int:
+        return int(jnp.sum(self.alive))
+
+
+# per-agent arrays of the hiPSC model and their dtypes / vector widths
+# (reference ``cell_simulation.py:136-149``)
+HIPSC_ARRAY_SPECS: Dict[str, Tuple[object, Optional[int]]] = {
+    "locations": (jnp.float32, 3),
+    "radii": (jnp.float32, None),
+    "FGF4": (jnp.int32, None),
+    "FGFR": (jnp.int32, None),
+    "ERK": (jnp.int32, None),
+    "GATA6": (jnp.int32, None),
+    "NANOG": (jnp.int32, None),
+    "states": (jnp.int32, None),
+    "death_counters": (jnp.int32, None),
+    "diff_counters": (jnp.int32, None),
+    "div_counters": (jnp.int32, None),
+    "fds_counters": (jnp.int32, None),
+    "motility_forces": (jnp.float32, 3),
+    "jkr_forces": (jnp.float32, 3),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static shape/capacity configuration (hashable; changing any field
+    recompiles the step, mirroring the reference's Numba re-JIT on new
+    capacities)."""
+
+    capacity: int
+    nbr_spec: GridSpec  # biology neighbor graph, radius 15
+    jkr_spec: GridSpec  # contact graph, radius 2 * max_radius
+    bond_cap: int
+    two_d: bool
+    enable_growth: bool = False  # reference ships these disabled
+    enable_stochastic: bool = False  # (cell_simulation.py:98-100);
+    enable_diff_surround: bool = False  # config-enabled here
+    enable_diffusion: bool = False
+
+    @classmethod
+    def create(
+        cls,
+        size: Tuple[float, float, float],
+        capacity: int,
+        bio: BiologyParams,
+        nbr_bin_cap: int = 16,
+        jkr_bin_cap: int = 16,
+        bond_cap: int = 16,
+        **flags,
+    ) -> "EngineConfig":
+        return cls(
+            capacity=int(capacity),
+            nbr_spec=GridSpec.from_box(size, bio.neighbor_radius, nbr_bin_cap),
+            jkr_spec=GridSpec.from_box(size, bio.jkr_radius, jkr_bin_cap),
+            bond_cap=int(bond_cap),
+            two_d=size[2] == 0,
+            **flags,
+        )
+
+
+class StepInfo(NamedTuple):
+    """On-device per-step diagnostics; overflow probes drive host-side
+    capacity doubling (the reference's retry loops, off the hot path)."""
+
+    num_agents: jnp.ndarray
+    num_added: jnp.ndarray
+    num_removed: jnp.ndarray
+    num_deferred: jnp.ndarray  # divisions deferred for lack of free slots
+    nbr_max_in_bin: jnp.ndarray
+    jkr_max_in_bin: jnp.ndarray
+    jkr_max_degree: jnp.ndarray
+
+
+def _physics_dts(bio: BiologyParams) -> np.ndarray:
+    """Substep schedule: divmod(step_dt, move_dt) full substeps + remainder
+    substep, which runs even when the remainder is zero and still updates the
+    bond graph (reference ``cell_methods.py:394-399``)."""
+    steps, last_dt = divmod(bio.step_dt, bio.move_dt)
+    return np.array([bio.move_dt] * int(steps) + [last_dt], dtype=np.float32)
+
+
+def hipsc_step(
+    state: CellState,
+    cfg: EngineConfig,
+    gen: GeneralParams,
+    xp: ExperimentalParams,
+    bio: BiologyParams,
+    diff: Optional[DiffusionParams],
+) -> Tuple[CellState, StepInfo]:
+    """One full simulation step — the fused equivalent of the loop body at
+    reference ``cell_simulation.py:85-123``, in the same phase order."""
+    arrays = dict(state.arrays)
+    alive = state.alive
+    bonds = state.bonds
+    gradients = dict(state.gradients)
+    current_step = state.step
+
+    key = state.key
+    key, k_div, k_path, k_diff, k_stoch, k_mot = jax.random.split(key, 6)
+
+    size = jnp.asarray(gen.size, dtype=arrays["locations"].dtype)
+
+    # --- get_neighbors("neighbor_graph", 15) ---
+    cand_idx, nbr_mask, nbr_max_in_bin = nbr_ops.neighbor_search(
+        cfg.nbr_spec, arrays["locations"], alive, bio.neighbor_radius
+    )
+    nbr_count = nbr_ops.num_neighbors(nbr_mask)
+
+    # --- cell_division ---
+    arrays, alive, daughter_mask, num_added, num_deferred = biology.cell_division(
+        arrays, alive, nbr_count, k_div, bio, cfg.two_d
+    )
+    bonds = clear_bond_rows(bonds, daughter_mask)  # fresh graph vertices, no edges
+    # daughters have no edges in the pre-division graph; their slots were dead
+    # at grid-build time so they appear in no one's candidate window either
+    nbr_count = jnp.where(daughter_mask, 0, nbr_count)
+
+    # --- cell_death ---
+    arrays["death_counters"], removed, num_removed = biology.cell_death(
+        arrays["states"], arrays["death_counters"], alive, nbr_count,
+        xp.lonely_thresh, bio.death_thresh,
+    )
+    alive = alive & ~removed
+    bonds = drop_dead_partners(bonds, alive)
+    nbr_mask = nbr_mask & alive[cand_idx] & alive[:, None]
+
+    # --- cell_pathway ---
+    (
+        arrays["FGF4"], arrays["FGFR"], arrays["ERK"],
+        arrays["GATA6"], arrays["NANOG"], arrays["fds_counters"],
+    ) = biology.cell_pathway(
+        arrays["FGF4"], arrays["FGFR"], arrays["ERK"], arrays["GATA6"],
+        arrays["NANOG"], arrays["fds_counters"], alive, cand_idx, nbr_mask,
+        k_path, current_step, xp, bio,
+    )
+
+    # --- cell_differentiate ---
+    arrays["NANOG"], arrays["states"], arrays["diff_counters"] = biology.cell_differentiate(
+        arrays["GATA6"], arrays["NANOG"], arrays["states"], arrays["diff_counters"],
+        alive, k_diff, bio,
+    )
+
+    # --- optional phases the reference ships disabled (cell_simulation.py:98-104) ---
+    if cfg.enable_growth:
+        arrays["radii"] = biology.cell_growth(
+            arrays["radii"], arrays["states"], arrays["div_counters"], alive, bio
+        )
+    if cfg.enable_stochastic:
+        arrays["GATA6"], arrays["NANOG"] = biology.cell_stochastic_update(
+            arrays["GATA6"], arrays["NANOG"], alive, k_stoch, bio
+        )
+    if cfg.enable_diff_surround:
+        arrays["GATA6"], arrays["NANOG"] = biology.cell_diff_surround(
+            arrays["GATA6"], arrays["NANOG"], arrays["states"], alive,
+            cand_idx, nbr_mask, bio,
+        )
+    if cfg.enable_diffusion and diff is not None:
+        dts = jnp.asarray(diffusion_dts_cached(bio.step_dt, diff.diffuse_dt))
+        for gname in sorted(gradients):
+            grid = gradients[gname]
+            if diff.release_amount > 0.0:
+                # NANOG-high cells secrete FGF4 (the coupling the reference
+                # sketches via adjust_morphogens, cell_methods.py:485-521)
+                secreting = alive & (arrays["NANOG"] > arrays["GATA6"])
+                amounts = jnp.where(secreting, diff.release_amount, 0.0)
+                grid = diffusion_ops.deposit_morphogen(
+                    grid, arrays["locations"], amounts, diff.spat_res
+                )
+            gradients[gname] = diffusion_ops.ftcs_diffuse(
+                grid, dts, diff.diffuse_const, diff.spat_res2,
+                diff.max_concentration, diff.degradation,
+            )
+
+    # --- cell_motility ---
+    arrays["motility_forces"] = biology.cell_motility(
+        arrays["locations"], arrays["GATA6"], arrays["NANOG"], arrays["states"],
+        arrays["motility_forces"], alive, cand_idx, nbr_mask, k_mot, xp, bio, cfg.two_d,
+    )
+
+    # --- apply_forces: 11 physics substeps (cell_methods.py:386-439) ---
+    dts = jnp.asarray(_physics_dts(bio))
+
+    def substep(carry, dt):
+        locations, bonds = carry
+        jcand, jmask, j_max_in_bin = nbr_ops.neighbor_search(
+            cfg.jkr_spec, locations, alive, bio.jkr_radius
+        )
+        jkr_forces, bonds, max_degree = jkr_substep(
+            bonds, locations, arrays["radii"], alive, jcand, jmask,
+            bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
+        )
+        locations = stokes_integrate(
+            locations, arrays["radii"], jkr_forces, arrays["motility_forces"],
+            alive, bio.stokes, size, dt,
+        )
+        return (locations, bonds), (j_max_in_bin, max_degree)
+
+    (locations, bonds), (j_bins, j_degs) = jax.lax.scan(
+        substep, (arrays["locations"], bonds), dts
+    )
+    arrays["locations"] = locations
+    # reference leaves both force arrays zeroed after the step
+    # (cell_methods.py:436-439)
+    arrays["jkr_forces"] = jnp.zeros_like(arrays["jkr_forces"])
+    arrays["motility_forces"] = jnp.zeros_like(arrays["motility_forces"])
+
+    info = StepInfo(
+        num_agents=jnp.sum(alive),
+        num_added=num_added,
+        num_removed=num_removed,
+        num_deferred=num_deferred,
+        nbr_max_in_bin=nbr_max_in_bin,
+        jkr_max_in_bin=jnp.max(j_bins),
+        jkr_max_degree=jnp.max(j_degs),
+    )
+    new_state = CellState(
+        arrays=arrays,
+        alive=alive,
+        bonds=bonds,
+        gradients=gradients,
+        key=key,
+        step=current_step + 1,
+    )
+    return new_state, info
+
+
+@functools.lru_cache(maxsize=32)
+def diffusion_dts_cached(step_dt: float, diffuse_dt: float) -> np.ndarray:
+    return diffusion_ops.diffusion_dts(step_dt, diffuse_dt)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((int(x) + m - 1) // m) * m
+
+
+class HipscEngine:
+    """Host-side driver owning the jitted step and capacity management.
+
+    The reference grows capacities with in-loop retries
+    (``simulation.py:198-221, 242-281``) and grows populations by
+    reallocating every array (``cell_methods.py:86-94``). Here all shapes are
+    static inside jit; ``safe_step`` re-executes a step from its unmodified
+    input state after doubling whichever static capacity overflowed, so
+    results are never silently truncated.
+    """
+
+    def __init__(
+        self,
+        gen: GeneralParams,
+        xp: ExperimentalParams,
+        bio: Optional[BiologyParams] = None,
+        diff: Optional[DiffusionParams] = None,
+        cfg: Optional[EngineConfig] = None,
+        enable_diffusion: bool = False,
+        enable_growth: bool = False,
+        enable_stochastic: bool = False,
+        enable_diff_surround: bool = False,
+    ):
+        self.gen = gen
+        self.xp = xp
+        self.bio = bio or BiologyParams()
+        self.diff = diff
+        if cfg is None:
+            n0 = gen.num_to_start + xp.num_gata6
+            cfg = EngineConfig.create(
+                gen.size,
+                capacity=max(_round_up(int(n0 * 1.5), 128), 256),
+                bio=self.bio,
+                enable_diffusion=enable_diffusion,
+                enable_growth=enable_growth,
+                enable_stochastic=enable_stochastic,
+                enable_diff_surround=enable_diff_surround,
+            )
+        self.cfg = cfg
+        self._compiled = {}
+
+    # -- state construction -------------------------------------------------
+
+    def init_state(self, seed: int = 0, locations: Optional[np.ndarray] = None) -> CellState:
+        """Build the initial colony (reference ``agent_initials``,
+        ``cell_simulation.py:128-157``): ``num_to_start`` default cells plus
+        ``num_gata6`` GATA6-high cells, uniform-random locations in the box."""
+        gen, xp, bio, cfg = self.gen, self.xp, self.bio, self.cfg
+        n = gen.num_to_start + xp.num_gata6
+        if n > cfg.capacity:
+            raise ValueError(f"initial population {n} exceeds capacity {cfg.capacity}")
+        C = cfg.capacity
+        rng = np.random.default_rng(seed)
+
+        arrays: Dict[str, np.ndarray] = {}
+        for name, (dtype, vec) in HIPSC_ARRAY_SPECS.items():
+            shape = (C,) if vec is None else (C, vec)
+            arrays[name] = np.zeros(shape, dtype=dtype)
+
+        if locations is None:
+            locations = rng.random((n, 3)) * np.asarray(gen.size)
+        arrays["locations"][:n] = locations
+        arrays["radii"][:n] = bio.max_radius
+        for fds in ("FGF4", "FGFR", "ERK", "NANOG"):
+            arrays[fds][:n] = rng.integers(0, bio.field, n)
+        arrays["death_counters"][:n] = rng.integers(0, bio.death_thresh, n)
+        arrays["diff_counters"][:n] = rng.integers(0, bio.pluri_to_diff, n)
+        arrays["div_counters"][:n] = rng.integers(0, bio.pluri_div_thresh, n)
+        if bio.fds_thresh > 1:
+            arrays["fds_counters"][:n] = rng.integers(0, bio.fds_thresh, n)
+        # GATA6_high group overrides (cell_simulation.py:152-153)
+        g0 = gen.num_to_start
+        if xp.num_gata6 > 0:
+            arrays["GATA6"][g0:n] = rng.integers(1, max(bio.field, 2), xp.num_gata6)
+            arrays["NANOG"][g0:n] = 0
+
+        alive = np.zeros((C,), dtype=bool)
+        alive[:n] = True
+
+        gradients: Dict[str, np.ndarray] = {}
+        if cfg.enable_diffusion and self.diff is not None:
+            nx, ny = self.diff.grid_size(gen.size)
+            gradients["fgf4_values"] = np.zeros((nx, ny), dtype=np.float32)
+
+        return CellState(
+            arrays={k: jnp.asarray(v) for k, v in arrays.items()},
+            alive=jnp.asarray(alive),
+            bonds=BondState.empty(C, cfg.bond_cap),
+            gradients={k: jnp.asarray(v) for k, v in gradients.items()},
+            key=jax.random.PRNGKey(seed),
+            step=jnp.asarray(1, dtype=jnp.int32),
+        )
+
+    # -- stepping -----------------------------------------------------------
+
+    def _step_fn(self, cfg: EngineConfig):
+        key = (cfg, self.gen, self.xp, self.bio, self.diff)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                functools.partial(
+                    hipsc_step, cfg=cfg, gen=self.gen, xp=self.xp, bio=self.bio,
+                    diff=self.diff,
+                )
+            )
+        return self._compiled[key]
+
+    def step(self, state: CellState) -> Tuple[CellState, StepInfo]:
+        """Raw jitted step (no overflow handling) — for benchmarking."""
+        return self._step_fn(self.cfg)(state)
+
+    def safe_step(self, state: CellState) -> Tuple[CellState, StepInfo]:
+        """Step with exact capacity-overflow recovery.
+
+        If any static capacity (bin occupancy, bond degree, free slots)
+        overflowed, the result may have dropped neighbors/bonds/daughters;
+        the step is re-executed from the same input state with the offending
+        capacity doubled — the reference's adaptive doubling
+        (``simulation.py:217-221,277-281``), amortized to O(log) recompiles.
+        """
+        for _ in range(16):
+            new_state, info = self.step(state)
+            grown = self._maybe_grow(state, info)
+            if grown is None:
+                return new_state, info
+            state = grown
+        raise RuntimeError("capacity growth failed to converge")
+
+    def _maybe_grow(self, state: CellState, info: StepInfo) -> Optional[CellState]:
+        cfg = self.cfg
+        changed = False
+        nbr_spec, jkr_spec, bond_cap, capacity = (
+            cfg.nbr_spec, cfg.jkr_spec, cfg.bond_cap, cfg.capacity,
+        )
+        if int(info.nbr_max_in_bin) > nbr_spec.bin_cap:
+            nbr_spec = dataclasses.replace(
+                nbr_spec, bin_cap=_round_up(int(info.nbr_max_in_bin) * 2, 8)
+            )
+            changed = True
+        if int(info.jkr_max_in_bin) > jkr_spec.bin_cap:
+            jkr_spec = dataclasses.replace(
+                jkr_spec, bin_cap=_round_up(int(info.jkr_max_in_bin) * 2, 8)
+            )
+            changed = True
+        if int(info.jkr_max_degree) > bond_cap:
+            bond_cap = _round_up(int(info.jkr_max_degree) * 2, 8)
+            changed = True
+        if int(info.num_deferred) > 0:
+            capacity = _round_up(capacity * 2, 128)
+            changed = True
+        if not changed:
+            return None
+        self.cfg = dataclasses.replace(
+            cfg, nbr_spec=nbr_spec, jkr_spec=jkr_spec, bond_cap=bond_cap, capacity=capacity
+        )
+        return self.repad_state(state, self.cfg)
+
+    @staticmethod
+    def repad_state(state: CellState, cfg: EngineConfig) -> CellState:
+        """Re-pad a state to a (larger) capacity / bond capacity."""
+        C_old = state.capacity
+        C = cfg.capacity
+        K = cfg.bond_cap
+
+        def pad_rows(a, rows):
+            if rows == a.shape[0]:
+                return a
+            pad = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, pad)
+
+        arrays = {k: pad_rows(v, C) for k, v in state.arrays.items()}
+        alive = pad_rows(state.alive, C)
+        partners = pad_rows(state.bonds.partners, C)
+        mask = pad_rows(state.bonds.mask, C)
+        if K != partners.shape[1]:
+            if K < partners.shape[1]:
+                raise ValueError("bond capacity cannot shrink")
+            partners = jnp.pad(partners, ((0, 0), (0, K - partners.shape[1])))
+            mask = jnp.pad(mask, ((0, 0), (0, K - mask.shape[1])))
+        return CellState(
+            arrays=arrays,
+            alive=alive,
+            bonds=BondState(partners=partners, mask=mask),
+            gradients=state.gradients,
+            key=state.key,
+            step=state.step,
+        )

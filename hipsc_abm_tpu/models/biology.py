@@ -1,0 +1,399 @@
+"""hiPSC biology phases as pure, vectorized JAX functions.
+
+Re-implements every method of the reference ``CellMethods`` mixin
+(``cell_methods.py``), including the three methods the reference ships but
+keeps commented out of its schedule (``cell_growth``, ``cell_stochastic_update``,
+``cell_diff_surround`` — ``cell_simulation.py:98-100``).
+
+The reference runs serial Python loops that read partially-updated state in
+index order (e.g. ``cell_pathway`` reads neighbors' already-updated FGF4
+values for lower indices). These functions use synchronous (parallel) update
+semantics: every agent reads the pre-update state. This is a deliberate,
+tested divergence — the update order of a serial loop over an unordered agent
+set is not a meaningful part of the model.
+
+All functions take the fixed-capacity slot arrays plus the padded neighbor
+window (``cand_idx``, ``nbr_mask``) produced by ``ops.neighbors`` and return
+updated arrays; randomness is threaded through explicit ``jax.random`` keys
+(bit-exact reproducibility and checkpoint resume, unlike the reference's
+global ``random`` module state).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hipsc_abm_tpu.models.params import BiologyParams, ExperimentalParams
+
+
+def random_vectors(key: jax.Array, n: int, two_d: bool, dtype=jnp.float32) -> jnp.ndarray:
+    """Batch of the reference's ``random_vector`` (``simulation.py:473-486``):
+    a point on the unit circle when the space is 2D (z = 0), else the
+    reference's (cos(phi) cos(theta), cos(phi) sin(theta), sin(phi)) sphere
+    parameterization — reproduced as-is, including its non-uniform density."""
+    if two_d:
+        theta = jax.random.uniform(key, (n,), dtype) * (2.0 * math.pi)
+        return jnp.stack([jnp.cos(theta), jnp.sin(theta), jnp.zeros_like(theta)], axis=-1)
+    k1, k2 = jax.random.split(key)
+    theta = jax.random.uniform(k1, (n,), dtype) * (2.0 * math.pi)
+    phi = jax.random.uniform(k2, (n,), dtype) * (2.0 * math.pi)
+    radius = jnp.cos(phi)
+    return jnp.stack(
+        [radius * jnp.cos(theta), radius * jnp.sin(theta), jnp.sin(phi)], axis=-1
+    )
+
+
+def normalize_rows(v: jnp.ndarray) -> jnp.ndarray:
+    """Safe row normalization (``normal_vector``, ``backend.py:186-196``)."""
+    mag = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return jnp.where(mag > 0, v / jnp.where(mag > 0, mag, 1.0), 0.0)
+
+
+def coin_flips(key: jax.Array, n: int) -> jnp.ndarray:
+    """Vector of randint(0, 1) increments (``cell_methods.py:65,239``)."""
+    return jax.random.bernoulli(key, 0.5, (n,)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# death / division (population dynamics over masked slots)
+# ---------------------------------------------------------------------------
+
+
+def cell_death(
+    states: jnp.ndarray,
+    death_counters: jnp.ndarray,
+    alive: jnp.ndarray,
+    nbr_count: jnp.ndarray,
+    lonely_thresh: int,
+    death_thresh: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``cell_death`` (``cell_methods.py:11-52``): lonely pluripotent cells
+    age a death counter; at threshold the slot is freed (np.delete over every
+    array becomes a mask clear). Returns (counters, removal_mask, num_removed).
+    """
+    pluri = alive & (states == 0)
+    lonely = nbr_count < lonely_thresh
+    counters = jnp.where(pluri, jnp.where(lonely, death_counters + 1, 0), death_counters)
+    remove = pluri & (counters >= death_thresh)
+    return counters, remove, jnp.sum(remove)
+
+
+def allocate_daughter_slots(
+    dividing: jnp.ndarray, alive: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Map each dividing mother to a free slot.
+
+    Replaces the reference's array-append growth (``cell_methods.py:86-94``)
+    with cumsum-based slot allocation: the k-th dividing mother (slot order)
+    claims the k-th free slot. Mothers beyond the free-slot supply are
+    deferred (their counters stay >= threshold, so they divide next step once
+    the host grows capacity). Returns (can_divide, daughter_slot with
+    out-of-range sentinel for non-dividers, num_deferred).
+    """
+    capacity = alive.shape[0]
+    free = ~alive
+    # slot id of the r-th free slot
+    free_rank = jnp.cumsum(free) - 1
+    slot_of_rank = jnp.full((capacity,), capacity, dtype=jnp.int32)
+    scatter_pos = jnp.where(free, free_rank, capacity)
+    slot_of_rank = slot_of_rank.at[scatter_pos].set(
+        jnp.arange(capacity, dtype=jnp.int32), mode="drop"
+    )
+
+    div_rank = jnp.cumsum(dividing) - 1
+    num_free = jnp.sum(free)
+    can_divide = dividing & (div_rank < num_free)
+    daughter_slot = jnp.where(
+        can_divide, slot_of_rank[jnp.clip(div_rank, 0, capacity - 1)], capacity
+    ).astype(jnp.int32)
+    num_deferred = jnp.sum(dividing) - jnp.sum(can_divide)
+    return can_divide, daughter_slot, num_deferred
+
+
+def cell_division(
+    arrays: Dict[str, jnp.ndarray],
+    alive: jnp.ndarray,
+    nbr_count: jnp.ndarray,
+    key: jax.Array,
+    p: BiologyParams,
+    two_d: bool,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``cell_division`` (``cell_methods.py:54-117``).
+
+    Stochastic division clocks; pluripotent cells divide at
+    ``pluri_div_thresh``, differentiated at ``diff_div_thresh`` under contact
+    inhibition. A daughter is a full copy of the mother's slot values written
+    into a free slot; the pair is displaced +/- a random vector scaled by
+    (max_radius - min_radius); both division counters reset.
+
+    Returns (arrays, alive, daughter_mask, num_added, num_deferred).
+    """
+    capacity = alive.shape[0]
+    k_inc, k_vec = jax.random.split(key)
+
+    div_counters = arrays["div_counters"] + jnp.where(alive, coin_flips(k_inc, capacity), 0)
+    states = arrays["states"]
+    pluri_div = (states == 0) & (div_counters >= p.pluri_div_thresh)
+    diff_div = (
+        (states != 0)
+        & (div_counters >= p.diff_div_thresh)
+        & (nbr_count < p.div_inhibit_neighbors)
+    )
+    dividing = alive & (pluri_div | diff_div)
+
+    can_divide, daughter_slot, num_deferred = allocate_daughter_slots(dividing, alive)
+
+    # mother/daughter displacement (cell_methods.py:103-105): daughter copies
+    # the mother's pre-displacement location, then moves -disp; mother +disp.
+    disp = random_vectors(k_vec, capacity, two_d, arrays["locations"].dtype) * (
+        p.max_radius - p.min_radius
+    )
+
+    new_arrays = {}
+    for name, arr in arrays.items():
+        if name == "locations":
+            daughter_val = arr - disp
+            arr = arr.at[daughter_slot].set(daughter_val, mode="drop")
+            arr = jnp.where(can_divide[:, None], arr + disp, arr)
+        elif name == "div_counters":
+            arr = div_counters.at[daughter_slot].set(0, mode="drop")
+            arr = jnp.where(can_divide, 0, arr)
+        else:
+            arr = arr.at[daughter_slot].set(arr, mode="drop")
+        new_arrays[name] = arr
+
+    daughter_mask = jnp.zeros((capacity,), dtype=bool).at[daughter_slot].set(True, mode="drop")
+    new_alive = alive | daughter_mask
+    return new_arrays, new_alive, daughter_mask, jnp.sum(can_divide), num_deferred
+
+
+# ---------------------------------------------------------------------------
+# intracellular pathway / fate
+# ---------------------------------------------------------------------------
+
+
+def cell_pathway(
+    FGF4: jnp.ndarray,
+    FGFR: jnp.ndarray,
+    ERK: jnp.ndarray,
+    GATA6: jnp.ndarray,
+    NANOG: jnp.ndarray,
+    fds_counters: jnp.ndarray,
+    alive: jnp.ndarray,
+    cand_idx: jnp.ndarray,
+    nbr_mask: jnp.ndarray,
+    key: jax.Array,
+    current_step: jnp.ndarray,
+    xp: ExperimentalParams,
+    p: BiologyParams,
+) -> Tuple[jnp.ndarray, ...]:
+    """``cell_pathway`` (``cell_methods.py:176-228``): perceived FGF4 is the
+    noisy mean over the closed neighborhood; the finite dynamical system
+    (Boolean BN_9 for field=2, ternary polynomial otherwise) advances every
+    ``fds_thresh`` steps, gated on doxycycline induction."""
+    capacity = FGF4.shape[0]
+    k_pair, k_self = jax.random.split(key)
+
+    active = alive & (current_step >= xp.dox_step)
+
+    # perceived FGF4: sum_j (1 + gauss) * FGF4_j / n over closed neighborhood
+    n_closed = jnp.sum(nbr_mask, axis=1) + 1
+    g_pair = jax.random.normal(k_pair, nbr_mask.shape, dtype=jnp.float32)
+    g_self = jax.random.normal(k_self, (capacity,), dtype=jnp.float32)
+    nbr_term = jnp.sum(
+        jnp.where(nbr_mask, (1.0 + g_pair) * FGF4[cand_idx].astype(jnp.float32), 0.0),
+        axis=1,
+    )
+    self_term = (1.0 + g_self) * FGF4.astype(jnp.float32)
+    perceived = (nbr_term + self_term) / n_closed.astype(jnp.float32)
+    perceived = jnp.clip(jnp.floor(perceived), 0, p.field - 1).astype(jnp.int32)
+
+    update = active & (fds_counters % p.fds_thresh == 0)
+
+    x1, x2, x3, x4, x5 = perceived, FGFR, ERK, GATA6, NANOG
+    if p.field == 2:
+        # Boolean network BN_9 (cell_methods.py:212-216)
+        nFGF4 = x5
+        nFGFR = (1 + x5 + x4 * x5) % 2
+        nERK = (x1 * x2) % 2
+        nGATA6 = (x3 + x4 + x3 * x4 + x3 * x5 + x4 * x5 + x3 * x4 * x5) % 2
+        nNANOG = (x5 + x3 * x5 + x4 * x5 + x3 * x4 * x5) % 2
+    else:
+        # ternary variant (cell_methods.py:219-225)
+        nFGF4 = x5
+        nFGFR = (x1 * x4 * ((2 * x1 + 1) * (2 * x4 + 1) + x1 * x4)) % 3
+        nERK = x2 % 3
+        nGATA6 = ((x4**2) * (x5 + 1) + (x5**2) * (x4 + 1) + 2 * x5 + 1) % 3
+        nNANOG = (
+            x5**2
+            + x5 * (x5 + 1) * (x3 * (2 * x4**2 + 2 * x3 + 1) + x4 * (2 * x3**2 + 2 * x4 + 1))
+            + (2 * x3**2 + 1) * (2 * x4**2 + 1)
+        ) % 3
+
+    FGF4 = jnp.where(update, nFGF4, FGF4)
+    FGFR = jnp.where(update, nFGFR, FGFR)
+    ERK = jnp.where(update, nERK, ERK)
+    GATA6 = jnp.where(update, nGATA6, GATA6)
+    NANOG = jnp.where(update, nNANOG, NANOG)
+    fds_counters = jnp.where(active, fds_counters + 1, fds_counters)
+    return FGF4, FGFR, ERK, GATA6, NANOG, fds_counters
+
+
+def cell_differentiate(
+    GATA6: jnp.ndarray,
+    NANOG: jnp.ndarray,
+    states: jnp.ndarray,
+    diff_counters: jnp.ndarray,
+    alive: jnp.ndarray,
+    key: jax.Array,
+    p: BiologyParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``cell_differentiate`` (``cell_methods.py:230-244``)."""
+    eligible = alive & (GATA6 > NANOG) & (states == 0)
+    counters = diff_counters + jnp.where(eligible, coin_flips(key, GATA6.shape[0]), 0)
+    trigger = eligible & (counters >= p.pluri_to_diff)
+    states = jnp.where(trigger, 1, states)
+    NANOG = jnp.where(trigger, 0, NANOG)
+    return NANOG, states, counters
+
+
+def cell_diff_surround(
+    GATA6: jnp.ndarray,
+    NANOG: jnp.ndarray,
+    states: jnp.ndarray,
+    alive: jnp.ndarray,
+    cand_idx: jnp.ndarray,
+    nbr_mask: jnp.ndarray,
+    p: BiologyParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``cell_diff_surround`` (``cell_methods.py:119-141``): >= 6 differentiated
+    neighbors force a GATA6-low pluripotent cell to GATA6 high."""
+    eligible = alive & (states == 0) & (GATA6 < NANOG)
+    num_diff = jnp.sum(nbr_mask & (states[cand_idx] != 0), axis=1)
+    induce = eligible & (num_diff >= p.diff_surround_neighbors)
+    return jnp.where(induce, p.field - 1, GATA6), jnp.where(induce, 0, NANOG)
+
+
+def cell_growth(
+    radii: jnp.ndarray,
+    states: jnp.ndarray,
+    div_counters: jnp.ndarray,
+    alive: jnp.ndarray,
+    p: BiologyParams,
+) -> jnp.ndarray:
+    """``cell_growth`` (``cell_methods.py:143-158``): linear radius growth by
+    state, re-derived from the division clock (no clamp, as in the reference)."""
+    growing = alive & (radii < p.max_radius)
+    dc = div_counters.astype(radii.dtype)
+    target = jnp.where(
+        states == 0, p.pluri_growth * dc + p.min_radius, p.diff_growth * dc + p.min_radius
+    )
+    return jnp.where(growing, target, radii)
+
+
+def cell_stochastic_update(
+    GATA6: jnp.ndarray,
+    NANOG: jnp.ndarray,
+    alive: jnp.ndarray,
+    key: jax.Array,
+    p: BiologyParams,
+    nanog_too: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``cell_stochastic_update`` (``cell_methods.py:160-174``): random GATA6
+    bump with probability ``GATA6_prob``. The NANOG branch is commented out in
+    the reference; pass ``nanog_too=True`` to enable it."""
+    k_g, k_n = jax.random.split(key)
+    n = GATA6.shape[0]
+    bump_g = jax.random.uniform(k_g, (n,)) < p.GATA6_prob
+    GATA6 = jnp.where(alive & bump_g & (GATA6 != p.field - 1), GATA6 + 1, GATA6)
+    if nanog_too:
+        bump_n = jax.random.uniform(k_n, (n,)) < p.NANOG_prob
+        NANOG = jnp.where(alive & bump_n & (NANOG != p.field - 1), NANOG + 1, NANOG)
+    return GATA6, NANOG
+
+
+# ---------------------------------------------------------------------------
+# motility
+# ---------------------------------------------------------------------------
+
+
+def cell_motility(
+    locations: jnp.ndarray,
+    GATA6: jnp.ndarray,
+    NANOG: jnp.ndarray,
+    states: jnp.ndarray,
+    motility_forces: jnp.ndarray,
+    alive: jnp.ndarray,
+    cand_idx: jnp.ndarray,
+    nbr_mask: jnp.ndarray,
+    key: jax.Array,
+    xp: ExperimentalParams,
+    p: BiologyParams,
+    two_d: bool,
+) -> jnp.ndarray:
+    """``cell_motility`` (``cell_methods.py:246-340``).
+
+    Cells with fewer than 6 neighbors get a motive force by type:
+    - differentiated: away from NANOG-high neighbors (-0.8 normal + 0.2 random);
+    - GATA6-high pluripotent under ``guye_move``: toward differentiated
+      neighbors. NOTE the reference's guye branch tests the *self* state
+      (``cell_methods.py:287``), so its GATA6-high cells always move randomly;
+      ``p.guye_bug_compat`` (default True) reproduces that behavior exactly,
+      False applies the evidently-intended neighbor-state rule;
+    - GATA6-high pluripotent otherwise: away from NANOG-high neighbors;
+    - NANOG-high pluripotent: toward NANOG-high neighbors;
+    - undecided: random walk.
+    """
+    capacity = locations.shape[0]
+    free_to_move = alive & (jnp.sum(nbr_mask, axis=1) < p.motility_crowd_neighbors)
+
+    disp = locations[cand_idx] - locations[:, None, :]
+    nanog_high_j = nbr_mask & (NANOG[cand_idx] > GATA6[cand_idx])
+    diff_j = nbr_mask & (states[cand_idx] != 0)
+
+    sum_nanog = jnp.sum(jnp.where(nanog_high_j[..., None], disp, 0.0), axis=1)
+    cnt_nanog = jnp.sum(nanog_high_j, axis=1)
+    sum_diff = jnp.sum(jnp.where(diff_j[..., None], disp, 0.0), axis=1)
+    cnt_diff = jnp.sum(diff_j, axis=1)
+
+    rand = random_vectors(key, capacity, two_d, locations.dtype)
+    away_nanog = jnp.where(
+        (cnt_nanog > 0)[:, None],
+        normalize_rows(sum_nanog) * -0.8 + rand * 0.2,
+        rand,
+    )
+    toward_nanog = jnp.where(
+        (cnt_nanog > 0)[:, None],
+        normalize_rows(sum_nanog) * 0.8 + rand * 0.2,
+        rand,
+    )
+    toward_diff = jnp.where(
+        (cnt_diff > 0)[:, None],
+        normalize_rows(sum_diff) * 0.8 + rand * 0.2,
+        rand,
+    )
+
+    is_diff = states != 0
+    gata6_high = GATA6 > NANOG
+    nanog_high = GATA6 < NANOG
+
+    if xp.guye_move:
+        guye_dir = rand if p.guye_bug_compat else toward_diff
+    else:
+        guye_dir = away_nanog
+
+    direction = jnp.where(
+        is_diff[:, None],
+        away_nanog,
+        jnp.where(
+            gata6_high[:, None],
+            guye_dir,
+            jnp.where(nanog_high[:, None], toward_nanog, rand),
+        ),
+    )
+    force = jnp.where(free_to_move[:, None], direction * p.motility_force, 0.0)
+    return motility_forces + force

@@ -1,0 +1,191 @@
+"""Johnson-Kendall-Roberts contact mechanics with persistent bonds (TPU-native).
+
+Replaces the reference's ``calculate_jkr`` + ``jkr_forces_cpu/gpu``
+(``cell_methods.py:342-384``, ``cell_backend.py:6-115``) and the igraph
+``jkr_graph`` whose edges persist across physics substeps and simulation steps
+(``get_neighbors(..., clear=False)``, ``simulation.py:286-288``).
+
+Reference semantics reproduced exactly:
+- each substep, pairs within ``2 * max_radius`` gain an edge (bond);
+- forces are evaluated on all current edges; the cubic JKR polynomial applies
+  while the nondimensional overlap ``d > -0.360562``, otherwise the bond
+  breaks and exerts no force (``cell_backend.py:39,94``);
+- a bond formed earlier persists even if the pair has drifted slightly beyond
+  the search radius, until it crosses the break threshold.
+
+TPU-first design: the edge list becomes a per-agent padded partner matrix
+``(C, K)``; each undirected bond is stored once per endpoint, so per-agent
+force accumulation is a row-wise masked reduction — no scatter-add, hence
+deterministic (the reference's parallel ``+=`` at ``cell_backend.py:108-109``
+is an accepted data race). Per substep:
+
+1. surviving old bonds are re-evaluated straight from the partner matrix
+   (covers bonds outside the current candidate window);
+2. fresh contacts from the grid window that are not already bonded form new
+   bonds iff they are inside the break threshold;
+3. the new partner matrix is the compaction of (1) u (2), with on-device
+   overflow detection driving host-side capacity doubling.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BondState(NamedTuple):
+    """Persistent bonded-partner matrix for one graph (slot-indexed)."""
+
+    partners: jnp.ndarray  # (C, K) int32 partner slot ids
+    mask: jnp.ndarray  # (C, K) bool
+
+    @classmethod
+    def empty(cls, capacity: int, bond_cap: int) -> "BondState":
+        return cls(
+            partners=jnp.zeros((capacity, bond_cap), dtype=jnp.int32),
+            mask=jnp.zeros((capacity, bond_cap), dtype=bool),
+        )
+
+    def degree(self) -> jnp.ndarray:
+        return jnp.sum(self.mask, axis=1).astype(jnp.int32)
+
+
+def _pair_jkr(
+    loc_i: jnp.ndarray,  # (..., 3) row agent locations
+    loc_j: jnp.ndarray,  # (..., 3) partner locations
+    rad_i: jnp.ndarray,  # (...,)
+    rad_j: jnp.ndarray,  # (...,)
+    adhesion_const: float,
+    poisson: float,
+    youngs: float,
+    break_d: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pair JKR force on the row agent and bond-survival flag.
+
+    Direct vectorization of the per-edge math in ``jkr_forces_cpu``
+    (``cell_backend.py:73-113``); locations in um, forces in N.
+    """
+    vector = loc_i - loc_j
+    mag2 = jnp.sum(vector * vector, axis=-1)
+    mag = jnp.sqrt(mag2)
+    overlap = (rad_i + rad_j - mag) / 1e6  # um -> m
+
+    e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
+    r_hat = 1.0 / (1e6 * (1.0 / rad_i + 1.0 / rad_j))  # um -> m
+    overlap_ = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * r_hat ** (1.0 / 3.0)
+    d = overlap / overlap_
+
+    alive_bond = d > break_d
+    f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+    jkr_force = f * math.pi * adhesion_const * r_hat  # N
+
+    safe_mag = jnp.where(mag > 0, mag, 1.0)
+    normal = jnp.where((mag > 0)[..., None], vector / safe_mag[..., None], 0.0)
+    force = jnp.where(alive_bond[..., None], jkr_force[..., None] * normal, 0.0)
+    return force, alive_bond
+
+
+def _is_bonded(bonds: BondState, cand_idx: jnp.ndarray) -> jnp.ndarray:
+    """(C, W) membership of each window candidate in the row's bond list."""
+    bonded = jnp.zeros(cand_idx.shape, dtype=bool)
+    bond_cap = bonds.partners.shape[1]
+    for k in range(bond_cap):
+        bonded |= (cand_idx == bonds.partners[:, k : k + 1]) & bonds.mask[:, k : k + 1]
+    return bonded
+
+
+def _compact_bonds(
+    partners_ext: jnp.ndarray,  # (C, K + W) candidate partner ids
+    mask_ext: jnp.ndarray,  # (C, K + W)
+    bond_cap: int,
+) -> Tuple[BondState, jnp.ndarray]:
+    """Compact a masked extended partner set to the first `bond_cap` entries
+    per row. Returns the new BondState and the max row degree (overflow probe
+    for host-side doubling, mirroring ``graph.max_neighbors`` growth at
+    ``simulation.py:277-281``)."""
+    total = partners_ext.shape[1]
+    pos = jnp.arange(total, dtype=jnp.int32)[None, :]
+    score = jnp.where(mask_ext, total - pos, 0)  # valid entries keep order
+    top_scores, top_pos = jax.lax.top_k(score, bond_cap)
+    new_partners = jnp.take_along_axis(partners_ext, top_pos, axis=1)
+    new_mask = top_scores > 0
+    degree = jnp.sum(mask_ext, axis=1)
+    return BondState(partners=new_partners.astype(jnp.int32), mask=new_mask), jnp.max(degree)
+
+
+def jkr_substep(
+    bonds: BondState,
+    locations: jnp.ndarray,  # (C, 3)
+    radii: jnp.ndarray,  # (C,)
+    alive: jnp.ndarray,  # (C,)
+    cand_idx: jnp.ndarray,  # (C, W) grid candidate window (radius 2*max_radius)
+    contact_mask: jnp.ndarray,  # (C, W) true contacts within search radius
+    adhesion_const: float,
+    poisson: float,
+    youngs: float,
+    break_d: float,
+) -> Tuple[jnp.ndarray, BondState, jnp.ndarray]:
+    """One physics substep of bond bookkeeping + force evaluation.
+
+    Returns ``(jkr_forces (C,3), new_bonds, max_degree)``; equivalent to the
+    reference sequence [``get_neighbors(jkr_graph, 2*max_radius, clear=False)``
+    -> ``calculate_jkr`` -> edge deletion] at ``cell_methods.py:399-404``.
+    """
+    # --- step 1: re-evaluate existing bonds from the partner matrix ---
+    old_j = bonds.partners
+    old_valid = bonds.mask & alive[:, None] & alive[old_j]
+    force_old, survive_old = _pair_jkr(
+        locations[:, None, :],
+        locations[old_j],
+        radii[:, None],
+        radii[old_j],
+        adhesion_const,
+        poisson,
+        youngs,
+        break_d,
+    )
+    keep_old = old_valid & survive_old
+    f_from_old = jnp.sum(jnp.where(keep_old[..., None], force_old, 0.0), axis=1)
+
+    # --- step 2: fresh contacts not already bonded ---
+    fresh = contact_mask & ~_is_bonded(bonds, cand_idx) & alive[:, None]
+    force_new, survive_new = _pair_jkr(
+        locations[:, None, :],
+        locations[cand_idx],
+        radii[:, None],
+        radii[cand_idx],
+        adhesion_const,
+        poisson,
+        youngs,
+        break_d,
+    )
+    keep_new = fresh & survive_new
+    f_from_new = jnp.sum(jnp.where(keep_new[..., None], force_new, 0.0), axis=1)
+
+    # --- step 3: compact surviving old + new bonds back to (C, K) ---
+    partners_ext = jnp.concatenate([old_j, cand_idx], axis=1)
+    mask_ext = jnp.concatenate([keep_old, keep_new], axis=1)
+    new_bonds, max_degree = _compact_bonds(partners_ext, mask_ext, bonds.partners.shape[1])
+
+    return f_from_old + f_from_new, new_bonds, max_degree
+
+
+def clear_bond_rows(bonds: BondState, rows_to_clear: jnp.ndarray) -> BondState:
+    """Empty the bond rows of given slots (daughters on division get fresh
+    graph vertices with no edges — ``cell_methods.py:112-113``)."""
+    return BondState(
+        partners=bonds.partners,
+        mask=bonds.mask & ~rows_to_clear[:, None],
+    )
+
+
+def drop_dead_partners(bonds: BondState, alive: jnp.ndarray) -> BondState:
+    """Remove bonds whose partner slot died (igraph ``delete_vertices``
+    removed incident edges — ``cell_methods.py:47-48``)."""
+    return BondState(
+        partners=bonds.partners,
+        mask=bonds.mask & alive[bonds.partners] & alive[:, None],
+    )
