@@ -1,0 +1,318 @@
+"""CellSimulation: the hiPSC colony model on the TPU engine.
+
+Mirrors the reference model assembly (``cell_simulation.py:10-157``): reads
+``experimental.yaml``, exposes the same biology-constant attributes, seeds the
+same initial colony through the framework registration API, and overrides
+``steps()`` — but the per-step loop body is the single fused jitted
+``hipsc_step`` instead of ten host methods. Output formats (step images with
+both color modes, value CSVs, TDA splits, gradient CSVs, temp checkpoint,
+data CSV, end-of-run video) match ``cell_simulation.py:77-126`` /
+``cell_outputs.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from hipsc_abm_tpu.engine import CellState, EngineConfig, HIPSC_ARRAY_SPECS, HipscEngine
+from hipsc_abm_tpu.models.params import BiologyParams, DiffusionParams, ExperimentalParams
+from hipsc_abm_tpu.ops.jkr import BondState
+from hipsc_abm_tpu.simulation import Simulation
+from hipsc_abm_tpu.utils import io as io_utils
+from hipsc_abm_tpu.utils.config import check_direct, template_params
+from hipsc_abm_tpu.utils.profiling import record_block, record_time
+
+OUTPUT_ARRAYS = [
+    "locations", "FGF4", "FGFR", "ERK", "GATA6", "NANOG", "states",
+    "diff_counters", "div_counters",
+]  # the nine arrays the reference CSVs each step (cell_simulation.py:118-119)
+
+
+class CellSimulation(Simulation):
+    """hiPSC colony simulation (NANOG/GATA6 fate, JKR contact mechanics)."""
+
+    def __init__(self, name: str, output_path: str):
+        super().__init__(name, output_path)
+
+        # experimental template (cell_simulation.py:19-27)
+        keys = template_params(self.templates_path + "experimental.yaml")
+        self.num_gata6 = keys["num_gata6"]
+        self.output_tda = keys["output_tda"]
+        self.output_gradients = keys["output_gradients"]
+        self.group = keys["group"]  # vestigial in the reference; kept for parity
+        self.dox_step = keys["dox_step"]
+        self.guye_move = keys["guye_move"]
+        self.lonely_thresh = keys["lonely_thresh"]
+        self.color_mode = keys["color_mode"]
+
+        # additional output paths (cell_simulation.py:30-31)
+        self.gradients_path = self.main_path + name + "_gradients" + self.separator
+        self.tda_path = self.main_path + name + "_tda" + self.separator
+
+        # biology constants exposed as attributes for parity
+        # (cell_simulation.py:34-57); the single source of truth is the
+        # BiologyParams dataclass
+        self.biology_params = BiologyParams()
+        bio = self.biology_params
+        self.step_dt = bio.step_dt
+        self.move_dt = bio.move_dt
+        self.field = bio.field
+        self.GATA6_prob = bio.GATA6_prob
+        self.NANOG_prob = bio.NANOG_prob
+        self.pluri_div_thresh = bio.pluri_div_thresh
+        self.diff_div_thresh = bio.diff_div_thresh
+        self.pluri_to_diff = bio.pluri_to_diff
+        self.death_thresh = bio.death_thresh
+        self.fds_thresh = bio.fds_thresh
+        self.max_radius = bio.max_radius
+        self.min_radius = bio.min_radius
+        self.pluri_growth = bio.pluri_growth
+        self.diff_growth = bio.diff_growth
+
+        self.experimental_params = ExperimentalParams.from_dict(keys)
+        # diffusion is config-enabled (the reference ships it commented out,
+        # cell_simulation.py:60-75); optional keys in experimental.yaml
+        self.enable_diffusion = bool(keys.get("enable_diffusion", False))
+        self.diffusion_params = (
+            DiffusionParams(
+                spat_res=float(keys.get("spat_res", 10.0)),
+                diffuse_dt=float(keys.get("diffuse_dt", 6.0)),
+                diffuse_const=float(keys.get("diffuse_const", 2.0)),
+                max_concentration=float(keys.get("max_concentration", 2.0)),
+                degradation=float(keys.get("degradation", 0.1)),
+                release_amount=float(keys.get("release_amount", 0.0)),
+            )
+            if self.enable_diffusion
+            else None
+        )
+
+        self.engine: Optional[HipscEngine] = None
+        self.state: Optional[CellState] = None
+
+    # ------------------------------------------------------------------
+    # initial conditions (cell_simulation.py:128-157)
+    # ------------------------------------------------------------------
+
+    def agent_initials(self):
+        rng = self._np_rng
+        self.add_agents(self.num_to_start)
+        self.add_agents(self.num_gata6, agent_type="GATA6_high")
+
+        self.agent_array("locations", override=rng.random((self.number_agents, 3)) * self.size)
+        self.agent_array("radii", func=lambda: self.max_radius)
+        self.agent_array("FGF4", dtype=int, func=lambda: rng.integers(0, self.field))
+        self.agent_array("FGFR", dtype=int, func=lambda: rng.integers(0, self.field))
+        self.agent_array("ERK", dtype=int, func=lambda: rng.integers(0, self.field))
+        self.agent_array("GATA6", dtype=int)
+        self.agent_array("NANOG", dtype=int, func=lambda: rng.integers(0, self.field))
+        self.agent_array("states", dtype=int)
+        self.agent_array("death_counters", dtype=int, func=lambda: rng.integers(0, self.death_thresh))
+        self.agent_array("diff_counters", dtype=int, func=lambda: rng.integers(0, self.pluri_to_diff))
+        self.agent_array("div_counters", dtype=int, func=lambda: rng.integers(0, self.pluri_div_thresh))
+        self.agent_array("fds_counters", dtype=int,
+                         func=(lambda: rng.integers(0, self.fds_thresh)) if self.fds_thresh > 1 else (lambda: 0))
+        self.agent_array("motility_forces", vector=3)
+        self.agent_array("jkr_forces", vector=3)
+
+        self.agent_array("GATA6", agent_type="GATA6_high",
+                         func=lambda: rng.integers(1, max(self.field, 2)))
+        self.agent_array("NANOG", agent_type="GATA6_high", func=lambda: 0)
+
+        self.agent_graph("neighbor_graph")
+        self.agent_graph("jkr_graph")
+
+    # ------------------------------------------------------------------
+    # engine wiring
+    # ------------------------------------------------------------------
+
+    def _make_engine(self) -> HipscEngine:
+        return HipscEngine(
+            self.general_params,
+            self.experimental_params,
+            self.biology_params,
+            self.diffusion_params,
+            enable_diffusion=self.enable_diffusion,
+        )
+
+    def build_state(self) -> None:
+        """Pack the registered host arrays into the device state PyTree."""
+        if self.engine is None:
+            self.engine = self._make_engine()
+        cfg = self.engine.cfg
+        n = self.number_agents
+        if n > cfg.capacity:
+            import dataclasses as _dc
+
+            self.engine.cfg = cfg = _dc.replace(
+                cfg, capacity=max(cfg.capacity, ((int(n * 1.5) + 127) // 128) * 128)
+            )
+        C = cfg.capacity
+
+        arrays = {}
+        for name, (dtype, vec) in HIPSC_ARRAY_SPECS.items():
+            shape = (C,) if vec is None else (C, vec)
+            host = np.zeros(shape, dtype=dtype)
+            host[:n] = np.asarray(self.__dict__[name])
+            arrays[name] = jax.numpy.asarray(host)
+        alive = np.zeros((C,), dtype=bool)
+        alive[:n] = True
+
+        gradients: Dict[str, np.ndarray] = {}
+        if cfg.enable_diffusion and self.diffusion_params is not None:
+            nx, ny = self.diffusion_params.grid_size(tuple(self.size))
+            gradients["fgf4_values"] = jax.numpy.zeros((nx, ny), dtype=jax.numpy.float32)
+            self.gradient_names = ["fgf4_values"]
+
+        self.state = CellState(
+            arrays=arrays,
+            alive=jax.numpy.asarray(alive),
+            bonds=BondState.empty(C, cfg.bond_cap),
+            gradients=gradients,
+            key=jax.random.PRNGKey(self.seed),
+            step=jax.numpy.asarray(self.beginning_step, dtype=jax.numpy.int32),
+        )
+
+    def _sync_host(self) -> None:
+        """Fetch the compacted live-agent arrays back to the host attribute
+        surface (``self.locations`` etc.), slot order."""
+        host = jax.device_get(self.state.arrays)
+        alive = np.asarray(jax.device_get(self.state.alive))
+        for name in self.agent_array_names:
+            self.__dict__[name] = host[name][alive]
+        self.number_agents = int(alive.sum())
+
+    # ------------------------------------------------------------------
+    # main loop (cell_simulation.py:77-126)
+    # ------------------------------------------------------------------
+
+    def steps(self):
+        if self.state is None:
+            self.build_state()
+        assert self.engine is not None
+
+        if self.record_initial_step:
+            self.record_initials()
+
+        for self.current_step in range(self.beginning_step, self.end_step + 1):
+            self.info()
+
+            # the fused device step: neighbors, division, death, pathway,
+            # differentiation, (growth/stochastic/diff_surround/diffusion),
+            # motility, 11 physics substeps
+            with record_block(self, "step_fused"):
+                self.state, info = self.engine.safe_step(self.state)
+                jax.block_until_ready(self.state.arrays["locations"])
+
+            print("\tAdded " + str(int(info.num_added)) + " agents")
+            print("\tRemoved " + str(int(info.num_removed)) + " agents")
+
+            self._sync_host()
+
+            self.step_image()
+            self.step_values(arrays=OUTPUT_ARRAYS)
+            if self.enable_diffusion:
+                self.step_gradients()
+            self.step_tda()
+            self.temp()
+            self.data()
+
+        self.create_video()
+
+    # ------------------------------------------------------------------
+    # outputs (cell_outputs.py)
+    # ------------------------------------------------------------------
+
+    @record_time
+    def step_image(self, background=(0, 0, 0), origin_bottom=True):
+        if self.output_images:
+            check_direct(self.images_path)
+            n = self.number_agents
+            colors = io_utils.hipsc_cell_colors(
+                np.asarray(self.states[:n]),
+                np.asarray(self.GATA6[:n]),
+                np.asarray(self.NANOG[:n]),
+                self.field,
+                self.color_mode,
+            )
+            image = io_utils.render_step_image(
+                np.asarray(self.locations[:n]),
+                np.asarray(self.radii[:n]),
+                colors,
+                tuple(self.size),
+                self.image_quality,
+                background=background,
+                origin_bottom=origin_bottom,
+            )
+            file_name = f"{self.name}_image_{self.current_step}.png"
+            io_utils.save_image_png(self.images_path + file_name, image)
+
+    @record_time
+    def step_gradients(self):
+        if self.output_gradients and self.state is not None:
+            check_direct(self.gradients_path)
+            io_utils.write_gradient_csvs(
+                self.gradients_path,
+                self.name,
+                self.current_step,
+                {k: np.asarray(jax.device_get(v)) for k, v in self.state.gradients.items()},
+            )
+
+    @record_time
+    def step_tda(self):
+        if self.output_tda:
+            check_direct(self.tda_path)
+            n = self.number_agents
+            io_utils.write_tda_csvs(
+                self.tda_path,
+                self.name,
+                self.current_step,
+                np.asarray(self.locations[:n]),
+                np.asarray(self.GATA6[:n]),
+                np.asarray(self.NANOG[:n]),
+            )
+
+    @record_time
+    def temp(self):
+        """Checkpoint: pickle of the sim object (reference mechanism) with
+        the device state swapped for a host PyTree, plus a format-stable npz
+        of the state alone (bit-exact resume; SURVEY §5.4)."""
+        from hipsc_abm_tpu.utils.checkpoint import save_state
+
+        super().temp.__wrapped__(self)  # the pickle, un-re-timed
+        if self.state is not None:
+            save_state(
+                os.path.join(self.main_path, f"{self.name}_state.npz"),
+                self.state,
+                meta={"current_step": self.current_step, "name": self.name},
+            )
+
+    # ------------------------------------------------------------------
+    # pickling (mode-1 continuation)
+    # ------------------------------------------------------------------
+
+    def __getstate__(self):
+        state = super().__getstate__()
+        state["engine"] = None  # holds jit caches; rebuilt lazily
+        if self.state is not None:
+            state["state"] = jax.tree_util.tree_map(np.asarray, jax.device_get(self.state))
+        return state
+
+    def __setstate__(self, state):
+        super().__setstate__(state)
+        if self.state is not None:
+            self.state = jax.tree_util.tree_map(jax.numpy.asarray, self.state)
+        self.engine = self._make_engine()
+        if self.state is not None:
+            cap = self.state.alive.shape[0]
+            import dataclasses as _dc
+
+            self.engine.cfg = _dc.replace(
+                self.engine.cfg,
+                capacity=cap,
+                bond_cap=self.state.bonds.partners.shape[1],
+            )

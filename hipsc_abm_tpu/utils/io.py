@@ -1,0 +1,281 @@
+"""Output suite: per-step CSVs, space images, video, TDA and gradient files.
+
+Format-compatible with the reference output layer (``simulation.py:300-460``,
+``cell_outputs.py``): same file names, CSV headers (``name[i]`` columns for
+vector arrays), PNG step images with black-outlined cells and bottom-left
+origin, mp4 video with natural-sorted frames, TDA red/green/all splits, and
+gradient CSVs. Rendering uses OpenCV when available and falls back to a
+vectorized numpy rasterizer otherwise (no hard cv2 dependency).
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    HAVE_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    HAVE_CV2 = False
+
+from hipsc_abm_tpu.utils.config import check_direct
+
+
+# ---------------------------------------------------------------------------
+# CSV outputs
+# ---------------------------------------------------------------------------
+
+
+def write_values_csv(
+    path: str,
+    arrays: Dict[str, np.ndarray],
+    order: Sequence[str],
+) -> None:
+    """Agent-array CSV, one row per agent (``step_values``,
+    ``simulation.py:300-347``): 1-D arrays get one column named after the
+    array; 2-D arrays get ``name[i]`` columns."""
+    header: List[str] = []
+    data: List[np.ndarray] = []
+    for array_name in order:
+        agent_array = np.asarray(arrays[array_name])
+        if agent_array.ndim == 1:
+            header.append(array_name)
+            agent_array = agent_array.reshape(-1, 1)
+        else:
+            for i in range(agent_array.shape[1]):
+                header.append(f"{array_name}[{i}]")
+        data.append(agent_array)
+
+    with open(path, "w", newline="") as file:
+        writer = csv.writer(file)
+        writer.writerow(header)
+        writer.writerows(np.hstack(data))
+
+
+def append_data_csv(
+    path: str,
+    current_step: int,
+    number_agents: int,
+    step_time: float,
+    memory_mb: float,
+    method_times: Dict[str, float],
+) -> None:
+    """Running performance CSV (``data``, ``simulation.py:392-419``)."""
+    new_file = current_step == 1
+    with open(path, "a", newline="") as file:
+        writer = csv.writer(file)
+        if new_file:
+            writer.writerow(
+                ["Step Number", "Number Cells", "Step Time", "Memory (MB)"]
+                + list(method_times.keys())
+            )
+        writer.writerow(
+            [current_step, number_agents, step_time, memory_mb]
+            + list(method_times.values())
+        )
+
+
+def process_memory_mb() -> float:
+    """RSS of the current process in MB (psutil in the reference; read from
+    /proc to avoid the dependency)."""
+    try:
+        with open("/proc/self/statm") as f:
+            rss_pages = int(f.read().split()[1])
+        return rss_pages * os.sysconf("SC_PAGE_SIZE") / 1024**2
+    except Exception:  # pragma: no cover
+        return 0.0
+
+
+def write_tda_csvs(
+    tda_path: str,
+    name: str,
+    current_step: int,
+    locations: np.ndarray,  # (n, >=2)
+    gata6: np.ndarray,
+    nanog: np.ndarray,
+) -> None:
+    """Topological-data-analysis location splits (``step_tda``,
+    ``cell_outputs.py:102-127``): red = GATA6 > NANOG, green = rest, all."""
+    red = gata6 > nanog
+    groups = {
+        "red": locations[red, 0:2],
+        "green": locations[~red, 0:2],
+        "all": locations[:, 0:2],
+    }
+    for key, locs in groups.items():
+        path = os.path.join(tda_path, key)
+        check_direct(path)
+        file_name = f"{name}_tda_{key}_{current_step}.csv"
+        np.savetxt(os.path.join(path, file_name), locs, delimiter=",")
+
+
+def write_gradient_csvs(
+    gradients_path: str,
+    name: str,
+    current_step: int,
+    gradients: Dict[str, np.ndarray],
+) -> None:
+    """Per-gradient 2D CSVs (``step_gradients``, ``cell_outputs.py:76-100``,
+    with the reference's vestigial ``self.paths.separator`` bug fixed)."""
+    for gradient_name, grid in gradients.items():
+        path = os.path.join(gradients_path, gradient_name)
+        check_direct(path)
+        file_name = f"{name}_{gradient_name}_{current_step}.csv"
+        grid = np.asarray(grid)
+        if grid.ndim == 3:
+            grid = grid[:, :, 0]
+        np.savetxt(os.path.join(path, file_name), grid, delimiter=",")
+
+
+# ---------------------------------------------------------------------------
+# image rendering
+# ---------------------------------------------------------------------------
+
+
+def _numpy_draw_circles(image, xs, ys, rads, colors):
+    """Fallback rasterizer: filled circles with 1px black outline, drawn in
+    agent order (later agents overdraw earlier ones, like cv2.ellipse)."""
+    h, w, _ = image.shape
+    for x, y, rad, color in zip(xs, ys, rads, colors):
+        r_out = rad + 1
+        x0, x1 = max(x - r_out, 0), min(x + r_out + 1, w)
+        y0, y1 = max(y - r_out, 0), min(y + r_out + 1, h)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        d2 = (xx - x) ** 2 + (yy - y) ** 2
+        patch = image[y0:y1, x0:x1]
+        patch[d2 <= r_out**2] = (0, 0, 0)
+        patch[d2 <= rad**2] = color
+    return image
+
+
+def render_step_image(
+    locations: np.ndarray,  # (n, >=2) um
+    radii: np.ndarray,  # (n,) um
+    colors: np.ndarray,  # (n, 3) BGR uint8
+    size: Tuple[float, float, float],
+    image_quality: int,
+    background: Tuple[int, int, int] = (0, 0, 0),
+    origin_bottom: bool = True,
+) -> np.ndarray:
+    """Render the simulation space (``step_image``, ``simulation.py:349-390``
+    / ``cell_outputs.py:12-74``): scale factor from image width, filled
+    ellipse + black outline per cell, optional vertical flip for bottom-left
+    origin."""
+    x_size = image_quality
+    scale = x_size / size[0]
+    y_size = math.ceil(scale * size[1])
+    image = np.zeros((y_size, x_size, 3), dtype=np.uint8)
+    image[:, :] = background
+
+    xs = (scale * locations[:, 0]).astype(int)
+    ys = (scale * locations[:, 1]).astype(int)
+    rads = (scale * radii).astype(int)
+
+    if HAVE_CV2:
+        for x, y, rad, color in zip(xs, ys, rads, colors):
+            image = cv2.ellipse(image, (x, y), (rad, rad), 0, 0, 360,
+                                tuple(int(c) for c in color), -1)
+            image = cv2.ellipse(image, (x, y), (rad, rad), 0, 0, 360, (0, 0, 0), 1)
+    else:  # pragma: no cover
+        image = _numpy_draw_circles(image, xs, ys, rads, colors)
+
+    if origin_bottom:
+        image = image[::-1]
+    return np.ascontiguousarray(image)
+
+
+def hipsc_cell_colors(
+    states: np.ndarray,
+    gata6: np.ndarray,
+    nanog: np.ndarray,
+    field: int,
+    color_mode: bool,
+) -> np.ndarray:
+    """BGR cell colors for both reference color modes
+    (``cell_outputs.py:41-61``)."""
+    n = states.shape[0]
+    colors = np.empty((n, 3), dtype=np.uint8)
+    if color_mode:
+        colors[:] = (32, 252, 22)  # green
+        white = (gata6 >= nanog) & (gata6 != 0)
+        colors[white] = (255, 255, 255)
+    else:
+        colors[:] = (32, 252, 22)  # green
+        colors[(gata6 == nanog) & (gata6 == 0)] = (255, 50, 50)  # blue
+        colors[(gata6 == nanog) & (gata6 == field - 1)] = (30, 255, 255)  # yellow
+        colors[gata6 > nanog] = (255, 255, 255)  # white
+    colors[states == 1] = (0, 0, 230)  # red overrides everything
+    return colors
+
+
+def save_image_png(path: str, image: np.ndarray, compression: int = 4) -> None:
+    if HAVE_CV2:
+        cv2.imwrite(path, image, [cv2.IMWRITE_PNG_COMPRESSION, compression])
+    else:  # pragma: no cover
+        from PIL import Image
+
+        Image.fromarray(image[:, :, ::-1]).save(path)
+
+
+# ---------------------------------------------------------------------------
+# video
+# ---------------------------------------------------------------------------
+
+
+def natural_step_sort(file_list: List[str]) -> List[str]:
+    """Sort frame files by their trailing step number
+    (``simulation.py:436``)."""
+    return sorted(file_list, key=lambda x: int(re.split(r"(\d+)", x)[-2]))
+
+
+def create_video_from_images(
+    images_path: str,
+    out_path: str,
+    video_quality: int,
+    fps: float,
+    progress=None,
+) -> Optional[str]:
+    """Compile step PNGs into an mp4 (``create_video``,
+    ``simulation.py:421-460``): natural sort, probe first frame, scale to
+    ``video_quality`` width. Falls back to imageio when cv2 is missing."""
+    if not os.path.isdir(images_path):
+        return None
+    file_list = [f for f in os.listdir(images_path) if f.endswith(".png")]
+    if not file_list:
+        return None
+    file_list = natural_step_sort(file_list)
+
+    if HAVE_CV2:
+        first = cv2.imread(os.path.join(images_path, file_list[0]))
+        size = first.shape[0:2]
+        scale = video_quality / size[1]
+        new_size = (video_quality, int(scale * size[0]))
+        codec = cv2.VideoWriter_fourcc(*"mp4v")
+        video = cv2.VideoWriter(out_path, codec, fps, new_size)
+        for i, fname in enumerate(file_list):
+            image = cv2.imread(os.path.join(images_path, fname))
+            if image.shape[0:2] != (new_size[1], new_size[0]):
+                image = cv2.resize(image, new_size, interpolation=cv2.INTER_AREA)
+            video.write(image)
+            if progress is not None:
+                progress(i, len(file_list))
+        video.release()
+    else:  # pragma: no cover
+        import imageio.v2 as imageio
+
+        with imageio.get_writer(out_path, fps=fps) as writer:
+            for i, fname in enumerate(file_list):
+                writer.append_data(imageio.imread(os.path.join(images_path, fname)))
+                if progress is not None:
+                    progress(i, len(file_list))
+    return out_path
