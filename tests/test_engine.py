@@ -1,0 +1,159 @@
+"""Fused-engine integration: invariants, determinism, capacity growth, and
+bit-exact checkpoint/resume (SURVEY.md §4b-d)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipsc_abm_tpu.engine import EngineConfig, HipscEngine
+from hipsc_abm_tpu.models.params import BiologyParams, ExperimentalParams, GeneralParams
+
+
+def small_engine(**kw):
+    gen = GeneralParams(num_to_start=kw.pop("n", 200), end_step=5,
+                        size=kw.pop("size", (400.0, 400.0, 0.0)))
+    xp = ExperimentalParams(num_gata6=kw.pop("num_gata6", 20), dox_step=2)
+    return HipscEngine(gen, xp, **kw)
+
+
+def tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb))
+
+
+def test_step_invariants():
+    eng = small_engine()
+    state = eng.init_state(seed=3)
+    for _ in range(3):
+        state, info = eng.safe_step(state)
+        alive = np.asarray(state.alive)
+        assert int(info.num_agents) == alive.sum()
+        locs = np.asarray(state.arrays["locations"])[alive]
+        assert (locs >= 0).all()
+        assert (locs <= np.asarray(eng.gen.size)).all()
+        assert (locs[:, 2] == 0).all()  # 2D space stays planar
+        # forces zeroed at step end (reference cell_methods.py:436-439)
+        assert not np.asarray(state.arrays["jkr_forces"]).any()
+        assert not np.asarray(state.arrays["motility_forces"]).any()
+        # states monotone valid
+        states = np.asarray(state.arrays["states"])[alive]
+        assert set(np.unique(states)) <= {0, 1}
+
+
+def test_determinism_same_seed():
+    eng1, eng2 = small_engine(), small_engine()
+    s1, s2 = eng1.init_state(seed=11), eng2.init_state(seed=11)
+    for _ in range(3):
+        s1, _ = eng1.safe_step(s1)
+        s2, _ = eng2.safe_step(s2)
+    assert tree_equal(s1, s2)
+
+
+def test_different_seed_differs():
+    eng1, eng2 = small_engine(), small_engine()
+    s1, s2 = eng1.init_state(seed=1), eng2.init_state(seed=2)
+    s1, _ = eng1.safe_step(s1)
+    s2, _ = eng2.safe_step(s2)
+    assert not np.array_equal(
+        np.asarray(s1.arrays["locations"]), np.asarray(s2.arrays["locations"])
+    )
+
+
+def test_capacity_growth_preserves_population():
+    """A tiny capacity forces slot exhaustion; safe_step must double capacity
+    and re-run so no division is silently dropped."""
+    gen = GeneralParams(num_to_start=120, end_step=5, size=(300.0, 300.0, 0.0))
+    xp = ExperimentalParams(num_gata6=0, dox_step=99)
+    eng = HipscEngine(gen, xp)
+    eng.cfg = dataclasses.replace(eng.cfg, capacity=128)  # only 8 free slots
+    state = eng.init_state(seed=5)
+    # force every cell past the division threshold and far from death
+    state = state._replace(arrays={
+        **state.arrays,
+        "div_counters": jnp.full((128,), eng.bio.pluri_div_thresh, jnp.int32),
+        "death_counters": jnp.zeros((128,), jnp.int32),
+    })
+    state, info = eng.safe_step(state)
+    assert int(info.num_deferred) == 0  # growth handled it
+    assert int(info.num_added) == 120  # every mother divided
+    assert int(info.num_agents) == 240 - int(info.num_removed)
+    assert eng.cfg.capacity >= 256  # growth actually happened
+
+
+def test_bin_capacity_growth_is_exact():
+    """Start with an absurdly small bin capacity: the first step must detect
+    overflow, grow, and produce results identical to a roomy engine."""
+    eng_small = small_engine()
+    eng_small.cfg = dataclasses.replace(
+        eng_small.cfg,
+        nbr_spec=dataclasses.replace(eng_small.cfg.nbr_spec, bin_cap=1),
+        jkr_spec=dataclasses.replace(eng_small.cfg.jkr_spec, bin_cap=1),
+        bond_cap=8,
+    )
+    eng_big = small_engine()
+
+    s_small = eng_small.init_state(seed=9)
+    s_big = eng_big.init_state(seed=9)
+    s_small, _ = eng_small.safe_step(s_small)
+    s_big, _ = eng_big.safe_step(s_big)
+    # same physics regardless of internal capacity (windows only pad)
+    np.testing.assert_allclose(
+        np.asarray(s_small.arrays["locations"]),
+        np.asarray(s_big.arrays["locations"]),
+        atol=1e-5,
+    )
+    assert eng_small.cfg.nbr_spec.bin_cap > 1
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    from hipsc_abm_tpu.utils.checkpoint import load_state, save_state
+
+    eng = small_engine()
+    state = eng.init_state(seed=21)
+    for _ in range(2):
+        state, _ = eng.safe_step(state)
+    save_state(str(tmp_path / "ck.npz"), state, meta={"current_step": 2})
+
+    # continue original
+    cont = state
+    for _ in range(2):
+        cont, _ = eng.safe_step(cont)
+
+    # resume from disk with a fresh engine
+    eng2 = small_engine()
+    restored, meta = load_state(str(tmp_path / "ck.npz"))
+    assert meta["current_step"] == 2
+    assert tree_equal(restored, state)
+    resumed = restored
+    for _ in range(2):
+        resumed, _ = eng2.safe_step(resumed)
+
+    assert tree_equal(cont, resumed)
+
+
+def test_three_d_space():
+    eng = small_engine(size=(200.0, 200.0, 200.0), n=100, num_gata6=0)
+    state = eng.init_state(seed=4)
+    state, info = eng.safe_step(state)
+    locs = np.asarray(state.arrays["locations"])[np.asarray(state.alive)]
+    assert (locs[:, 2] >= 0).all() and (locs[:, 2] <= 200.0).all()
+    assert np.ptp(locs[:, 2]) > 0  # motion uses all three dimensions
+
+
+def test_population_extinction_ok():
+    """All-lonely colony: everyone eventually dies; engine must handle an
+    empty population without NaNs or crashes."""
+    gen = GeneralParams(num_to_start=5, end_step=5, size=(4000.0, 4000.0, 0.0))
+    xp = ExperimentalParams(num_gata6=0, dox_step=999, lonely_thresh=2)
+    bio = BiologyParams(death_thresh=1)
+    eng = HipscEngine(gen, xp, bio)
+    state = eng.init_state(seed=8)
+    # death counters start random in [0, death_thresh) = all 0; one step kills all
+    for _ in range(3):
+        state, info = eng.safe_step(state)
+    assert int(info.num_agents) == 0
+    assert np.isfinite(np.asarray(state.arrays["locations"])).all()
