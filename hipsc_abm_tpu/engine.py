@@ -99,15 +99,15 @@ class EngineConfig:
         size: Tuple[float, float, float],
         capacity: int,
         bio: BiologyParams,
-        nbr_bin_cap: int = 16,
-        jkr_bin_cap: int = 16,
+        nbr_run_cap: int = 16,
+        jkr_run_cap: int = 16,
         bond_cap: int = 16,
         **flags,
     ) -> "EngineConfig":
         return cls(
             capacity=int(capacity),
-            nbr_spec=GridSpec.from_box(size, bio.neighbor_radius, nbr_bin_cap),
-            jkr_spec=GridSpec.from_box(size, bio.jkr_radius, jkr_bin_cap),
+            nbr_spec=GridSpec.from_box(size, bio.neighbor_radius, nbr_run_cap),
+            jkr_spec=GridSpec.from_box(size, bio.jkr_radius, jkr_run_cap),
             bond_cap=int(bond_cap),
             two_d=size[2] == 0,
             **flags,
@@ -422,14 +422,14 @@ class HipscEngine:
         nbr_spec, jkr_spec, bond_cap, capacity = (
             cfg.nbr_spec, cfg.jkr_spec, cfg.bond_cap, cfg.capacity,
         )
-        if int(info.nbr_max_in_bin) > nbr_spec.bin_cap:
+        if int(info.nbr_max_in_bin) > nbr_spec.run_cap:
             nbr_spec = dataclasses.replace(
-                nbr_spec, bin_cap=_round_up(int(info.nbr_max_in_bin) * 2, 8)
+                nbr_spec, run_cap=_round_up(int(info.nbr_max_in_bin) * 2, 8)
             )
             changed = True
-        if int(info.jkr_max_in_bin) > jkr_spec.bin_cap:
+        if int(info.jkr_max_in_bin) > jkr_spec.run_cap:
             jkr_spec = dataclasses.replace(
-                jkr_spec, bin_cap=_round_up(int(info.jkr_max_in_bin) * 2, 8)
+                jkr_spec, run_cap=_round_up(int(info.jkr_max_in_bin) * 2, 8)
             )
             changed = True
         if int(info.jkr_max_degree) > bond_cap:

@@ -8,14 +8,22 @@ Replaces the reference's bin/bucket machinery and Numba kernels:
   candidate scan emitting a dynamic edge list into igraph, with a host-side
   ``max_neighbors`` doubling loop.
 
-TPU-first design: no scatter, no dynamic shapes, no retries inside the step.
-Agents are sorted by flattened bin id (``jax.lax.sort`` via ``argsort``), bin
-start offsets are recovered with ``searchsorted``, and each agent's neighbor
-candidates are gathered as a static ``(N, W)`` padded window over the
-9 (2D) / 27 (3D) adjacent bins with a validity mask. Capacity overflow is
-detected on-device (``max(bin_count) > bin_cap``) and surfaced to the host,
-which doubles the static capacity and recompiles — the same doubling policy as
-the reference, amortized to O(log) recompiles per run.
+TPU-first design — no scatters, no dynamic shapes, no per-bin tables:
+
+1. Agents are sorted by row-major flat bin id (``argsort``; dead slots get a
+   sentinel id and sort to the end).
+2. The 3x3(x3) stencil around an agent's bin decomposes into **contiguous
+   runs** of flat ids: with the last spatial axis minor in the flat id, the
+   three bins ``(x+dx, y-1..y+1)`` are three *consecutive* ids, so the whole
+   stencil is 3 runs (2D) or 9 runs (3D). Each run's members are one
+   contiguous slice of the sorted order, located with two vectorized
+   ``searchsorted`` probes per agent — O(C) work independent of lattice size
+   (the reference's dense ``bins`` array is O(lattice x capacity)).
+3. Candidates are gathered as a static ``(C, n_runs * run_cap)`` padded
+   window with a validity mask. ``run_cap`` (max live agents in any 3-bin
+   run) is sized from data; overflow is detected on-device and surfaced to
+   the host, which doubles the static capacity and re-executes — the
+   reference's adaptive doubling, amortized to O(log) recompiles per run.
 
 Consumers (neighbor counting, FDS pathway means, motility sums, JKR forces)
 operate directly on the padded window with masked reductions, so undirected
@@ -39,8 +47,10 @@ class GridSpec:
     """Static description of a uniform bin lattice for one search radius.
 
     Mirrors the reference geometry: bin edge length == search radius, a +1
-    index offset and padded border bins so out-of-bounds agents and the
-    3x3x3 stencil never index outside the lattice (``simulation.py:202,210``).
+    index offset and padded border bins so the stencil never wraps across a
+    lattice edge for in-box agents (``simulation.py:202,210``).
+    ``run_cap`` is the static max number of live agents in any contiguous
+    3-bin stencil run (grown adaptively by the host on overflow).
     """
 
     cell_size: float
@@ -48,116 +58,115 @@ class GridSpec:
     ny: int
     nz: int
     two_d: bool
-    bin_cap: int  # max agents per bin (static); overflow detected on-device
+    run_cap: int
 
     @classmethod
     def from_box(
         cls,
         size: Tuple[float, float, float],
         radius: float,
-        bin_cap: int,
+        run_cap: int,
     ) -> "GridSpec":
         nx = int(math.ceil(size[0] / radius)) + 3
         ny = int(math.ceil(size[1] / radius)) + 3
-        nz = int(math.ceil(size[2] / radius)) + 3
         two_d = size[2] == 0
-        if two_d:
-            nz = 3  # all agents live in z-bin 1; neighbors scan z offset 0 only
-        return cls(cell_size=float(radius), nx=nx, ny=ny, nz=nz, two_d=two_d, bin_cap=int(bin_cap))
+        nz = 1 if two_d else int(math.ceil(size[2] / radius)) + 3
+        return cls(cell_size=float(radius), nx=nx, ny=ny, nz=nz, two_d=two_d,
+                   run_cap=int(run_cap))
 
     @property
     def num_bins(self) -> int:
         return self.nx * self.ny * self.nz
 
     @property
-    def offsets(self) -> Tuple[Tuple[int, int, int], ...]:
-        zs = (0,) if self.two_d else (-1, 0, 1)
-        return tuple(
-            (i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in zs
-        )
+    def run_offsets(self) -> Tuple[Tuple[int, ...], ...]:
+        """Stencil decomposition into contiguous 3-bin runs: offsets in the
+        major axes; the minor axis spans -1..+1 within each run."""
+        if self.two_d:
+            return tuple((dx,) for dx in (-1, 0, 1))
+        return tuple((dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
 
     @property
     def window(self) -> int:
-        """Static candidate-window width W = n_adjacent_bins * bin_cap."""
-        return len(self.offsets) * self.bin_cap
+        """Static candidate-window width W = n_runs * run_cap."""
+        return len(self.run_offsets) * self.run_cap
 
 
 class Grid(NamedTuple):
     """Built spatial index over one snapshot of agent locations."""
 
     order: jnp.ndarray  # (C,) agent slots sorted by flat bin id (dead last)
-    bin_start: jnp.ndarray  # (num_bins,) start offset of each bin in `order`
-    bin_count: jnp.ndarray  # (num_bins,) number of live agents in each bin
-    bin_coords: jnp.ndarray  # (C, 3) per-agent integer bin coordinates
-    max_in_bin: jnp.ndarray  # () max live agents in any bin (overflow probe)
+    sorted_flat: jnp.ndarray  # (C,) flat bin id per sorted position
+    coords: jnp.ndarray  # (C, 3) per-agent integer bin coordinates
 
 
-def _flat_bin_id(spec: GridSpec, coords: jnp.ndarray) -> jnp.ndarray:
-    return (coords[..., 0] * spec.ny + coords[..., 1]) * spec.nz + coords[..., 2]
+def _bin_coords(spec: GridSpec, locations: jnp.ndarray) -> jnp.ndarray:
+    coords = jnp.floor(locations / spec.cell_size).astype(jnp.int32) + 1
+    dims = jnp.array([spec.nx, spec.ny, spec.nz], dtype=jnp.int32)
+    return jnp.clip(coords, 0, dims - 1)
 
 
 def build_grid(spec: GridSpec, locations: jnp.ndarray, alive: jnp.ndarray) -> Grid:
-    """Sort agents by bin id and recover per-bin extents.
-
-    Replaces ``assign_bins_jit`` (``backend.py:31-50``): instead of scattering
-    indices into a dense (nx, ny, nz, cap) array, agents are sorted by flat
-    bin id; a bin's members are a contiguous run of the sorted order. Dead
-    slots are given a sentinel id past the last bin so they sort to the end
-    and never appear in any bin's run.
-    """
-    coords = jnp.floor(locations / spec.cell_size).astype(jnp.int32) + 1
-    dims = jnp.array([spec.nx, spec.ny, spec.nz], dtype=jnp.int32)
-    coords = jnp.clip(coords, 0, dims - 1)
-    flat = _flat_bin_id(spec, coords)
+    """Sort agents by flat bin id (replaces ``assign_bins_jit``,
+    ``backend.py:31-50``, without the dense bins array or the retry loop)."""
+    coords = _bin_coords(spec, locations)
+    if spec.two_d:
+        flat = coords[:, 0] * spec.ny + coords[:, 1]
+    else:
+        flat = (coords[:, 0] * spec.ny + coords[:, 1]) * spec.nz + coords[:, 2]
     flat = jnp.where(alive, flat, spec.num_bins)  # dead -> sentinel, sorts last
 
     order = jnp.argsort(flat)  # stable
-    sorted_flat = flat[order]
-    bin_ids = jnp.arange(spec.num_bins, dtype=sorted_flat.dtype)
-    bin_start = jnp.searchsorted(sorted_flat, bin_ids, side="left").astype(jnp.int32)
-    bin_end = jnp.searchsorted(sorted_flat, bin_ids, side="right").astype(jnp.int32)
-    bin_count = bin_end - bin_start
     return Grid(
         order=order.astype(jnp.int32),
-        bin_start=bin_start,
-        bin_count=bin_count,
-        bin_coords=coords,
-        max_in_bin=jnp.max(bin_count),
+        sorted_flat=flat[order],
+        coords=coords,
     )
 
 
-def candidate_window(spec: GridSpec, grid: Grid) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def candidate_window(
+    spec: GridSpec, grid: Grid
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gather the padded neighbor-candidate window for every agent slot.
 
-    Returns ``(cand_idx, cand_valid)`` of shape (C, W): for each agent, the
-    agent slots occupying the adjacent bins (self included), with a mask for
-    the padded tail of each bin run. Dead agents never appear as candidates
-    (they are in no bin); rows of dead agents contain garbage and must be
-    masked by the consumer via the row agent's alive bit.
+    Returns ``(cand_idx, cand_valid, max_run_count)`` with shapes
+    ((C, W), (C, W), ()): for each agent, the agent slots occupying the
+    stencil bins (self included), a mask for the padded tails, and the
+    on-device overflow probe. Dead agents never appear as candidates (their
+    sentinel id is outside every query range); rows of dead agents contain
+    garbage and must be masked by the consumer via the row's alive bit.
     """
     capacity = grid.order.shape[0]
-    k = jnp.arange(spec.bin_cap, dtype=jnp.int32)
+    k = jnp.arange(spec.run_cap, dtype=jnp.int32)
+    coords = grid.coords
 
-    idx_parts = []
-    valid_parts = []
-    for off in spec.offsets:
-        nb = grid.bin_coords + jnp.array(off, dtype=jnp.int32)
-        # border pad bins guarantee in-lattice coords for live agents; clip to
-        # keep gathers in-bounds for garbage rows of dead agents
-        dims = jnp.array([spec.nx, spec.ny, spec.nz], dtype=jnp.int32)
-        nb = jnp.clip(nb, 0, dims - 1)
-        nb_flat = _flat_bin_id(spec, nb)
-        start = grid.bin_start[nb_flat]  # (C,)
-        count = grid.bin_count[nb_flat]  # (C,)
-        pos = start[:, None] + k[None, :]  # (C, M)
-        valid = k[None, :] < count[:, None]
-        idx = grid.order[jnp.clip(pos, 0, capacity - 1)]
-        idx_parts.append(idx)
-        valid_parts.append(valid)
+    starts = []
+    counts = []
+    for off in spec.run_offsets:
+        if spec.two_d:
+            lo = (coords[:, 0] + off[0]) * spec.ny + (coords[:, 1] - 1)
+        else:
+            lo = ((coords[:, 0] + off[0]) * spec.ny + (coords[:, 1] + off[1])) * spec.nz + (
+                coords[:, 2] - 1
+            )
+        hi = lo + 3
+        start = jnp.searchsorted(grid.sorted_flat, lo, side="left")
+        end = jnp.searchsorted(grid.sorted_flat, hi, side="left")
+        starts.append(start.astype(jnp.int32))
+        counts.append((end - start).astype(jnp.int32))
 
-    cand_idx = jnp.concatenate(idx_parts, axis=1)
-    cand_valid = jnp.concatenate(valid_parts, axis=1)
-    return cand_idx, cand_valid
+    start = jnp.stack(starts, axis=1)  # (C, n_runs)
+    count = jnp.stack(counts, axis=1)
+    pos = start[:, :, None] + k[None, None, :]  # (C, n_runs, run_cap)
+    valid = k[None, None, :] < count[:, :, None]
+    idx = grid.order[jnp.clip(pos, 0, capacity - 1)]
+
+    W = len(spec.run_offsets) * spec.run_cap
+    return (
+        idx.reshape(capacity, W),
+        valid.reshape(capacity, W),
+        jnp.max(count),
+    )
 
 
 def neighbor_mask(
@@ -197,15 +206,15 @@ def neighbor_search(
 ):
     """One-call equivalent of ``get_neighbors`` (``simulation.py:225-288``).
 
-    Returns ``(cand_idx, mask, max_in_bin)``: the padded window, the true
-    neighbor mask, and the on-device bin-occupancy probe the host uses to
-    grow ``bin_cap`` (the reference's adaptive doubling loops,
+    Returns ``(cand_idx, mask, max_run_count)``: the padded window, the true
+    neighbor mask, and the on-device occupancy probe the host uses to grow
+    ``run_cap`` (the reference's adaptive doubling loops,
     ``simulation.py:217-221`` and ``:277-281``, moved off the hot path).
     """
     grid = build_grid(spec, locations, alive)
-    cand_idx, cand_valid = candidate_window(spec, grid)
+    cand_idx, cand_valid, max_run = candidate_window(spec, grid)
     mask = neighbor_mask(locations, alive, cand_idx, cand_valid, radius)
-    return cand_idx, mask, grid.max_in_bin
+    return cand_idx, mask, max_run
 
 
 def brute_force_mask(

@@ -1,0 +1,122 @@
+"""Multi-chip scaling: device mesh + sharded fused step.
+
+The reference's only parallelism is shared-memory ``prange`` and single-GPU
+CUDA with host<->device memcpy per call (SURVEY.md §2.4); it has no
+multi-device story. Here multi-chip runs are first-class and TPU-native:
+
+- **Agent sharding (this module)**: the slot axis of every per-agent array is
+  sharded over a 1-D ``jax.sharding.Mesh``; the fused step is jit-compiled
+  with those shardings and XLA/GSPMD inserts the collectives (all-gathers for
+  the grid's global argsort + window gathers, psums for reductions) over ICI.
+  This is the ABM analog of data parallelism: each chip owns C/n agent slots.
+- **Spatial domain decomposition** (``parallel.domain``): shard_map over grid
+  stripes with halo exchange of boundary agents — the ABM analog of sequence
+  parallelism (SURVEY.md §5.7).
+
+Multi-chip correctness is validated on a virtual 8-device CPU mesh
+(``jax.config jax_num_cpu_devices``) — the standard way to test pod code
+without a pod.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hipsc_abm_tpu.engine import CellState, HipscEngine, hipsc_step
+
+
+AGENT_AXIS = "agents"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D device mesh over the agent-slot axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AGENT_AXIS,))
+
+
+def state_shardings(state: CellState, mesh: Mesh) -> CellState:
+    """PyTree of NamedShardings: agent-slot arrays sharded on axis 0,
+    gradients / RNG key / step counter replicated."""
+    sharded = NamedSharding(mesh, P(AGENT_AXIS))  # axis 0; rest replicated
+    replicated = NamedSharding(mesh, P())
+
+    return CellState(
+        arrays={k: sharded for k in state.arrays},
+        alive=sharded,
+        bonds=type(state.bonds)(partners=sharded, mask=sharded),
+        gradients={k: replicated for k in state.gradients},
+        key=replicated,
+        step=replicated,
+    )
+
+
+def shard_state(state: CellState, mesh: Mesh) -> CellState:
+    """Place a state PyTree on the mesh with agent-slot sharding."""
+    shardings = state_shardings(state, mesh)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)
+
+
+class ShardedHipscEngine(HipscEngine):
+    """HipscEngine whose fused step runs sharded over a device mesh.
+
+    Capacity management (``safe_step`` growth) is inherited unchanged —
+    re-padding preserves shardings via the jit output shardings.
+    """
+
+    def __init__(self, *args, mesh: Optional[Mesh] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mesh = mesh or make_mesh()
+        # keep capacity divisible by the mesh for even sharding
+        n = self.mesh.devices.size
+        if self.cfg.capacity % n:
+            import dataclasses
+
+            cap = ((self.cfg.capacity + n - 1) // n) * n
+            self.cfg = dataclasses.replace(self.cfg, capacity=cap)
+
+    def _step_fn(self, cfg):
+        key = (cfg, self.gen, self.xp, self.bio, self.diff, self.mesh)
+        if key not in self._compiled:
+            def run(state):
+                return hipsc_step(
+                    state, cfg=cfg, gen=self.gen, xp=self.xp, bio=self.bio,
+                    diff=self.diff,
+                )
+
+            def compile_for(state):
+                shardings = state_shardings(state, self.mesh)
+                from hipsc_abm_tpu.engine import StepInfo
+
+                info_shardings = StepInfo(*([NamedSharding(self.mesh, P())] * 7))
+                return jax.jit(
+                    run,
+                    in_shardings=(shardings,),
+                    out_shardings=(shardings, info_shardings),
+                )
+
+            self._compiled[key] = _LazyShardedFn(compile_for)
+        return self._compiled[key]
+
+    def init_state(self, seed: int = 0, locations=None) -> CellState:
+        state = super().init_state(seed=seed, locations=locations)
+        return shard_state(state, self.mesh)
+
+
+class _LazyShardedFn:
+    """jit wrapper that builds shardings from the first state it sees."""
+
+    def __init__(self, compile_for):
+        self._compile_for = compile_for
+        self._fn = None
+
+    def __call__(self, state):
+        if self._fn is None:
+            self._fn = self._compile_for(state)
+        return self._fn(state)

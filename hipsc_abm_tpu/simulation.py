@@ -256,29 +256,29 @@ class Simulation:
     # neighbor engine (simulation.py:190-288), TPU grid under the hood
     # ------------------------------------------------------------------
 
-    def _auto_bin_cap(self, distance: float) -> int:
-        """Size the per-bin capacity from current agent density (replaces the
-        reference's in-loop adaptive doubling)."""
+    def _auto_run_cap(self, distance: float) -> int:
+        """Size the per-run capacity (3 adjacent bins) from current agent
+        density (replaces the reference's in-loop adaptive doubling)."""
         locs = np.asarray(self.locations[: self.number_agents])
         coords = np.floor(locs / distance).astype(np.int64)
         if len(coords) == 0:
             return 8
         _, counts = np.unique(coords, axis=0, return_counts=True)
-        return max(8, int(math.ceil(counts.max() * 1.25 / 8.0) * 8))
+        return max(8, int(math.ceil(counts.max() * 3 * 1.25 / 8.0) * 8))
 
     def get_neighbors(self, graph_name: str, distance: float, clear: bool = True):
         graph: AgentGraph = self.__dict__[graph_name]
         n = self.number_agents
         graph.num_vertices = n
 
-        bin_cap = max(self._auto_bin_cap(distance), graph.max_agents)
-        graph.max_agents = bin_cap
-        spec = nbr_ops.GridSpec.from_box(tuple(self.size), float(distance), bin_cap)
+        run_cap = max(self._auto_run_cap(distance), graph.max_agents)
+        graph.max_agents = run_cap
+        spec = nbr_ops.GridSpec.from_box(tuple(self.size), float(distance), run_cap)
 
         locs = jnp.asarray(np.asarray(self.locations[:n]), dtype=jnp.float32)
         alive = jnp.ones((n,), dtype=bool)
-        cand_idx, mask, max_in_bin = _jitted_search(spec, float(distance))(locs, alive)
-        assert int(max_in_bin) <= bin_cap
+        cand_idx, mask, max_run = _jitted_search(spec, float(distance))(locs, alive)
+        assert int(max_run) <= run_cap
 
         rows, cols = np.nonzero(np.asarray(mask))
         partners = np.asarray(cand_idx)[rows, cols]

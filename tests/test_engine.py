@@ -90,8 +90,8 @@ def test_bin_capacity_growth_is_exact():
     eng_small = small_engine()
     eng_small.cfg = dataclasses.replace(
         eng_small.cfg,
-        nbr_spec=dataclasses.replace(eng_small.cfg.nbr_spec, bin_cap=1),
-        jkr_spec=dataclasses.replace(eng_small.cfg.jkr_spec, bin_cap=1),
+        nbr_spec=dataclasses.replace(eng_small.cfg.nbr_spec, run_cap=1),
+        jkr_spec=dataclasses.replace(eng_small.cfg.jkr_spec, run_cap=1),
         bond_cap=8,
     )
     eng_big = small_engine()
@@ -106,7 +106,7 @@ def test_bin_capacity_growth_is_exact():
         np.asarray(s_big.arrays["locations"]),
         atol=1e-5,
     )
-    assert eng_small.cfg.nbr_spec.bin_cap > 1
+    assert eng_small.cfg.nbr_spec.run_cap > 1
 
 
 def test_checkpoint_resume_bit_exact(tmp_path):

@@ -39,7 +39,7 @@ import jax
 
 @functools.lru_cache(maxsize=None)
 def _jitted_substep(capacity):
-    spec = nbr.GridSpec.from_box((100.0, 100.0, 0.0), BIO.jkr_radius, bin_cap=capacity)
+    spec = nbr.GridSpec.from_box((100.0, 100.0, 0.0), BIO.jkr_radius, run_cap=capacity)
 
     @jax.jit
     def run(locs, radii, alive, bonds):

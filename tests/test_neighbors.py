@@ -37,11 +37,13 @@ def test_grid_matches_bruteforce(rng, n, box, radius):
     # garbage in dead slots must not affect results
     locs[n:] = rng.random((capacity - n, 3)) * np.asarray(box)
 
-    # size the bin capacity from the data like the host driver does
+    # size the run capacity from the data like the host driver does (a run
+    # spans 3 adjacent bins along the minor axis)
     coords = np.floor(locs[alive] / radius).astype(int)
     _, occupancy = np.unique(coords, axis=0, return_counts=True)
-    spec = nbr.GridSpec.from_box(box, radius, bin_cap=int(occupancy.max()) + 2)
-    cand_idx, mask, max_in_bin = search(spec, jnp.asarray(locs), jnp.asarray(alive), radius)
+    spec = nbr.GridSpec.from_box(box, radius, run_cap=3 * int(occupancy.max()) + 2)
+    cand_idx, mask, max_run = search(spec, jnp.asarray(locs), jnp.asarray(alive), radius)
+    assert int(max_run) <= spec.run_cap  # no silent truncation in this test
     got = dense_from_window(cand_idx, mask, capacity)
     want = np.asarray(nbr.brute_force_mask(jnp.asarray(locs), jnp.asarray(alive), radius))
     np.testing.assert_array_equal(got, want)
@@ -55,7 +57,7 @@ def test_window_excludes_dead_and_self(rng):
     locs[:, 2] = 0.0
     alive = np.zeros(capacity, dtype=bool)
     alive[:n] = True
-    spec = nbr.GridSpec.from_box(box, 10.0, bin_cap=capacity)
+    spec = nbr.GridSpec.from_box(box, 10.0, run_cap=capacity)
     cand_idx, mask, _ = search(spec, jnp.asarray(locs), jnp.asarray(alive), 10.0)
     counts = np.asarray(nbr.num_neighbors(mask))
     assert (counts[:n] == n - 1).all()  # everyone neighbors everyone else
@@ -68,7 +70,7 @@ def test_overflow_probe_reports_max_bin_occupancy(rng):
     locs = np.full((n, 3), 5.0, dtype=np.float32)  # all in one bin
     locs[:, 2] = 0.0
     alive = np.ones(n, dtype=bool)
-    spec = nbr.GridSpec.from_box(box, 10.0, bin_cap=8)  # deliberately too small
+    spec = nbr.GridSpec.from_box(box, 10.0, run_cap=8)  # deliberately too small
     _, _, max_in_bin = search(spec, jnp.asarray(locs), jnp.asarray(alive), 10.0)
     assert int(max_in_bin) == n  # host would grow bin_cap and re-run
 
@@ -77,7 +79,7 @@ def test_inclusive_radius_boundary():
     # reference predicate is `<= distance` (backend.py:143)
     locs = np.array([[0.0, 0.0, 0.0], [15.0, 0.0, 0.0], [15.0001, 15.0, 0.0]], dtype=np.float32)
     alive = np.ones(3, dtype=bool)
-    spec = nbr.GridSpec.from_box((40.0, 40.0, 0.0), 15.0, bin_cap=8)
+    spec = nbr.GridSpec.from_box((40.0, 40.0, 0.0), 15.0, run_cap=8)
     _, mask, _ = search(spec, jnp.asarray(locs), jnp.asarray(alive), 15.0)
     counts = np.asarray(nbr.num_neighbors(mask))
     assert counts[0] >= 1  # the exactly-15 pair counts
