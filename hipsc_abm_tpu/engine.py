@@ -35,7 +35,13 @@ from hipsc_abm_tpu.models.params import (
 from hipsc_abm_tpu.ops import diffusion as diffusion_ops
 from hipsc_abm_tpu.ops import neighbors as nbr_ops
 from hipsc_abm_tpu.ops.integrate import stokes_integrate
-from hipsc_abm_tpu.ops.jkr import BondState, clear_bond_rows, drop_dead_partners, jkr_substep
+from hipsc_abm_tpu.ops.jkr import (
+    BondState,
+    clear_bond_rows,
+    drop_dead_partners,
+    jkr_substep,
+    pack_physics,
+)
 from hipsc_abm_tpu.ops.neighbors import GridSpec
 
 
@@ -238,11 +244,12 @@ def hipsc_step(
 
     def substep(carry, dt):
         locations, bonds = carry
-        jcand, jmask, j_max_in_bin = nbr_ops.neighbor_search(
-            cfg.jkr_spec, locations, alive, bio.jkr_radius
+        grid, pos, valid, j_max_in_bin = nbr_ops.sorted_window(
+            cfg.jkr_spec, locations, alive
         )
+        packed = pack_physics(locations, arrays["radii"], alive)
         jkr_forces, bonds, max_degree = jkr_substep(
-            bonds, locations, arrays["radii"], alive, jcand, jmask,
+            bonds, packed, grid.order, pos, valid, bio.jkr_radius,
             bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
         )
         locations = stokes_integrate(

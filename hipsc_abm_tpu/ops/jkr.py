@@ -17,8 +17,16 @@ TPU-first design: the edge list becomes a per-agent padded partner matrix
 ``(C, K)``; each undirected bond is stored once per endpoint, so per-agent
 force accumulation is a row-wise masked reduction — no scatter-add, hence
 deterministic (the reference's parallel ``+=`` at ``cell_backend.py:108-109``
-is an accepted data race). Per substep:
+is an accepted data race).
 
+Gather discipline: TPU random gathers dominate windowed ops, so all per-agent
+features consumed across a window — position, radius, slot id, liveness — are
+packed into one 8-lane f32 row (``pack_physics``). Each substep then costs
+exactly two row gathers (pack -> sorted order, sorted -> window) plus one
+(C, K) bond-partner gather, instead of ~five per-field gathers. Slot ids are
+exact in f32 up to 2^24 agents.
+
+Per substep:
 1. surviving old bonds are re-evaluated straight from the partner matrix
    (covers bonds outside the current candidate window);
 2. fresh contacts from the grid window that are not already bonded form new
@@ -34,6 +42,8 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+PACK_WIDTH = 8  # [x, y, z, radius, slot_id, alive, pad, pad]
 
 
 class BondState(NamedTuple):
@@ -51,6 +61,26 @@ class BondState(NamedTuple):
 
     def degree(self) -> jnp.ndarray:
         return jnp.sum(self.mask, axis=1).astype(jnp.int32)
+
+
+def pack_physics(
+    locations: jnp.ndarray, radii: jnp.ndarray, alive: jnp.ndarray
+) -> jnp.ndarray:
+    """(C, 8) f32 feature rows for gather-efficient windowed physics."""
+    capacity = locations.shape[0]
+    assert capacity < (1 << 24), "slot ids must stay exact in f32"
+    slot = jnp.arange(capacity, dtype=jnp.float32)
+    zeros = jnp.zeros((capacity, PACK_WIDTH - 6), dtype=jnp.float32)
+    return jnp.concatenate(
+        [
+            locations.astype(jnp.float32),
+            radii.astype(jnp.float32)[:, None],
+            slot[:, None],
+            alive.astype(jnp.float32)[:, None],
+            zeros,
+        ],
+        axis=1,
+    )
 
 
 def _pair_jkr(
@@ -74,9 +104,10 @@ def _pair_jkr(
     overlap = (rad_i + rad_j - mag) / 1e6  # um -> m
 
     e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
-    r_hat = 1.0 / (1e6 * (1.0 / rad_i + 1.0 / rad_j))  # um -> m
+    # == 1/(1e6 (1/r_i + 1/r_j)), written division-safe for garbage slots
+    r_hat = (rad_i * rad_j) / (1e6 * jnp.maximum(rad_i + rad_j, 1e-12))  # um -> m
     overlap_ = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * r_hat ** (1.0 / 3.0)
-    d = overlap / overlap_
+    d = overlap / jnp.maximum(overlap_, 1e-30)
 
     alive_bond = d > break_d
     f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
@@ -88,12 +119,12 @@ def _pair_jkr(
     return force, alive_bond
 
 
-def _is_bonded(bonds: BondState, cand_idx: jnp.ndarray) -> jnp.ndarray:
+def _is_bonded(bonds: BondState, cand_slot: jnp.ndarray) -> jnp.ndarray:
     """(C, W) membership of each window candidate in the row's bond list."""
-    bonded = jnp.zeros(cand_idx.shape, dtype=bool)
+    bonded = jnp.zeros(cand_slot.shape, dtype=bool)
     bond_cap = bonds.partners.shape[1]
     for k in range(bond_cap):
-        bonded |= (cand_idx == bonds.partners[:, k : k + 1]) & bonds.mask[:, k : k + 1]
+        bonded |= (cand_slot == bonds.partners[:, k : k + 1]) & bonds.mask[:, k : k + 1]
     return bonded
 
 
@@ -118,11 +149,11 @@ def _compact_bonds(
 
 def jkr_substep(
     bonds: BondState,
-    locations: jnp.ndarray,  # (C, 3)
-    radii: jnp.ndarray,  # (C,)
-    alive: jnp.ndarray,  # (C,)
-    cand_idx: jnp.ndarray,  # (C, W) grid candidate window (radius 2*max_radius)
-    contact_mask: jnp.ndarray,  # (C, W) true contacts within search radius
+    packed: jnp.ndarray,  # (C, 8) pack_physics rows, slot order
+    order: jnp.ndarray,  # (C,) grid sort order
+    pos: jnp.ndarray,  # (C, W) candidate sorted positions
+    valid: jnp.ndarray,  # (C, W) window validity
+    radius: float,  # contact search radius (2 * max_radius)
     adhesion_const: float,
     poisson: float,
     youngs: float,
@@ -134,39 +165,49 @@ def jkr_substep(
     reference sequence [``get_neighbors(jkr_graph, 2*max_radius, clear=False)``
     -> ``calculate_jkr`` -> edge deletion] at ``cell_methods.py:399-404``.
     """
+    capacity = packed.shape[0]
+    self_xyz = packed[:, :3]
+    self_rad = packed[:, 3]
+    row_alive = packed[:, 5] > 0.0
+    self_slot = jnp.arange(capacity, dtype=jnp.int32)
+
     # --- step 1: re-evaluate existing bonds from the partner matrix ---
     old_j = bonds.partners
-    old_valid = bonds.mask & alive[:, None] & alive[old_j]
+    old_pack = packed[old_j]  # (C, K, 8)
+    old_valid = bonds.mask & row_alive[:, None] & (old_pack[..., 5] > 0.0)
     force_old, survive_old = _pair_jkr(
-        locations[:, None, :],
-        locations[old_j],
-        radii[:, None],
-        radii[old_j],
-        adhesion_const,
-        poisson,
-        youngs,
-        break_d,
+        self_xyz[:, None, :], old_pack[..., :3], self_rad[:, None], old_pack[..., 3],
+        adhesion_const, poisson, youngs, break_d,
     )
     keep_old = old_valid & survive_old
     f_from_old = jnp.sum(jnp.where(keep_old[..., None], force_old, 0.0), axis=1)
 
     # --- step 2: fresh contacts not already bonded ---
-    fresh = contact_mask & ~_is_bonded(bonds, cand_idx) & alive[:, None]
+    sorted_pack = packed[order]
+    cand = sorted_pack[pos]  # (C, W, 8) — the one wide window gather
+    cand_xyz = cand[..., :3]
+    cand_rad = cand[..., 3]
+    cand_slot = cand[..., 4].astype(jnp.int32)
+
+    delta = cand_xyz - self_xyz[:, None, :]
+    dist2 = jnp.sum(delta * delta, axis=-1)
+    r = jnp.float32(radius)
+    contact = (
+        valid
+        & (cand_slot != self_slot[:, None])
+        & (dist2 <= r * r)
+        & row_alive[:, None]
+    )
+    fresh = contact & ~_is_bonded(bonds, cand_slot)
     force_new, survive_new = _pair_jkr(
-        locations[:, None, :],
-        locations[cand_idx],
-        radii[:, None],
-        radii[cand_idx],
-        adhesion_const,
-        poisson,
-        youngs,
-        break_d,
+        self_xyz[:, None, :], cand_xyz, self_rad[:, None], cand_rad,
+        adhesion_const, poisson, youngs, break_d,
     )
     keep_new = fresh & survive_new
     f_from_new = jnp.sum(jnp.where(keep_new[..., None], force_new, 0.0), axis=1)
 
     # --- step 3: compact surviving old + new bonds back to (C, K) ---
-    partners_ext = jnp.concatenate([old_j, cand_idx], axis=1)
+    partners_ext = jnp.concatenate([old_j, cand_slot], axis=1)
     mask_ext = jnp.concatenate([keep_old, keep_new], axis=1)
     new_bonds, max_degree = _compact_bonds(partners_ext, mask_ext, bonds.partners.shape[1])
 

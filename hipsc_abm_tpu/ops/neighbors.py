@@ -124,18 +124,8 @@ def build_grid(spec: GridSpec, locations: jnp.ndarray, alive: jnp.ndarray) -> Gr
     )
 
 
-def candidate_window(
-    spec: GridSpec, grid: Grid
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Gather the padded neighbor-candidate window for every agent slot.
-
-    Returns ``(cand_idx, cand_valid, max_run_count)`` with shapes
-    ((C, W), (C, W), ()): for each agent, the agent slots occupying the
-    stencil bins (self included), a mask for the padded tails, and the
-    on-device overflow probe. Dead agents never appear as candidates (their
-    sentinel id is outside every query range); rows of dead agents contain
-    garbage and must be masked by the consumer via the row's alive bit.
-    """
+def _run_windows(spec: GridSpec, grid: Grid):
+    """Shared stencil-run probe: per-agent sorted-position windows."""
     capacity = grid.order.shape[0]
     k = jnp.arange(spec.run_cap, dtype=jnp.int32)
     coords = grid.coords
@@ -159,14 +149,46 @@ def candidate_window(
     count = jnp.stack(counts, axis=1)
     pos = start[:, :, None] + k[None, None, :]  # (C, n_runs, run_cap)
     valid = k[None, None, :] < count[:, :, None]
-    idx = grid.order[jnp.clip(pos, 0, capacity - 1)]
 
     W = len(spec.run_offsets) * spec.run_cap
     return (
-        idx.reshape(capacity, W),
+        jnp.clip(pos, 0, capacity - 1).reshape(capacity, W),
         valid.reshape(capacity, W),
         jnp.max(count),
     )
+
+
+def candidate_window(
+    spec: GridSpec, grid: Grid
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gather the padded neighbor-candidate window for every agent slot.
+
+    Returns ``(cand_idx, cand_valid, max_run_count)`` with shapes
+    ((C, W), (C, W), ()): for each agent, the agent slots occupying the
+    stencil bins (self included), a mask for the padded tails, and the
+    on-device overflow probe. Dead agents never appear as candidates (their
+    sentinel id is outside every query range); rows of dead agents contain
+    garbage and must be masked by the consumer via the row's alive bit.
+    """
+    pos, valid, max_run = _run_windows(spec, grid)
+    return grid.order[pos], valid, max_run
+
+
+def sorted_window(
+    spec: GridSpec, locations: jnp.ndarray, alive: jnp.ndarray
+) -> Tuple[Grid, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Candidate window expressed as *sorted positions* (gather-light).
+
+    Returns ``(grid, pos, valid, max_run_count)`` where ``pos`` (C, W) indexes
+    into sort-ordered arrays. Consumers gather a row-packed feature bundle
+    once (``packed[grid.order]``) and then make a single (C, W) row gather —
+    TPU gathers are the dominant cost of windowed ops, so collapsing the
+    per-field gathers (idx, locations, radii, alive) into one wide row gather
+    is a large win on the physics path.
+    """
+    grid = build_grid(spec, locations, alive)
+    pos, valid, max_run = _run_windows(spec, grid)
+    return grid, pos, valid, max_run
 
 
 def neighbor_mask(

@@ -41,11 +41,14 @@ import jax
 def _jitted_substep(capacity):
     spec = nbr.GridSpec.from_box((100.0, 100.0, 0.0), BIO.jkr_radius, run_cap=capacity)
 
+    from hipsc_abm_tpu.ops.jkr import pack_physics
+
     @jax.jit
     def run(locs, radii, alive, bonds):
-        cand, mask, _ = nbr.neighbor_search(spec, locs, alive, BIO.jkr_radius)
+        grid, pos, valid, _ = nbr.sorted_window(spec, locs, alive)
+        packed = pack_physics(locs, radii, alive)
         return jkr_substep(
-            bonds, locs, radii, alive, cand, mask,
+            bonds, packed, grid.order, pos, valid, BIO.jkr_radius,
             BIO.adhesion_const, BIO.poisson, BIO.youngs, BIO.jkr_break_d,
         )
 
