@@ -26,6 +26,7 @@ import json
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 N_CELLS = 10_000
 BOX = (2000.0, 2000.0, 0.0)
@@ -46,12 +47,13 @@ def bench_tpu():
     # warmup: trigger compile + any capacity growth
     for _ in range(3):
         state, info = eng.safe_step(state)
-    jax.block_until_ready(state.arrays["locations"])
+    float(jnp.sum(state.arrays["locations"]))  # force (block_until_ready is
+    # unreliable through tunneled TPU backends — always fetch a scalar)
 
     t0 = time.perf_counter()
     for _ in range(STEPS_TIMED):
         state, info = eng.step(state)
-    jax.block_until_ready(state.arrays["locations"])
+    float(jnp.sum(state.arrays["locations"]))
     dt = (time.perf_counter() - t0) / STEPS_TIMED
     return 1.0 / dt
 
