@@ -91,9 +91,16 @@ class EngineConfig:
 
     capacity: int
     nbr_spec: GridSpec  # biology neighbor graph, radius 15
-    jkr_spec: GridSpec  # contact graph, radius 2 * max_radius
+    jkr_spec: GridSpec  # contact graph, bin = 2 * max_radius + verlet_skin
     bond_cap: int
     two_d: bool
+    # Verlet skin (um): the contact window is built over bins of
+    # (search radius + skin) from reference positions and reused across
+    # physics substeps until any agent drifts more than skin/2 — then a
+    # lax.cond rebuilds it. Contacts are always re-tested at the true radius
+    # with current positions, so physics is exact; the skin only bounds how
+    # long a window provably covers all true contacts.
+    verlet_skin: float = 2.0
     enable_growth: bool = False  # reference ships these disabled
     enable_stochastic: bool = False  # (cell_simulation.py:98-100);
     enable_diff_surround: bool = False  # config-enabled here
@@ -108,14 +115,21 @@ class EngineConfig:
         nbr_run_cap: int = 16,
         jkr_run_cap: int = 16,
         bond_cap: int = 16,
+        verlet_skin: float = 2.0,
         **flags,
     ) -> "EngineConfig":
         return cls(
             capacity=int(capacity),
             nbr_spec=GridSpec.from_box(size, bio.neighbor_radius, nbr_run_cap),
-            jkr_spec=GridSpec.from_box(size, bio.jkr_radius, jkr_run_cap),
+            # bin size covers every force-active pair (fresh contacts within
+            # jkr_radius AND persisted bonds out to + jkr_break_band, with 2x
+            # margin for over-grown radii) plus the Verlet drift allowance
+            jkr_spec=GridSpec.from_box(
+                size, bio.jkr_radius + 2.0 * bio.jkr_break_band + verlet_skin, jkr_run_cap
+            ),
             bond_cap=int(bond_cap),
             two_d=size[2] == 0,
+            verlet_skin=float(verlet_skin),
             **flags,
         )
 
@@ -240,26 +254,45 @@ def hipsc_step(
     )
 
     # --- apply_forces: 11 physics substeps (cell_methods.py:386-439) ---
+    # The contact window is Verlet-cached: built over (radius + skin) bins
+    # from reference positions, reused while max drift < skin/2 (lax.cond
+    # rebuild). Contacts are re-tested at the true radius with current
+    # positions every substep, exactly as the reference's per-substep
+    # get_neighbors does — the cache only changes how often we sort.
     dts = jnp.asarray(_physics_dts(bio))
 
-    def substep(carry, dt):
-        locations, bonds = carry
-        grid, pos, valid, j_max_in_bin = nbr_ops.sorted_window(
+    def build_window(locations):
+        grid, pos, valid, max_run = nbr_ops.sorted_window(
             cfg.jkr_spec, locations, alive
         )
+        return (grid.order, pos, valid, max_run, locations)
+
+    def substep(carry, dt):
+        locations, bonds, win = carry
+        drift2 = jnp.max(
+            jnp.where(alive, jnp.sum((locations - win[4]) ** 2, axis=-1), 0.0)
+        )
+        win = jax.lax.cond(
+            drift2 > (cfg.verlet_skin * 0.5) ** 2,
+            build_window,
+            lambda _: win,
+            locations,
+        )
+        order, pos, valid, j_max_in_bin, _ = win
         packed = pack_physics(locations, arrays["radii"], alive)
         jkr_forces, bonds, max_degree = jkr_substep(
-            bonds, packed, grid.order, pos, valid, bio.jkr_radius,
+            bonds, packed, order, pos, valid, bio.jkr_radius,
             bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
         )
         locations = stokes_integrate(
             locations, arrays["radii"], jkr_forces, arrays["motility_forces"],
             alive, bio.stokes, size, dt,
         )
-        return (locations, bonds), (j_max_in_bin, max_degree)
+        return (locations, bonds, win), (j_max_in_bin, max_degree)
 
-    (locations, bonds), (j_bins, j_degs) = jax.lax.scan(
-        substep, (arrays["locations"], bonds), dts
+    init_win = build_window(arrays["locations"])
+    (locations, bonds, _), (j_bins, j_degs) = jax.lax.scan(
+        substep, (arrays["locations"], bonds, init_win), dts
     )
     arrays["locations"] = locations
     # reference leaves both force arrays zeroed after the step

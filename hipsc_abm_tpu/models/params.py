@@ -146,6 +146,20 @@ class BiologyParams:
         """Contact search radius: 2 * max_radius (cell_methods.py:401)."""
         return 2.0 * self.max_radius
 
+    @property
+    def jkr_break_band(self) -> float:
+        """Width (um) of the separation band past touching in which an
+        existing JKR bond still exerts force: |break_d| * overlap_scale for
+        two max-radius cells. Bonded pairs farther apart than
+        ``jkr_radius + jkr_break_band`` are guaranteed broken, which bounds
+        the support of the whole force law (used to size contact windows)."""
+        e_hat = 1.0 / (2.0 * (1.0 - self.poisson**2) / self.youngs)
+        r_hat = self.max_radius / 2.0 / 1e6
+        overlap_scale = ((math.pi * self.adhesion_const) / e_hat) ** (2.0 / 3.0) * r_hat ** (
+            1.0 / 3.0
+        )
+        return -self.jkr_break_d * overlap_scale * 1e6
+
 
 @dataclasses.dataclass(frozen=True)
 class DiffusionParams:

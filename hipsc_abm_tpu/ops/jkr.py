@@ -22,17 +22,19 @@ is an accepted data race).
 Gather discipline: TPU random gathers dominate windowed ops, so all per-agent
 features consumed across a window — position, radius, slot id, liveness — are
 packed into one 8-lane f32 row (``pack_physics``). Each substep then costs
-exactly two row gathers (pack -> sorted order, sorted -> window) plus one
-(C, K) bond-partner gather, instead of ~five per-field gathers. Slot ids are
-exact in f32 up to 2^24 agents.
+exactly two row gathers (pack -> sorted order, sorted -> window). Slot ids
+are exact in f32 up to 2^24 agents.
 
-Per substep:
-1. surviving old bonds are re-evaluated straight from the partner matrix
-   (covers bonds outside the current candidate window);
-2. fresh contacts from the grid window that are not already bonded form new
-   bonds iff they are inside the break threshold;
-3. the new partner matrix is the compaction of (1) u (2), with on-device
-   overflow detection driving host-side capacity doubling.
+Per substep (single windowed pass — the caller sizes the window's bins to
+``search radius + break band + Verlet skin`` so every force-active pair,
+bonded or fresh, is provably inside the window):
+1. a pair is force-eligible iff it is a fresh contact within the search
+   radius OR already in the bond graph;
+2. eligible pairs inside the break threshold exert force and form the next
+   bond set; everything else breaks (bonds outside the window are already
+   past the break distance and drop out automatically);
+3. the surviving set is compacted back to the (C, K) partner matrix, with
+   on-device overflow detection driving host-side capacity doubling.
 """
 
 from __future__ import annotations
@@ -138,11 +140,16 @@ def _compact_bonds(
     for host-side doubling, mirroring ``graph.max_neighbors`` growth at
     ``simulation.py:277-281``)."""
     total = partners_ext.shape[1]
+    k = min(bond_cap, total)
     pos = jnp.arange(total, dtype=jnp.int32)[None, :]
     score = jnp.where(mask_ext, total - pos, 0)  # valid entries keep order
-    top_scores, top_pos = jax.lax.top_k(score, bond_cap)
+    top_scores, top_pos = jax.lax.top_k(score, k)
     new_partners = jnp.take_along_axis(partners_ext, top_pos, axis=1)
     new_mask = top_scores > 0
+    if k < bond_cap:  # window narrower than the bond capacity: pad
+        pad = ((0, 0), (0, bond_cap - k))
+        new_partners = jnp.pad(new_partners, pad)
+        new_mask = jnp.pad(new_mask, pad)
     degree = jnp.sum(mask_ext, axis=1)
     return BondState(partners=new_partners.astype(jnp.int32), mask=new_mask), jnp.max(degree)
 
@@ -171,18 +178,12 @@ def jkr_substep(
     row_alive = packed[:, 5] > 0.0
     self_slot = jnp.arange(capacity, dtype=jnp.int32)
 
-    # --- step 1: re-evaluate existing bonds from the partner matrix ---
-    old_j = bonds.partners
-    old_pack = packed[old_j]  # (C, K, 8)
-    old_valid = bonds.mask & row_alive[:, None] & (old_pack[..., 5] > 0.0)
-    force_old, survive_old = _pair_jkr(
-        self_xyz[:, None, :], old_pack[..., :3], self_rad[:, None], old_pack[..., 3],
-        adhesion_const, poisson, youngs, break_d,
-    )
-    keep_old = old_valid & survive_old
-    f_from_old = jnp.sum(jnp.where(keep_old[..., None], force_old, 0.0), axis=1)
-
-    # --- step 2: fresh contacts not already bonded ---
+    # The window is guaranteed (by bin sizing: search radius + break band +
+    # Verlet skin) to contain every force-active pair — fresh contacts within
+    # the search radius AND persisted bonds out to the break distance. A
+    # bonded pair outside the window is therefore already past the break
+    # threshold and drops out of the state automatically, so one windowed
+    # pass covers bond evaluation, bond breaking, and fresh-contact formation.
     sorted_pack = packed[order]
     cand = sorted_pack[pos]  # (C, W, 8) — the one wide window gather
     cand_xyz = cand[..., :3]
@@ -192,26 +193,21 @@ def jkr_substep(
     delta = cand_xyz - self_xyz[:, None, :]
     dist2 = jnp.sum(delta * delta, axis=-1)
     r = jnp.float32(radius)
-    contact = (
-        valid
-        & (cand_slot != self_slot[:, None])
-        & (dist2 <= r * r)
-        & row_alive[:, None]
-    )
-    fresh = contact & ~_is_bonded(bonds, cand_slot)
-    force_new, survive_new = _pair_jkr(
+    pair_ok = valid & (cand_slot != self_slot[:, None]) & row_alive[:, None]
+    # force-eligible: fresh contact within the search radius, or an edge
+    # already in the bond graph (clear=False persistence,
+    # cell_methods.py:401 + simulation.py:286-288)
+    eligible = pair_ok & ((dist2 <= r * r) | _is_bonded(bonds, cand_slot))
+
+    force, survive = _pair_jkr(
         self_xyz[:, None, :], cand_xyz, self_rad[:, None], cand_rad,
         adhesion_const, poisson, youngs, break_d,
     )
-    keep_new = fresh & survive_new
-    f_from_new = jnp.sum(jnp.where(keep_new[..., None], force_new, 0.0), axis=1)
+    keep = eligible & survive
+    forces = jnp.sum(jnp.where(keep[..., None], force, 0.0), axis=1)
 
-    # --- step 3: compact surviving old + new bonds back to (C, K) ---
-    partners_ext = jnp.concatenate([old_j, cand_slot], axis=1)
-    mask_ext = jnp.concatenate([keep_old, keep_new], axis=1)
-    new_bonds, max_degree = _compact_bonds(partners_ext, mask_ext, bonds.partners.shape[1])
-
-    return f_from_old + f_from_new, new_bonds, max_degree
+    new_bonds, max_degree = _compact_bonds(cand_slot, keep, bonds.partners.shape[1])
+    return forces, new_bonds, max_degree
 
 
 def clear_bond_rows(bonds: BondState, rows_to_clear: jnp.ndarray) -> BondState:

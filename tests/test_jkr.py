@@ -39,7 +39,9 @@ import jax
 
 @functools.lru_cache(maxsize=None)
 def _jitted_substep(capacity):
-    spec = nbr.GridSpec.from_box((100.0, 100.0, 0.0), BIO.jkr_radius, run_cap=capacity)
+    # bin size must cover the full force support: search radius + break band
+    cell = BIO.jkr_radius + 2 * BIO.jkr_break_band + 0.5
+    spec = nbr.GridSpec.from_box((100.0, 100.0, 0.0), cell, run_cap=capacity)
 
     from hipsc_abm_tpu.ops.jkr import pack_physics
 
