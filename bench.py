@@ -26,7 +26,10 @@ import json
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_tpu")
 
 N_CELLS = 10_000
 BOX = (2000.0, 2000.0, 0.0)
