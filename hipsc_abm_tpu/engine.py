@@ -34,12 +34,12 @@ from hipsc_abm_tpu.models.params import (
 )
 from hipsc_abm_tpu.ops import diffusion as diffusion_ops
 from hipsc_abm_tpu.ops import neighbors as nbr_ops
+from hipsc_abm_tpu.ops import jkr as jkr_ops
 from hipsc_abm_tpu.ops.integrate import stokes_integrate
 from hipsc_abm_tpu.ops.jkr import (
     BondState,
     clear_bond_rows,
     drop_dead_partners,
-    jkr_substep,
     pack_physics,
 )
 from hipsc_abm_tpu.ops.neighbors import GridSpec
@@ -175,10 +175,43 @@ def hipsc_step(
     key, k_div, k_path, k_diff, k_stoch, k_mot = jax.random.split(key, 6)
 
     size = jnp.asarray(gen.size, dtype=arrays["locations"].dtype)
+    capacity = alive.shape[0]
+
+    def window_lanes(fields):
+        """Gather per-candidate feature lanes over the biology window with a
+        single wide (C, W, 8) row gather (TPU gathers dominate windowed ops;
+        per-field 1-D gathers are ~5x slower than one packed row gather)."""
+        lanes = [f.astype(jnp.float32).reshape(capacity, -1) for f in fields]
+        pack = jnp.concatenate(lanes, axis=1)
+        pad = -pack.shape[1] % 8
+        if pad:
+            pack = jnp.pad(pack, ((0, 0), (0, pad)))
+        cand = pack[nbr_grid.order][nbr_pos]
+        out = []
+        col = 0
+        for f in fields:
+            w = 1 if f.ndim == 1 else f.shape[1]
+            out.append(cand[..., col] if f.ndim == 1 else cand[..., col : col + w])
+            col += w
+        return out
 
     # --- get_neighbors("neighbor_graph", 15) ---
-    cand_idx, nbr_mask, nbr_max_in_bin = nbr_ops.neighbor_search(
-        cfg.nbr_spec, arrays["locations"], alive, bio.neighbor_radius
+    # window built from pre-division positions/liveness: this IS the step's
+    # neighbor graph (reference builds it once at the top of the step)
+    nbr_grid, nbr_pos, nbr_valid, nbr_max_in_bin = nbr_ops.sorted_window(
+        cfg.nbr_spec, arrays["locations"], alive
+    )
+    cand_xyz0, cand_alive0, cand_slot_f = window_lanes(
+        [arrays["locations"], alive, jnp.arange(capacity, dtype=jnp.float32)]
+    )
+    delta0 = cand_xyz0 - arrays["locations"][:, None, :]
+    r15 = jnp.float32(bio.neighbor_radius)
+    nbr_mask = (
+        nbr_valid
+        & (cand_slot_f != jnp.arange(capacity, dtype=jnp.float32)[:, None])
+        & (jnp.sum(delta0 * delta0, axis=-1) <= r15 * r15)
+        & (cand_alive0 > 0)
+        & alive[:, None]
     )
     nbr_count = nbr_ops.num_neighbors(nbr_mask)
 
@@ -198,15 +231,18 @@ def hipsc_step(
     )
     alive = alive & ~removed
     bonds = drop_dead_partners(bonds, alive)
-    nbr_mask = nbr_mask & alive[cand_idx] & alive[:, None]
 
     # --- cell_pathway ---
+    # one packed gather: candidates' FGF4 plus their post-death liveness
+    # (deaths remove agents from everyone's neighborhood, cell_methods.py:47)
+    cand_FGF4, cand_alive = window_lanes([arrays["FGF4"], alive])
+    nbr_mask = nbr_mask & (cand_alive > 0) & alive[:, None]
     (
         arrays["FGF4"], arrays["FGFR"], arrays["ERK"],
         arrays["GATA6"], arrays["NANOG"], arrays["fds_counters"],
     ) = biology.cell_pathway(
         arrays["FGF4"], arrays["FGFR"], arrays["ERK"], arrays["GATA6"],
-        arrays["NANOG"], arrays["fds_counters"], alive, cand_idx, nbr_mask,
+        arrays["NANOG"], arrays["fds_counters"], alive, cand_FGF4, nbr_mask,
         k_path, current_step, xp, bio,
     )
 
@@ -226,9 +262,10 @@ def hipsc_step(
             arrays["GATA6"], arrays["NANOG"], alive, k_stoch, bio
         )
     if cfg.enable_diff_surround:
+        (cand_states_ds,) = window_lanes([arrays["states"]])
         arrays["GATA6"], arrays["NANOG"] = biology.cell_diff_surround(
             arrays["GATA6"], arrays["NANOG"], arrays["states"], alive,
-            cand_idx, nbr_mask, bio,
+            cand_states_ds, nbr_mask, bio,
         )
     if cfg.enable_diffusion and diff is not None:
         dts = jnp.asarray(diffusion_dts_cached(bio.step_dt, diff.diffuse_dt))
@@ -248,17 +285,27 @@ def hipsc_step(
             )
 
     # --- cell_motility ---
+    # one packed gather of the post-fate candidate features (current GATA6/
+    # NANOG/states and post-division locations, as the reference's serial
+    # loop reads them at motility time)
+    cand_xyz_m, cand_GATA6, cand_NANOG, cand_states = window_lanes(
+        [arrays["locations"], arrays["GATA6"], arrays["NANOG"], arrays["states"]]
+    )
     arrays["motility_forces"] = biology.cell_motility(
         arrays["locations"], arrays["GATA6"], arrays["NANOG"], arrays["states"],
-        arrays["motility_forces"], alive, cand_idx, nbr_mask, k_mot, xp, bio, cfg.two_d,
+        arrays["motility_forces"], alive, cand_xyz_m, cand_GATA6, cand_NANOG,
+        cand_states, nbr_mask, k_mot, xp, bio, cfg.two_d,
     )
 
     # --- apply_forces: 11 physics substeps (cell_methods.py:386-439) ---
-    # The contact window is Verlet-cached: built over (radius + skin) bins
-    # from reference positions, reused while max drift < skin/2 (lax.cond
-    # rebuild). Contacts are re-tested at the true radius with current
-    # positions every substep, exactly as the reference's per-substep
-    # get_neighbors does — the cache only changes how often we sort.
+    # The contact window is Verlet-cached: built over (radius + break band +
+    # skin) bins from reference positions, reused while max drift < skin/2
+    # (lax.cond rebuild). Contacts are re-tested at the true radius with
+    # current positions every substep, exactly as the reference's per-substep
+    # get_neighbors does — the cache only changes how often we sort. The bond
+    # graph rides along as a mask aligned to the window, so the hot path has
+    # no partner-matrix compaction or membership scans; conversions happen
+    # only at rebuilds and at the scan boundaries.
     dts = jnp.asarray(_physics_dts(bio))
 
     def build_window(locations):
@@ -266,6 +313,8 @@ def hipsc_step(
             cfg.jkr_spec, locations, alive
         )
         return (grid.order, pos, valid, max_run, locations)
+
+    init_win = build_window(arrays["locations"])
 
     def substep(carry, dt):
         locations, bonds, win = carry
@@ -280,7 +329,7 @@ def hipsc_step(
         )
         order, pos, valid, j_max_in_bin, _ = win
         packed = pack_physics(locations, arrays["radii"], alive)
-        jkr_forces, bonds, max_degree = jkr_substep(
+        jkr_forces, bonds, max_degree = jkr_ops.jkr_substep(
             bonds, packed, order, pos, valid, bio.jkr_radius,
             bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
         )
@@ -290,7 +339,6 @@ def hipsc_step(
         )
         return (locations, bonds, win), (j_max_in_bin, max_degree)
 
-    init_win = build_window(arrays["locations"])
     (locations, bonds, _), (j_bins, j_degs) = jax.lax.scan(
         substep, (arrays["locations"], bonds, init_win), dts
     )

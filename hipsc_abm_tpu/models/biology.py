@@ -184,7 +184,7 @@ def cell_pathway(
     NANOG: jnp.ndarray,
     fds_counters: jnp.ndarray,
     alive: jnp.ndarray,
-    cand_idx: jnp.ndarray,
+    cand_FGF4: jnp.ndarray,  # (C, W) f32 candidate FGF4 lane (pre-gathered)
     nbr_mask: jnp.ndarray,
     key: jax.Array,
     current_step: jnp.ndarray,
@@ -205,7 +205,7 @@ def cell_pathway(
     g_pair = jax.random.normal(k_pair, nbr_mask.shape, dtype=jnp.float32)
     g_self = jax.random.normal(k_self, (capacity,), dtype=jnp.float32)
     nbr_term = jnp.sum(
-        jnp.where(nbr_mask, (1.0 + g_pair) * FGF4[cand_idx].astype(jnp.float32), 0.0),
+        jnp.where(nbr_mask, (1.0 + g_pair) * cand_FGF4, 0.0),
         axis=1,
     )
     self_term = (1.0 + g_self) * FGF4.astype(jnp.float32)
@@ -266,14 +266,14 @@ def cell_diff_surround(
     NANOG: jnp.ndarray,
     states: jnp.ndarray,
     alive: jnp.ndarray,
-    cand_idx: jnp.ndarray,
+    cand_states: jnp.ndarray,  # (C, W) f32 candidate state lane (pre-gathered)
     nbr_mask: jnp.ndarray,
     p: BiologyParams,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``cell_diff_surround`` (``cell_methods.py:119-141``): >= 6 differentiated
     neighbors force a GATA6-low pluripotent cell to GATA6 high."""
     eligible = alive & (states == 0) & (GATA6 < NANOG)
-    num_diff = jnp.sum(nbr_mask & (states[cand_idx] != 0), axis=1)
+    num_diff = jnp.sum(nbr_mask & (cand_states != 0), axis=1)
     induce = eligible & (num_diff >= p.diff_surround_neighbors)
     return jnp.where(induce, p.field - 1, GATA6), jnp.where(induce, 0, NANOG)
 
@@ -328,7 +328,10 @@ def cell_motility(
     states: jnp.ndarray,
     motility_forces: jnp.ndarray,
     alive: jnp.ndarray,
-    cand_idx: jnp.ndarray,
+    cand_xyz: jnp.ndarray,  # (C, W, 3) candidate locations (pre-gathered)
+    cand_GATA6: jnp.ndarray,  # (C, W) f32
+    cand_NANOG: jnp.ndarray,  # (C, W) f32
+    cand_states: jnp.ndarray,  # (C, W) f32
     nbr_mask: jnp.ndarray,
     key: jax.Array,
     xp: ExperimentalParams,
@@ -351,9 +354,9 @@ def cell_motility(
     capacity = locations.shape[0]
     free_to_move = alive & (jnp.sum(nbr_mask, axis=1) < p.motility_crowd_neighbors)
 
-    disp = locations[cand_idx] - locations[:, None, :]
-    nanog_high_j = nbr_mask & (NANOG[cand_idx] > GATA6[cand_idx])
-    diff_j = nbr_mask & (states[cand_idx] != 0)
+    disp = cand_xyz - locations[:, None, :]
+    nanog_high_j = nbr_mask & (cand_NANOG > cand_GATA6)
+    diff_j = nbr_mask & (cand_states != 0)
 
     sum_nanog = jnp.sum(jnp.where(nanog_high_j[..., None], disp, 0.0), axis=1)
     cnt_nanog = jnp.sum(nanog_high_j, axis=1)

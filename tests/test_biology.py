@@ -22,7 +22,7 @@ differentiate_j = jax.jit(biology.cell_differentiate, static_argnums=(6,))
 diff_surround_j = jax.jit(biology.cell_diff_surround, static_argnums=(6,))
 growth_j = jax.jit(biology.cell_growth, static_argnums=(4,))
 stochastic_j = jax.jit(biology.cell_stochastic_update, static_argnums=(4, 5))
-motility_j = jax.jit(biology.cell_motility, static_argnums=(9, 10, 11))
+motility_j = jax.jit(biology.cell_motility, static_argnums=(12, 13, 14))
 
 
 def no_neighbors(capacity, window=8):
@@ -156,15 +156,18 @@ def test_division_counter_stochastic_increment():
 def run_pathway(FGF4, FGFR, ERK, GATA6, NANOG, step, fds_counters=None, mask=None):
     n = len(FGF4)
     if mask is None:
-        cand, mask = no_neighbors(n)
+        _, mask = no_neighbors(n)
+        cand_FGF4 = jnp.zeros(mask.shape, jnp.float32)
     else:
-        cand = jnp.tile(jnp.arange(n, dtype=jnp.int32)[None, :], (n, 1))
+        # candidate j in column j: the FGF4 lane is FGF4 broadcast per row
+        cand_FGF4 = jnp.broadcast_to(
+            jnp.asarray(FGF4, jnp.float32)[None, :], (n, n))
     if fds_counters is None:
         fds_counters = np.zeros(n, int)
     return pathway_j(
         jnp.asarray(FGF4), jnp.asarray(FGFR), jnp.asarray(ERK),
         jnp.asarray(GATA6), jnp.asarray(NANOG), jnp.asarray(fds_counters),
-        jnp.ones(n, bool), cand, mask,
+        jnp.ones(n, bool), cand_FGF4, mask,
         KEY, jnp.asarray(step), XP, BIO,
     )
 
@@ -243,13 +246,13 @@ def test_differentiate_trigger():
 
 def test_diff_surround_induction():
     n = 8
-    cand = jnp.tile(jnp.arange(n, dtype=jnp.int32)[None, :], (n, 1))
     mask = jnp.zeros((n, n), bool).at[0, 1:7].set(True)  # agent 0 sees 6 neighbors
     states = jnp.array([0, 1, 1, 1, 1, 1, 1, 0])
+    cand_states = jnp.broadcast_to(states.astype(jnp.float32)[None, :], (n, n))
     GATA6 = jnp.zeros(n, int)
     NANOG = jnp.ones(n, int)
     nG, nN = diff_surround_j(
-        GATA6, NANOG, states, jnp.ones(n, bool), cand, mask, BIO
+        GATA6, NANOG, states, jnp.ones(n, bool), cand_states, mask, BIO
     )
     assert int(nG[0]) == BIO.field - 1 and int(nN[0]) == 0
     assert int(nG[7]) == 0 and int(nN[7]) == 1  # no neighbors -> unchanged
@@ -288,25 +291,27 @@ def motility_setup(states, GATA6, NANOG, neighbor_of_0=None):
     n = len(states)
     locs = np.zeros((n, 3), np.float32)
     locs[:, 0] = np.arange(n) * 5.0
-    cand = jnp.tile(jnp.arange(n, dtype=jnp.int32)[None, :], (n, 1))
     mask = np.zeros((n, n), bool)
     if neighbor_of_0 is not None:
         mask[0, neighbor_of_0] = True
         mask[neighbor_of_0, 0] = True
+    bcast = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32)[None, :], (n, n))
+    cand_xyz = jnp.broadcast_to(jnp.asarray(locs)[None, :, :], (n, n, 3))
     return (
         jnp.asarray(locs), jnp.asarray(GATA6), jnp.asarray(NANOG), jnp.asarray(states),
-        jnp.zeros((n, 3), jnp.float32), jnp.ones(n, bool), cand, jnp.asarray(mask),
+        jnp.zeros((n, 3), jnp.float32), jnp.ones(n, bool),
+        cand_xyz, bcast(GATA6), bcast(NANOG), bcast(states), jnp.asarray(mask),
     )
 
 
 def test_motility_crowded_cells_get_no_force():
     n = 8
-    cand = jnp.tile(jnp.arange(n, dtype=jnp.int32)[None, :], (n, 1))
     mask = jnp.ones((n, n), bool) & ~jnp.eye(n, dtype=bool)  # 7 neighbors each
+    zl = jnp.zeros((n, n), jnp.float32)
     out = motility_j(
         jnp.zeros((n, 3), jnp.float32), jnp.zeros(n, int), jnp.ones(n, int),
         jnp.zeros(n, int), jnp.zeros((n, 3), jnp.float32), jnp.ones(n, bool),
-        cand, mask, KEY, XP, BIO, True,
+        jnp.zeros((n, n, 3), jnp.float32), zl, 1.0 + zl, zl, mask, KEY, XP, BIO, True,
     )
     np.testing.assert_allclose(np.asarray(out), 0.0)
 
