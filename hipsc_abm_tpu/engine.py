@@ -114,7 +114,7 @@ class EngineConfig:
         bio: BiologyParams,
         nbr_run_cap: int = 16,
         jkr_run_cap: int = 16,
-        bond_cap: int = 16,
+        bond_cap: int = 8,
         verlet_skin: float = 2.0,
         **flags,
     ) -> "EngineConfig":
@@ -377,6 +377,39 @@ def _round_up(x: int, m: int) -> int:
     return ((int(x) + m - 1) // m) * m
 
 
+def _initial_run_cap(locations: np.ndarray, spec, size) -> int:
+    """Max live agents in any 3-bin stencil run of `spec`, from data, with
+    25% headroom (rounded to 8)."""
+    locations = np.asarray(locations)
+    coords = np.floor(locations / spec.cell_size).astype(np.int64) + 1
+    dims = np.array([spec.nx, spec.ny, spec.nz])
+    coords = np.clip(coords, 0, dims - 1)
+    if spec.two_d:
+        grid = np.zeros((spec.nx, spec.ny), dtype=np.int64)
+        np.add.at(grid, (coords[:, 0], coords[:, 1]), 1)
+        runs = grid[:, :-2] + grid[:, 1:-1] + grid[:, 2:]
+    else:
+        grid = np.zeros((spec.nx, spec.ny, spec.nz), dtype=np.int64)
+        np.add.at(grid, (coords[:, 0], coords[:, 1], coords[:, 2]), 1)
+        runs = grid[:, :, :-2] + grid[:, :, 1:-1] + grid[:, :, 2:]
+    return max(8, _round_up(int(runs.max()) * 1.25, 8))
+
+
+def config_to_meta(cfg: EngineConfig) -> dict:
+    """EngineConfig as plain JSON-able dict (checkpoint metadata). Static
+    window widths feed RNG draw shapes, so bit-exact resume requires
+    restoring the exact configuration, not just re-deriving it from data."""
+    d = dataclasses.asdict(cfg)
+    return d
+
+
+def config_from_meta(meta: dict) -> EngineConfig:
+    meta = dict(meta)
+    meta["nbr_spec"] = GridSpec(**meta["nbr_spec"])
+    meta["jkr_spec"] = GridSpec(**meta["jkr_spec"])
+    return EngineConfig(**meta)
+
+
 class HipscEngine:
     """Host-side driver owning the jitted step and capacity management.
 
@@ -455,6 +488,21 @@ class HipscEngine:
 
         alive = np.zeros((C,), dtype=bool)
         alive[:n] = True
+
+        # size the static window capacities from the actual initial density
+        # (smaller windows shrink every downstream windowed op; undersizing is
+        # safe — safe_step grows on the on-device overflow probe)
+        self.cfg = cfg = dataclasses.replace(
+            cfg,
+            nbr_spec=dataclasses.replace(
+                cfg.nbr_spec,
+                run_cap=_initial_run_cap(locations, cfg.nbr_spec, gen.size),
+            ),
+            jkr_spec=dataclasses.replace(
+                cfg.jkr_spec,
+                run_cap=_initial_run_cap(locations, cfg.jkr_spec, gen.size),
+            ),
+        )
 
         gradients: Dict[str, np.ndarray] = {}
         if cfg.enable_diffusion and self.diff is not None:

@@ -281,6 +281,7 @@ class CellSimulation(Simulation):
         """Checkpoint: pickle of the sim object (reference mechanism) with
         the device state swapped for a host PyTree, plus a format-stable npz
         of the state alone (bit-exact resume; SURVEY §5.4)."""
+        from hipsc_abm_tpu.engine import config_to_meta
         from hipsc_abm_tpu.utils.checkpoint import save_state
 
         super().temp.__wrapped__(self)  # the pickle, un-re-timed
@@ -288,7 +289,11 @@ class CellSimulation(Simulation):
             save_state(
                 os.path.join(self.main_path, f"{self.name}_state.npz"),
                 self.state,
-                meta={"current_step": self.current_step, "name": self.name},
+                meta={
+                    "current_step": self.current_step,
+                    "name": self.name,
+                    "engine_config": config_to_meta(self.engine.cfg),
+                },
             )
 
     # ------------------------------------------------------------------
@@ -296,23 +301,34 @@ class CellSimulation(Simulation):
     # ------------------------------------------------------------------
 
     def __getstate__(self):
+        from hipsc_abm_tpu.engine import config_to_meta
+
         state = super().__getstate__()
         state["engine"] = None  # holds jit caches; rebuilt lazily
+        # the static config must survive: window widths feed RNG draw shapes,
+        # so bit-exact resume needs the exact same EngineConfig
+        state["_engine_cfg"] = (
+            config_to_meta(self.engine.cfg) if self.engine is not None else None
+        )
         if self.state is not None:
             state["state"] = jax.tree_util.tree_map(np.asarray, jax.device_get(self.state))
         return state
 
     def __setstate__(self, state):
+        from hipsc_abm_tpu.engine import config_from_meta
+
+        cfg_meta = state.pop("_engine_cfg", None)
         super().__setstate__(state)
         if self.state is not None:
             self.state = jax.tree_util.tree_map(jax.numpy.asarray, self.state)
         self.engine = self._make_engine()
-        if self.state is not None:
-            cap = self.state.alive.shape[0]
+        if cfg_meta is not None:
+            self.engine.cfg = config_from_meta(cfg_meta)
+        elif self.state is not None:
             import dataclasses as _dc
 
             self.engine.cfg = _dc.replace(
                 self.engine.cfg,
-                capacity=cap,
+                capacity=self.state.alive.shape[0],
                 bond_cap=self.state.bonds.partners.shape[1],
             )

@@ -88,16 +88,17 @@ def test_bin_capacity_growth_is_exact():
     """Start with an absurdly small bin capacity: the first step must detect
     overflow, grow, and produce results identical to a roomy engine."""
     eng_small = small_engine()
+    eng_big = small_engine()
+
+    s_small = eng_small.init_state(seed=9)
+    s_big = eng_big.init_state(seed=9)
+    # shrink the caps *after* init_state (which auto-sizes them from data)
     eng_small.cfg = dataclasses.replace(
         eng_small.cfg,
         nbr_spec=dataclasses.replace(eng_small.cfg.nbr_spec, run_cap=1),
         jkr_spec=dataclasses.replace(eng_small.cfg.jkr_spec, run_cap=1),
         bond_cap=8,
     )
-    eng_big = small_engine()
-
-    s_small = eng_small.init_state(seed=9)
-    s_big = eng_big.init_state(seed=9)
     s_small, _ = eng_small.safe_step(s_small)
     s_big, _ = eng_big.safe_step(s_big)
     # same physics regardless of internal capacity (windows only pad)
@@ -123,10 +124,15 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     for _ in range(2):
         cont, _ = eng.safe_step(cont)
 
-    # resume from disk with a fresh engine
+    # resume from disk with a fresh engine, restoring the exact static
+    # configuration (window widths feed RNG draw shapes)
+    from hipsc_abm_tpu.engine import config_from_meta, config_to_meta
+
     eng2 = small_engine()
     restored, meta = load_state(str(tmp_path / "ck.npz"))
     assert meta["current_step"] == 2
+    eng2.cfg = config_from_meta(config_to_meta(eng.cfg))
+    assert eng2.cfg == eng.cfg
     assert tree_equal(restored, state)
     resumed = restored
     for _ in range(2):
