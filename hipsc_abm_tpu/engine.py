@@ -105,6 +105,13 @@ class EngineConfig:
     enable_stochastic: bool = False  # (cell_simulation.py:98-100);
     enable_diff_surround: bool = False  # config-enabled here
     enable_diffusion: bool = False
+    # Pallas fused contact kernel (ops.pallas_contact): replaces the window
+    # gathers of the physics substeps with per-block span DMA. 2D only;
+    # enabled automatically on TPU backends by HipscEngine.
+    use_pallas: bool = False
+    pallas_block: int = 128
+    pallas_interpret: bool = False  # interpreter mode (CPU testing)
+    jkr_span: int = 512  # static DMA span cap (grown on overflow probe)
 
     @classmethod
     def create(
@@ -145,6 +152,7 @@ class StepInfo(NamedTuple):
     nbr_max_in_bin: jnp.ndarray
     jkr_max_in_bin: jnp.ndarray
     jkr_max_degree: jnp.ndarray
+    jkr_span_needed: jnp.ndarray  # Pallas DMA span probe (0 on the XLA path)
 
 
 def _physics_dts(bio: BiologyParams) -> np.ndarray:
@@ -302,11 +310,45 @@ def hipsc_step(
     # skin) bins from reference positions, reused while max drift < skin/2
     # (lax.cond rebuild). Contacts are re-tested at the true radius with
     # current positions every substep, exactly as the reference's per-substep
-    # get_neighbors does — the cache only changes how often we sort. The bond
-    # graph rides along as a mask aligned to the window, so the hot path has
-    # no partner-matrix compaction or membership scans; conversions happen
-    # only at rebuilds and at the scan boundaries.
+    # get_neighbors does — the cache only changes how often we sort.
     dts = jnp.asarray(_physics_dts(bio))
+    if cfg.use_pallas:
+        scan_fn = _physics_scan_pallas
+    else:
+        scan_fn = _physics_scan_xla
+    locations, bonds, j_bins, j_degs, j_span = scan_fn(
+        cfg, bio, arrays, alive, bonds, size, dts
+    )
+    arrays["locations"] = locations
+    # reference leaves both force arrays zeroed after the step
+    # (cell_methods.py:436-439)
+    arrays["jkr_forces"] = jnp.zeros_like(arrays["jkr_forces"])
+    arrays["motility_forces"] = jnp.zeros_like(arrays["motility_forces"])
+
+    info = StepInfo(
+        num_agents=jnp.sum(alive),
+        num_added=num_added,
+        num_removed=num_removed,
+        num_deferred=num_deferred,
+        nbr_max_in_bin=nbr_max_in_bin,
+        jkr_max_in_bin=jnp.max(j_bins),
+        jkr_max_degree=jnp.max(j_degs),
+        jkr_span_needed=jnp.max(j_span),
+    )
+    new_state = CellState(
+        arrays=arrays,
+        alive=alive,
+        bonds=bonds,
+        gradients=gradients,
+        key=key,
+        step=current_step + 1,
+    )
+    return new_state, info
+
+
+def _physics_scan_xla(cfg, bio, arrays, alive, bonds, size, dts):
+    """Physics substeps on the pure-XLA path (window gathers). The bond graph
+    rides along in slot space with per-substep compaction."""
 
     def build_window(locations):
         grid, pos, valid, max_run = nbr_ops.sorted_window(
@@ -342,30 +384,91 @@ def hipsc_step(
     (locations, bonds, _), (j_bins, j_degs) = jax.lax.scan(
         substep, (arrays["locations"], bonds, init_win), dts
     )
-    arrays["locations"] = locations
-    # reference leaves both force arrays zeroed after the step
-    # (cell_methods.py:436-439)
-    arrays["jkr_forces"] = jnp.zeros_like(arrays["jkr_forces"])
-    arrays["motility_forces"] = jnp.zeros_like(arrays["motility_forces"])
+    return locations, bonds, j_bins, j_degs, jnp.zeros((1,), jnp.int32)
 
-    info = StepInfo(
-        num_agents=jnp.sum(alive),
-        num_added=num_added,
-        num_removed=num_removed,
-        num_deferred=num_deferred,
-        nbr_max_in_bin=nbr_max_in_bin,
-        jkr_max_in_bin=jnp.max(j_bins),
-        jkr_max_degree=jnp.max(j_degs),
+
+def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
+    """Physics substeps on the Pallas path: the fused contact kernel
+    (``ops.pallas_contact``) replaces window gather + pair math + bond
+    bookkeeping; the scan carries the bond partner lists in sorted-row order
+    so only window rebuilds permute them."""
+    from hipsc_abm_tpu.ops.pallas_contact import (
+        NO_BOND,
+        block_span_starts,
+        contact_substep_pallas,
     )
-    new_state = CellState(
-        arrays=arrays,
-        alive=alive,
-        bonds=bonds,
-        gradients=gradients,
-        key=key,
-        step=current_step + 1,
+
+    capacity = alive.shape[0]
+    block = cfg.pallas_block
+    radii = arrays["radii"]
+    motility = arrays["motility_forces"]
+
+    def build_window(args):
+        locations, srt_bonds_old, inv_old = args
+        grid = nbr_ops.build_grid(cfg.jkr_spec, locations, alive)
+        bounds = nbr_ops.sorted_run_bounds(cfg.jkr_spec, grid)
+        starts, span_needed = block_span_starts(
+            bounds, block, cfg.jkr_span, capacity
+        )
+        inv = jnp.zeros((capacity,), jnp.int32).at[grid.order].set(
+            jnp.arange(capacity, dtype=jnp.int32)
+        )
+        # re-permute the bond lists: new sorted row -> slot -> old sorted row
+        srt_bonds = srt_bonds_old[inv_old[grid.order]]
+        max_run = jnp.max(
+            jnp.maximum(
+                bounds[:, 1] - bounds[:, 0],
+                jnp.maximum(bounds[:, 3] - bounds[:, 2], bounds[:, 5] - bounds[:, 4]),
+            )
+        )
+        win = (grid.order, inv, bounds, starts, locations, max_run, span_needed)
+        return win, srt_bonds
+
+    # initial window + bonds in sorted order
+    partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
+    identity = jnp.arange(capacity, dtype=jnp.int32)
+    init_win, init_srt_bonds = build_window(
+        (arrays["locations"], partners_f, identity)
     )
-    return new_state, info
+
+    def substep(carry, dt):
+        locations, srt_bonds, win = carry
+        drift2 = jnp.max(
+            jnp.where(alive, jnp.sum((locations - win[4]) ** 2, axis=-1), 0.0)
+        )
+        win, srt_bonds = jax.lax.cond(
+            drift2 > (cfg.verlet_skin * 0.5) ** 2,
+            build_window,
+            lambda args: (win, args[1]),
+            (locations, srt_bonds, win[1]),
+        )
+        order, inv, bounds, starts, _, max_run, span_needed = win
+        packed = pack_physics(locations, radii, alive)
+        force_deg, srt_bonds = contact_substep_pallas(
+            packed[order], bounds, srt_bonds, starts,
+            block=block, span=cfg.jkr_span, radius=bio.jkr_radius,
+            adhesion_const=bio.adhesion_const, poisson=bio.poisson,
+            youngs=bio.youngs, break_d=bio.jkr_break_d,
+            interpret=cfg.pallas_interpret,
+        )
+        force_deg_slot = force_deg[inv]
+        jkr_forces = force_deg_slot[:, :3]
+        max_degree = jnp.max(force_deg_slot[:, 3]).astype(jnp.int32)
+        locations = stokes_integrate(
+            locations, radii, jkr_forces, motility, alive, bio.stokes, size, dt,
+        )
+        return (locations, srt_bonds, win), (max_run, max_degree, span_needed)
+
+    (locations, srt_bonds, final_win), (j_bins, j_degs, j_spans) = jax.lax.scan(
+        substep, (arrays["locations"], init_srt_bonds, init_win), dts
+    )
+    # bonds back to slot space
+    partners_slot = srt_bonds[final_win[1]]
+    bonds = BondState(
+        partners=jnp.maximum(partners_slot, 0).astype(jnp.int32),
+        mask=partners_slot >= 0,
+    )
+    return locations, bonds, j_bins, j_degs, j_spans
 
 
 @functools.lru_cache(maxsize=32)
@@ -432,21 +535,29 @@ class HipscEngine:
         enable_growth: bool = False,
         enable_stochastic: bool = False,
         enable_diff_surround: bool = False,
+        use_pallas: Optional[bool] = None,
     ):
         self.gen = gen
         self.xp = xp
         self.bio = bio or BiologyParams()
         self.diff = diff
         if cfg is None:
+            two_d = gen.size[2] == 0
+            if use_pallas is None:
+                # the fused contact kernel is TPU-only (Mosaic) and 2D-only
+                use_pallas = two_d and jax.default_backend() == "tpu"
             n0 = gen.num_to_start + xp.num_gata6
+            capacity = max(_round_up(int(n0 * 1.5), 128), 256)
             cfg = EngineConfig.create(
                 gen.size,
-                capacity=max(_round_up(int(n0 * 1.5), 128), 256),
+                capacity=capacity,
                 bio=self.bio,
                 enable_diffusion=enable_diffusion,
                 enable_growth=enable_growth,
                 enable_stochastic=enable_stochastic,
                 enable_diff_surround=enable_diff_surround,
+                use_pallas=bool(use_pallas) and two_d,
+                jkr_span=min(512, capacity),
             )
         self.cfg = cfg
         self._compiled = {}
@@ -574,10 +685,15 @@ class HipscEngine:
         if int(info.num_deferred) > 0:
             capacity = _round_up(capacity * 2, 128)
             changed = True
+        jkr_span = cfg.jkr_span
+        if cfg.use_pallas and int(info.jkr_span_needed) > jkr_span:
+            jkr_span = min(_round_up(int(info.jkr_span_needed) * 1.25, 128), capacity)
+            changed = True
         if not changed:
             return None
         self.cfg = dataclasses.replace(
-            cfg, nbr_spec=nbr_spec, jkr_spec=jkr_spec, bond_cap=bond_cap, capacity=capacity
+            cfg, nbr_spec=nbr_spec, jkr_spec=jkr_spec, bond_cap=bond_cap,
+            capacity=capacity, jkr_span=min(jkr_span, capacity),
         )
         return self.repad_state(state, self.cfg)
 

@@ -124,22 +124,44 @@ def build_grid(spec: GridSpec, locations: jnp.ndarray, alive: jnp.ndarray) -> Gr
     )
 
 
-def _run_windows(spec: GridSpec, grid: Grid):
-    """Shared stencil-run probe: per-agent sorted-position windows.
+def _bin_table(spec: GridSpec, sorted_flat: jnp.ndarray) -> jnp.ndarray:
+    """Bin-start table by histogram + exclusive cumsum: ``table[b]`` = number
+    of live agents in bins < b = the sorted position where bin b starts. Two
+    O(C) table gathers per run beat a binary search (``searchsorted`` costs
+    log2(C) rounds of gathers on TPU)."""
+    counts_per_bin = jnp.zeros((spec.num_bins + 1,), dtype=jnp.int32).at[
+        sorted_flat
+    ].add(1, mode="drop")
+    return jnp.cumsum(counts_per_bin) - counts_per_bin  # exclusive prefix sum
 
-    Run bounds come from a bin-start table built by histogram + exclusive
-    cumsum (``table[b]`` = number of live agents in bins < b = the sorted
-    position where bin b starts). Two O(C) table gathers per run beat a
-    binary search: ``searchsorted`` costs log2(C) rounds of gathers on TPU.
-    """
+
+def sorted_run_bounds(spec: GridSpec, grid: Grid) -> jnp.ndarray:
+    """(C, 8) int32 absolute run bounds [s0,e0,s1,e1,s2,e2,0,0] per *sorted*
+    row — the layout the Pallas contact kernel consumes. 2D only (3 runs).
+
+    Computed arithmetically from the sorted flat ids (row-major layout means
+    the run for x-offset dx starts at flat id ``f + dx*ny - 1``), so no
+    coordinate gathers are needed."""
+    assert spec.two_d, "sorted_run_bounds currently supports 2D lattices"
+    table = _bin_table(spec, grid.sorted_flat)
+    f = grid.sorted_flat
+    cols = []
+    for (dx,) in spec.run_offsets:
+        lo = jnp.clip(f + dx * spec.ny - 1, 0, spec.num_bins - 3)
+        cols.append(table[lo])
+        cols.append(table[lo + 3])
+    zero = jnp.zeros_like(cols[0])
+    cols += [zero, zero]
+    return jnp.stack(cols, axis=1).astype(jnp.int32)
+
+
+def _run_windows(spec: GridSpec, grid: Grid):
+    """Shared stencil-run probe: per-agent sorted-position windows."""
     capacity = grid.order.shape[0]
     k = jnp.arange(spec.run_cap, dtype=jnp.int32)
     coords = grid.coords
 
-    counts_per_bin = jnp.zeros((spec.num_bins + 1,), dtype=jnp.int32).at[
-        grid.sorted_flat
-    ].add(1, mode="drop")
-    table = jnp.cumsum(counts_per_bin) - counts_per_bin  # exclusive prefix sum
+    table = _bin_table(spec, grid.sorted_flat)
 
     starts = []
     counts = []

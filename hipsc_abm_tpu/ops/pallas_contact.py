@@ -1,0 +1,259 @@
+"""Pallas TPU kernel: fused JKR contact substep over sorted span DMA.
+
+XLA's gather is the bottleneck of the windowed physics path (~45 ns per
+gathered index on v5e — per-index overhead, not bandwidth). This kernel
+removes every gather from the substep hot loop:
+
+- agents are processed in **sorted (grid) order**, in blocks of B rows;
+- a block's stencil candidates live in 3 contiguous sorted spans (one per
+  3-bin run — see ``ops.neighbors``); each span is DMA'd from HBM into VMEM
+  as a lane-contiguous (8, S) tile of the field-major sorted pack, replacing
+  the (C, W, 8) gather. Span starts are rounded down to the 128-lane tile
+  boundary; the extra candidates are rejected by the per-row interval masks;
+- per-row candidate masks come from absolute-position interval tests against
+  the row's run bounds (pure VPU compares);
+- bond membership (slot-id compare against the row's K partners) and
+  first-K bond compaction (prefix-sum + select-reduce) run in-kernel,
+  replacing the (C, W, K) broadcast and the one-hot MXU contraction.
+
+The kernel computes exactly the same physics as ``ops.jkr.jkr_substep``
+(same eligibility rule: fresh contact within the search radius OR an existing
+bond, force while the nondimensional overlap stays above the break
+threshold); equivalence is tested in ``tests/test_pallas.py`` in interpreter
+mode and against the XLA path on real hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FIELDS = 8  # pack fields: [x, y, z, radius, slot, alive, 0, 0]
+NO_BOND = -1.0
+_ALIGN = 128  # lane-tile alignment for span starts
+
+
+def _prefix_sum_lanes(v: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the lane axis (Mosaic has no cumsum)."""
+    width = v.shape[1]
+    shift = 1
+    while shift < width:
+        v = v + jnp.pad(v, ((0, 0), (shift, 0)))[:, :width]
+        shift *= 2
+    return v
+
+
+def _contact_kernel(
+    # scalar prefetch
+    span_starts_ref,  # (nblocks, 4) int32 — 128-aligned per-run span starts
+    # VMEM blocks
+    rows_ref,  # (B, 8) f32 — this block's sorted pack rows
+    bounds_ref,  # (B, 8) i32 — per-row absolute run bounds [s0,e0,s1,e1,s2,e2,..]
+    bonds_ref,  # (B, K) f32 — partner slot ids, NO_BOND empty
+    # HBM
+    hbm_packT_ref,  # (8, C) f32 — field-major sorted pack (span DMA source)
+    # outputs
+    out_force_ref,  # (B, 8) f32 — [fx, fy, fz, degree, 0...]
+    out_bonds_ref,  # (B, K) f32 — new partner slot ids, NO_BOND empty
+    # scratch
+    span_ref,  # (3, 8, S) f32 — one slot per stencil run
+    sems,  # DMA semaphores (3,)
+    *,
+    S: int,
+    K: int,
+    radius: float,
+    adhesion_const: float,
+    poisson: float,
+    youngs: float,
+    break_d: float,
+):
+    i = pl.program_id(0)
+    B = rows_ref.shape[0]
+
+    # --- DMA the three candidate spans (replaces the XLA window gather) ---
+    def dma(r):
+        start = pl.multiple_of(span_starts_ref[i, r], _ALIGN)
+        return pltpu.make_async_copy(
+            hbm_packT_ref.at[:, pl.ds(start, S)],
+            span_ref.at[r],
+            sems.at[r],
+        )
+
+    for r in range(3):
+        dma(r).start()
+    for r in range(3):
+        dma(r).wait()
+
+    x = rows_ref[:, 0:1]
+    y = rows_ref[:, 1:2]
+    z = rows_ref[:, 2:3]
+    rad = rows_ref[:, 3:4]
+    slot = rows_ref[:, 4:5]
+    row_alive = rows_ref[:, 5:6] > 0.0
+
+    e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
+    r2 = jnp.float32(radius * radius)
+
+    fx = jnp.zeros((B, 1), jnp.float32)
+    fy = jnp.zeros((B, 1), jnp.float32)
+    fz = jnp.zeros((B, 1), jnp.float32)
+    degree = jnp.zeros((B, 1), jnp.float32)
+    count_so_far = jnp.zeros((B, 1), jnp.int32)
+    part_sum = [jnp.zeros((B, 1), jnp.float32) for _ in range(K)]
+    part_present = [jnp.zeros((B, 1), jnp.float32) for _ in range(K)]
+
+    for r in range(3):
+        span = span_ref[r]  # (8, S)
+        cand_x = span[0:1, :]
+        cand_y = span[1:2, :]
+        cand_z = span[2:3, :]
+        cand_rad = span[3:4, :]
+        cand_slot = span[4:5, :]
+
+        abs_pos = span_starts_ref[i, r] + jax.lax.broadcasted_iota(
+            jnp.int32, (1, S), 1
+        )
+        lo = bounds_ref[:, 2 * r : 2 * r + 1]
+        hi = bounds_ref[:, 2 * r + 1 : 2 * r + 2]
+        in_run = (abs_pos >= lo) & (abs_pos < hi)  # (B, S)
+
+        dx = x - cand_x
+        dy = y - cand_y
+        dz = z - cand_z
+        dist2 = dx * dx + dy * dy + dz * dz
+        pair_ok = in_run & (cand_slot != slot) & row_alive
+
+        bonded = jnp.zeros_like(pair_ok)
+        for k in range(K):
+            bonded |= cand_slot == bonds_ref[:, k : k + 1]
+        eligible = pair_ok & ((dist2 <= r2) | bonded)
+
+        # JKR pair law (cell_backend.py:73-113)
+        mag = jnp.sqrt(dist2)
+        overlap = (rad + cand_rad - mag) / 1e6
+        r_hat = (rad * cand_rad) / (1e6 * jnp.maximum(rad + cand_rad, 1e-12))
+        overlap_scale = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * jnp.power(
+            r_hat, 1.0 / 3.0
+        )
+        d = overlap / jnp.maximum(overlap_scale, 1e-30)
+        survive = d > break_d
+        f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+        fmag = f * (math.pi * adhesion_const) * r_hat
+
+        keep = eligible & survive
+        safe_mag = jnp.where(mag > 0, mag, 1.0)
+        w = jnp.where(keep & (mag > 0), fmag / safe_mag, 0.0)
+
+        fx += jnp.sum(w * dx, axis=1, keepdims=True)
+        fy += jnp.sum(w * dy, axis=1, keepdims=True)
+        fz += jnp.sum(w * dz, axis=1, keepdims=True)
+        degree += jnp.sum(keep.astype(jnp.float32), axis=1, keepdims=True)
+
+        # first-K compaction, continuing the running per-row bond count
+        dest = _prefix_sum_lanes(keep.astype(jnp.int32)) - 1 + count_so_far
+        for k in range(K):
+            sel = keep & (dest == k)
+            part_sum[k] += jnp.sum(jnp.where(sel, cand_slot, 0.0), axis=1, keepdims=True)
+            part_present[k] += jnp.sum(sel.astype(jnp.float32), axis=1, keepdims=True)
+        count_so_far += jnp.sum(keep.astype(jnp.int32), axis=1, keepdims=True)
+
+    out_force_ref[:] = jnp.concatenate(
+        [fx, fy, fz, degree, jnp.zeros((B, 4), jnp.float32)], axis=1
+    )
+    out_bonds_ref[:] = jnp.concatenate(
+        [jnp.where(part_present[k] > 0, part_sum[k], NO_BOND) for k in range(K)],
+        axis=1,
+    )
+
+
+def contact_substep_pallas(
+    srt_pack: jnp.ndarray,  # (C, 8) f32 sorted pack rows
+    bounds: jnp.ndarray,  # (C, 8) int32 absolute run bounds per sorted row
+    srt_bonds: jnp.ndarray,  # (C, K) f32 partner slot ids (NO_BOND empty)
+    span_starts: jnp.ndarray,  # (nblocks, 4) int32, 128-aligned
+    *,
+    block: int,
+    span: int,
+    radius: float,
+    adhesion_const: float,
+    poisson: float,
+    youngs: float,
+    break_d: float,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the fused contact kernel. Returns ``(force_deg (C, 8), new_bonds
+    (C, K))`` in sorted-row order; lane 3 of the force output is the per-row
+    kept-bond degree (overflow probe)."""
+    C = srt_pack.shape[0]
+    K = srt_bonds.shape[1]
+    nblocks = C // block
+    assert C % block == 0, (C, block)
+    assert span % _ALIGN == 0 or span == C, (span, C)
+
+    kernel = functools.partial(
+        _contact_kernel,
+        S=span,
+        K=K,
+        radius=radius,
+        adhesion_const=adhesion_const,
+        poisson=poisson,
+        youngs=youngs,
+        break_d=break_d,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((block, FIELDS), lambda i, s: (i, 0)),
+            pl.BlockSpec((block, 8), lambda i, s: (i, 0)),
+            pl.BlockSpec((block, K), lambda i, s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # field-major pack
+        ],
+        out_specs=[
+            pl.BlockSpec((block, 8), lambda i, s: (i, 0)),
+            pl.BlockSpec((block, K), lambda i, s: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, FIELDS, span), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    force_deg, new_bonds = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C, 8), jnp.float32),
+            jax.ShapeDtypeStruct((C, K), jnp.float32),
+        ],
+        interpret=interpret,
+    )(span_starts, srt_pack, bounds, srt_bonds, srt_pack.T)
+    return force_deg, new_bonds
+
+
+def block_span_starts(
+    bounds: jnp.ndarray, block: int, span: int, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-block 128-aligned span starts (min over the block's rows of each
+    run start, rounded down to the lane tile), clipped so spans stay
+    in-array, plus the required-span probe (grow ``span`` and re-execute when
+    it exceeds the static cap)."""
+    nblocks = bounds.shape[0] // block
+    b = bounds.reshape(nblocks, block, 8)
+    max_start = max(capacity - span, 0) // _ALIGN * _ALIGN
+    starts = []
+    need = []
+    for r in range(3):
+        lo = (jnp.min(b[:, :, 2 * r], axis=1) // _ALIGN) * _ALIGN
+        lo = jnp.clip(lo, 0, max_start)
+        hi = jnp.max(b[:, :, 2 * r + 1], axis=1)
+        starts.append(lo)
+        need.append(hi - lo)
+    starts.append(jnp.zeros_like(starts[0]))
+    span_needed = jnp.max(jnp.stack(need))
+    return jnp.stack(starts, axis=1).astype(jnp.int32), span_needed

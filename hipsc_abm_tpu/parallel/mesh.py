@@ -71,6 +71,7 @@ class ShardedHipscEngine(HipscEngine):
     """
 
     def __init__(self, *args, mesh: Optional[Mesh] = None, **kwargs):
+        kwargs.setdefault("use_pallas", False)  # kernel is single-chip for now
         super().__init__(*args, **kwargs)
         self.mesh = mesh or make_mesh()
         # keep capacity divisible by the mesh for even sharding
@@ -94,7 +95,7 @@ class ShardedHipscEngine(HipscEngine):
                 shardings = state_shardings(state, self.mesh)
                 from hipsc_abm_tpu.engine import StepInfo
 
-                info_shardings = StepInfo(*([NamedSharding(self.mesh, P())] * 7))
+                info_shardings = StepInfo(*([NamedSharding(self.mesh, P())] * len(StepInfo._fields)))
                 return jax.jit(
                     run,
                     in_shardings=(shardings,),

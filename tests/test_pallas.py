@@ -1,0 +1,161 @@
+"""Pallas fused contact kernel vs the XLA jkr_substep path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hipsc_abm_tpu.models.params import BiologyParams
+from hipsc_abm_tpu.ops import neighbors as nbr
+from hipsc_abm_tpu.ops.jkr import BondState, jkr_substep, pack_physics
+from hipsc_abm_tpu.ops.pallas_contact import (
+    NO_BOND,
+    block_span_starts,
+    contact_substep_pallas,
+)
+
+BIO = BiologyParams()
+BOX = (300.0, 300.0, 0.0)
+CELL = BIO.jkr_radius + 2 * BIO.jkr_break_band + 2.0  # engine's jkr bin size
+
+
+def build_inputs(rng, C=256, n=230, bond_cap=8, seed_bonds=False):
+    locs = np.zeros((C, 3), np.float32)
+    locs[:n] = rng.random((n, 3)).astype(np.float32) * np.asarray(BOX, np.float32)
+    locs[:, 2] = 0.0
+    radii = np.full(C, 5.0, np.float32)
+    alive = np.zeros(C, bool)
+    alive[:n] = True
+
+    spec = nbr.GridSpec.from_box(BOX, CELL, run_cap=64)
+    grid = nbr.build_grid(spec, jnp.asarray(locs), jnp.asarray(alive))
+    packed = pack_physics(jnp.asarray(locs), jnp.asarray(radii), jnp.asarray(alive))
+
+    bonds = BondState.empty(C, bond_cap)
+    if seed_bonds:
+        # bond every close pair (run one XLA substep to produce a bond state)
+        g2, pos, valid, _ = nbr.sorted_window(spec, jnp.asarray(locs), jnp.asarray(alive))
+        _, bonds, _ = jkr_substep(
+            bonds, packed, g2.order, pos, valid, BIO.jkr_radius,
+            BIO.adhesion_const, BIO.poisson, BIO.youngs, BIO.jkr_break_d,
+        )
+    return locs, radii, alive, spec, grid, packed, bonds
+
+
+def run_xla(spec, locs, alive, packed, bonds):
+    grid, pos, valid, _ = nbr.sorted_window(spec, jnp.asarray(locs), jnp.asarray(alive))
+    return jkr_substep(
+        bonds, packed, grid.order, pos, valid, BIO.jkr_radius,
+        BIO.adhesion_const, BIO.poisson, BIO.youngs, BIO.jkr_break_d,
+    )
+
+
+def run_pallas(spec, grid, packed, bonds, block=64):
+    C = packed.shape[0]
+    order = grid.order
+    srt_pack = packed[order]
+    bounds = nbr.sorted_run_bounds(spec, grid)
+    # bonds in sorted-row order, NO_BOND padding
+    partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
+    srt_bonds = partners_f[order]
+
+    starts, span_needed = block_span_starts(bounds, block, span=C, capacity=C)
+    span = min(int(((int(span_needed) + 127) // 128) * 128), C)
+    starts, _ = block_span_starts(bounds, block, span=span, capacity=C)
+
+    force_deg, new_bonds_srt = contact_substep_pallas(
+        srt_pack, bounds, srt_bonds, starts,
+        block=block, span=span, radius=BIO.jkr_radius,
+        adhesion_const=BIO.adhesion_const, poisson=BIO.poisson,
+        youngs=BIO.youngs, break_d=BIO.jkr_break_d, interpret=True,
+    )
+    # unsort to slot rows
+    inv = jnp.zeros((C,), jnp.int32).at[order].set(jnp.arange(C, dtype=jnp.int32))
+    return force_deg[inv], new_bonds_srt[inv]
+
+
+@pytest.mark.parametrize("seed_bonds", [False, True])
+def test_kernel_matches_xla_substep(rng, seed_bonds):
+    locs, radii, alive, spec, grid, packed, bonds = build_inputs(
+        rng, seed_bonds=seed_bonds
+    )
+    f_xla, b_xla, deg_xla = run_xla(spec, locs, alive, packed, bonds)
+    fd_pal, b_pal = run_pallas(spec, grid, packed, bonds)
+
+    np.testing.assert_allclose(
+        np.asarray(fd_pal[:, :3]), np.asarray(f_xla), rtol=1e-4, atol=1e-13
+    )
+    # same bond sets per agent (order within the list may differ)
+    exp = np.where(np.asarray(b_xla.mask), np.asarray(b_xla.partners), -1)
+    got = np.asarray(b_pal).astype(np.int64)
+    for i in range(got.shape[0]):
+        assert set(got[i][got[i] >= 0].tolist()) == set(exp[i][exp[i] >= 0].tolist()), i
+    # degree probe agrees (the (C, K) matrix truncates at K; the probe is the
+    # true count used by the host to grow K)
+    K = b_xla.partners.shape[1]
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(fd_pal[:, 3]).astype(int), K),
+        np.asarray(jnp.sum(b_xla.mask, axis=1)).astype(int),
+    )
+
+
+def test_bond_persistence_through_kernel(rng):
+    """A pre-existing bond beyond the search radius still exerts force."""
+    C = 64
+    locs = np.zeros((C, 3), np.float32)
+    locs[0] = [100.0, 100.0, 0.0]
+    locs[1] = [110.2, 100.0, 0.0]  # outside search radius 10, inside break
+    radii = np.full(C, 5.0, np.float32)
+    alive = np.zeros(C, bool)
+    alive[:2] = True
+
+    spec = nbr.GridSpec.from_box(BOX, CELL, run_cap=16)
+    grid = nbr.build_grid(spec, jnp.asarray(locs), jnp.asarray(alive))
+    packed = pack_physics(jnp.asarray(locs), jnp.asarray(radii), jnp.asarray(alive))
+
+    no_bonds = BondState.empty(C, 8)
+    f0, _ = run_pallas(spec, grid, packed, no_bonds)
+    np.testing.assert_allclose(np.asarray(f0[:, :3]), 0.0)
+
+    bonded = BondState(
+        partners=no_bonds.partners.at[0, 0].set(1).at[1, 0].set(0),
+        mask=no_bonds.mask.at[0, 0].set(True).at[1, 0].set(True),
+    )
+    f1, b1 = run_pallas(spec, grid, packed, bonded)
+    assert float(f1[0, 0]) > 0  # adhesion pulls toward the partner at +x
+    assert float(f1[1, 0]) < 0
+    assert int(b1[0, 0]) == 1 and int(b1[1, 0]) == 0  # bond survives
+
+
+def test_engine_pallas_matches_xla(rng):
+    """Full fused steps: Pallas engine (interpret mode) == XLA engine."""
+    from hipsc_abm_tpu.engine import HipscEngine
+    from hipsc_abm_tpu.models.params import ExperimentalParams, GeneralParams
+    import dataclasses
+
+    gen = GeneralParams(num_to_start=150, end_step=3, size=(300.0, 300.0, 0.0))
+    xp = ExperimentalParams(num_gata6=16, dox_step=2)
+    eng_x = HipscEngine(gen, xp, use_pallas=False)
+    eng_p = HipscEngine(gen, xp, use_pallas=True)
+    eng_p.cfg = dataclasses.replace(eng_p.cfg, pallas_interpret=True)
+
+    s_x = eng_x.init_state(seed=3)
+    s_p = eng_p.init_state(seed=3)
+    for _ in range(2):
+        s_x, _ = eng_x.safe_step(s_x)
+        s_p, _ = eng_p.safe_step(s_p)
+
+    np.testing.assert_array_equal(np.asarray(s_x.alive), np.asarray(s_p.alive))
+    np.testing.assert_allclose(
+        np.asarray(s_x.arrays["locations"]), np.asarray(s_p.arrays["locations"]),
+        atol=2e-5,
+    )
+    for name in ("GATA6", "NANOG", "states", "div_counters", "death_counters"):
+        np.testing.assert_array_equal(
+            np.asarray(s_x.arrays[name]), np.asarray(s_p.arrays[name]), err_msg=name
+        )
+    # bond graphs agree as sets
+    bx = np.where(np.asarray(s_x.bonds.mask), np.asarray(s_x.bonds.partners), -1)
+    bp = np.where(np.asarray(s_p.bonds.mask), np.asarray(s_p.bonds.partners), -1)
+    for i in range(bx.shape[0]):
+        assert set(bx[i][bx[i] >= 0]) == set(bp[i][bp[i] >= 0]), i

@@ -1,0 +1,86 @@
+"""TPU timing harness: Pallas fused contact path vs the XLA substep."""
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_tpu")
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from hipsc_abm_tpu.engine import HipscEngine
+from hipsc_abm_tpu.models.params import BiologyParams, ExperimentalParams, GeneralParams
+from hipsc_abm_tpu.ops import neighbors as nbr
+from hipsc_abm_tpu.ops.jkr import jkr_substep, pack_physics
+from hipsc_abm_tpu.ops.pallas_contact import (
+    NO_BOND,
+    block_span_starts,
+    contact_substep_pallas,
+)
+
+BIO = BiologyParams()
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+gen = GeneralParams(num_to_start=n, end_step=10, size=(2000.0, 2000.0, 0.0))
+xp = ExperimentalParams(num_gata6=n // 10, dox_step=5)
+eng = HipscEngine(gen, xp)
+s = eng.init_state(0)
+for _ in range(2):
+    s, _ = eng.safe_step(s)
+float(jnp.sum(s.arrays["locations"]))
+C = eng.cfg.capacity
+spec = eng.cfg.jkr_spec
+locs, radii, alive = s.arrays["locations"], s.arrays["radii"], s.alive
+bonds = s.bonds
+BLOCK = 128
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def pallas_path(locs, radii, alive, bonds, span):
+    grid = nbr.build_grid(spec, locs, alive)
+    packed = pack_physics(locs, radii, alive)
+    srt_pack = packed[grid.order]
+    bounds = nbr.sorted_run_bounds(spec, grid)
+    partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
+    srt_bonds = partners_f[grid.order]
+    starts, need = block_span_starts(bounds, BLOCK, span=span, capacity=C)
+    fd, nb = contact_substep_pallas(
+        srt_pack, bounds, srt_bonds, starts,
+        block=BLOCK, span=span, radius=BIO.jkr_radius,
+        adhesion_const=BIO.adhesion_const, poisson=BIO.poisson,
+        youngs=BIO.youngs, break_d=BIO.jkr_break_d,
+    )
+    inv = jnp.zeros((C,), jnp.int32).at[grid.order].set(jnp.arange(C, dtype=jnp.int32))
+    return fd[inv], nb[inv], need
+
+
+grid = nbr.build_grid(spec, locs, alive)
+bounds = nbr.sorted_run_bounds(spec, grid)
+_, need = block_span_starts(bounds, BLOCK, span=min(C, 4096), capacity=C)
+SPAN = int((int(need) + 127) // 128 * 128)
+print("span needed:", int(need), "-> S =", SPAN)
+
+fd, nb, _ = pallas_path(locs, radii, alive, bonds, SPAN)
+float(jnp.sum(fd))
+t0 = time.perf_counter()
+for _ in range(20):
+    fd, nb, _ = pallas_path(locs, radii, alive, bonds, SPAN)
+float(jnp.sum(fd))
+print("pallas full path (incl sort+bounds+unsort):",
+      round((time.perf_counter() - t0) / 20 * 1000, 2), "ms")
+
+g2, pos, valid, _ = jax.jit(functools.partial(nbr.sorted_window, spec))(locs, alive)
+packed = pack_physics(locs, radii, alive)
+jk = jax.jit(functools.partial(
+    jkr_substep, radius=BIO.jkr_radius, adhesion_const=BIO.adhesion_const,
+    poisson=BIO.poisson, youngs=BIO.youngs, break_d=BIO.jkr_break_d))
+f_x, b_x, deg = jk(bonds, packed, g2.order, pos, valid)
+t0 = time.perf_counter()
+for _ in range(20):
+    f_x2, b_x2, _ = jk(bonds, packed, g2.order, pos, valid)
+float(jnp.sum(f_x2))
+print("xla substep only (window prebuilt):",
+      round((time.perf_counter() - t0) / 20 * 1000, 2), "ms")
+err = np.abs(np.asarray(fd[:, :3]) - np.asarray(f_x)).max()
+print("max force diff:", err)
