@@ -679,9 +679,15 @@ class HipscEngine:
                 jkr_spec, run_cap=_round_up(int(info.jkr_max_in_bin) * 2, 8)
             )
             changed = True
+        use_pallas = cfg.use_pallas
         if int(info.jkr_max_degree) > bond_cap:
             bond_cap = _round_up(int(info.jkr_max_degree) * 2, 8)
             changed = True
+            if bond_cap > 32 and use_pallas:
+                # the fused kernel's VMEM frame scales with the K-unrolled
+                # bond loops; extreme contact degrees (heavily overlapping
+                # packings) fall back to the XLA path, which handles any K
+                use_pallas = False
         if int(info.num_deferred) > 0:
             capacity = _round_up(capacity * 2, 128)
             changed = True
@@ -694,6 +700,7 @@ class HipscEngine:
         self.cfg = dataclasses.replace(
             cfg, nbr_spec=nbr_spec, jkr_spec=jkr_spec, bond_cap=bond_cap,
             capacity=capacity, jkr_span=min(jkr_span, capacity),
+            use_pallas=use_pallas,
         )
         return self.repad_state(state, self.cfg)
 

@@ -51,7 +51,9 @@ def _prefix_sum_lanes(v: jnp.ndarray) -> jnp.ndarray:
 
 def _contact_kernel(
     # scalar prefetch
-    span_starts_ref,  # (nblocks, 4) int32 — 128-aligned per-run span starts
+    span_starts_ref,  # (4, nblocks) int32 — 128-aligned per-run span starts
+    # (run-major layout: SMEM pads the minor dim to 128 lanes, so the long
+    # block axis must be minor)
     # VMEM blocks
     rows_ref,  # (B, 8) f32 — this block's sorted pack rows
     bounds_ref,  # (B, 8) i32 — per-row absolute run bounds [s0,e0,s1,e1,s2,e2,..]
@@ -78,7 +80,7 @@ def _contact_kernel(
 
     # --- DMA the three candidate spans (replaces the XLA window gather) ---
     def dma(r):
-        start = pl.multiple_of(span_starts_ref[i, r], _ALIGN)
+        start = pl.multiple_of(span_starts_ref[r, i], _ALIGN)
         return pltpu.make_async_copy(
             hbm_packT_ref.at[:, pl.ds(start, S)],
             span_ref.at[r],
@@ -116,7 +118,7 @@ def _contact_kernel(
         cand_rad = span[3:4, :]
         cand_slot = span[4:5, :]
 
-        abs_pos = span_starts_ref[i, r] + jax.lax.broadcasted_iota(
+        abs_pos = span_starts_ref[r, i] + jax.lax.broadcasted_iota(
             jnp.int32, (1, S), 1
         )
         lo = bounds_ref[:, 2 * r : 2 * r + 1]
@@ -176,7 +178,7 @@ def contact_substep_pallas(
     srt_pack: jnp.ndarray,  # (C, 8) f32 sorted pack rows
     bounds: jnp.ndarray,  # (C, 8) int32 absolute run bounds per sorted row
     srt_bonds: jnp.ndarray,  # (C, K) f32 partner slot ids (NO_BOND empty)
-    span_starts: jnp.ndarray,  # (nblocks, 4) int32, 128-aligned
+    span_starts: jnp.ndarray,  # (4, nblocks) int32, 128-aligned
     *,
     block: int,
     span: int,
@@ -256,4 +258,4 @@ def block_span_starts(
         need.append(hi - lo)
     starts.append(jnp.zeros_like(starts[0]))
     span_needed = jnp.max(jnp.stack(need))
-    return jnp.stack(starts, axis=1).astype(jnp.int32), span_needed
+    return jnp.stack(starts, axis=0).astype(jnp.int32), span_needed

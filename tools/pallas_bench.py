@@ -22,7 +22,9 @@ from hipsc_abm_tpu.ops.pallas_contact import (
 
 BIO = BiologyParams()
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
-gen = GeneralParams(num_to_start=n, end_step=10, size=(2000.0, 2000.0, 0.0))
+# box scaled to the reference default density (5k cells / 2000 um square)
+side = 2000.0 * (n / 5000.0) ** 0.5
+gen = GeneralParams(num_to_start=n, end_step=10, size=(side, side, 0.0))
 xp = ExperimentalParams(num_gata6=n // 10, dox_step=5)
 eng = HipscEngine(gen, xp)
 s = eng.init_state(0)
