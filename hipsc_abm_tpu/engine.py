@@ -100,7 +100,7 @@ class EngineConfig:
     # lax.cond rebuilds it. Contacts are always re-tested at the true radius
     # with current positions, so physics is exact; the skin only bounds how
     # long a window provably covers all true contacts.
-    verlet_skin: float = 2.0
+    verlet_skin: float = 6.0
     enable_growth: bool = False  # reference ships these disabled
     enable_stochastic: bool = False  # (cell_simulation.py:98-100);
     enable_diff_surround: bool = False  # config-enabled here
@@ -122,7 +122,7 @@ class EngineConfig:
         nbr_run_cap: int = 16,
         jkr_run_cap: int = 16,
         bond_cap: int = 8,
-        verlet_skin: float = 2.0,
+        verlet_skin: float = 6.0,
         **flags,
     ) -> "EngineConfig":
         return cls(
