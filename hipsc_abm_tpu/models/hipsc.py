@@ -75,6 +75,11 @@ class CellSimulation(Simulation):
         self.diff_growth = bio.diff_growth
 
         self.experimental_params = ExperimentalParams.from_dict(keys)
+        # the three biology methods the reference ships commented out of its
+        # schedule (cell_simulation.py:98-100) are config-enabled here
+        self.enable_growth = bool(keys.get("enable_growth", False))
+        self.enable_stochastic = bool(keys.get("enable_stochastic", False))
+        self.enable_diff_surround = bool(keys.get("enable_diff_surround", False))
         # diffusion is config-enabled (the reference ships it commented out,
         # cell_simulation.py:60-75); optional keys in experimental.yaml
         self.enable_diffusion = bool(keys.get("enable_diffusion", False))
@@ -137,6 +142,9 @@ class CellSimulation(Simulation):
             self.biology_params,
             self.diffusion_params,
             enable_diffusion=self.enable_diffusion,
+            enable_growth=self.enable_growth,
+            enable_stochastic=self.enable_stochastic,
+            enable_diff_surround=self.enable_diff_surround,
         )
 
     def build_state(self) -> None:
