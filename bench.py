@@ -1,23 +1,21 @@
 """Benchmark: full-model steps/sec on one TPU chip.
 
-Workload: the BASELINE.json "10k cells full biology" config — 10,000 cells in
-a 2000x2000 um box (2x the reference default population at its default box),
-running the complete fused step: radius-15 neighbor search, division/death
-slot dynamics, FDS pathway + differentiation, motility, and 11 physics
-substeps of (radius-10 contact search + JKR bond forces + Stokes
-integration). No host outputs (the reference times its compute the same way —
-its data CSV step time includes outputs, but its per-method columns isolate
-compute).
+Headline workload = the driver BASELINE.json metric ("Steps/sec at 100k and
+500k cells (forces+diffusion+fate)"): 100,000 cells at the reference's
+default colony density (5k cells per 2000 um square -> 8944 um box), running
+the complete fused step — radius-15 neighbor search, division/death slot
+dynamics, FDS pathway + differentiation, motility, 11 physics substeps of
+JKR contact (Pallas span-DMA kernel) + Stokes integration, and FTCS morphogen
+diffusion with per-cell release. No host outputs in the timed region.
 
-Baseline: the reference publishes no numbers (BASELINE.md) and its Numba/
-CUDA stack cannot run here (numba and igraph are not installed), so
-``vs_baseline`` is measured against a single-threaded vectorized-numpy
-implementation of the identical step semantics (grid neighbor search via
-numpy sort, full JKR + biology + 11 substeps) running on this host's CPU —
-a *stronger* stand-in than the reference's serial Python loops over igraph
-adjacency (its biology phases are pure-Python per-agent loops,
-cell_methods.py:19-340, which dominate at this scale), and roughly on par
-with its numba prange kernels for the physics.
+Baseline: the reference publishes no numbers (BASELINE.md) and its
+Numba/igraph stack is not installed here, so ``vs_baseline`` is measured
+against a single-threaded vectorized-numpy implementation of the same step
+semantics (grid neighbor search, full JKR pair law, 11 substeps) — a
+*stronger* stand-in than the reference's serial per-agent Python loops
+(cell_methods.py:19-340), roughly on par with its numba prange kernels. The
+proxy is measured at 12,500 cells and scaled linearly to 100k (its grid
+algorithm is O(n); measuring it directly at 100k would take minutes).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -31,20 +29,28 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_tpu")
 
-N_CELLS = 10_000
-BOX = (2000.0, 2000.0, 0.0)
-STEPS_TIMED = 10
+N_CELLS = 100_000
+DENSITY_SIDE = 2000.0 * (N_CELLS / 5000.0) ** 0.5  # reference default density
+PROXY_CELLS = 12_500
+STEPS_TIMED = 8
 
 
 def bench_tpu():
-    import jax
-
     from hipsc_abm_tpu.engine import HipscEngine
-    from hipsc_abm_tpu.models.params import ExperimentalParams, GeneralParams
+    from hipsc_abm_tpu.models.params import (
+        DiffusionParams,
+        ExperimentalParams,
+        GeneralParams,
+    )
 
-    gen = GeneralParams(num_to_start=N_CELLS, end_step=200, size=BOX)
+    gen = GeneralParams(
+        num_to_start=N_CELLS, end_step=200, size=(DENSITY_SIDE, DENSITY_SIDE, 0.0)
+    )
     xp = ExperimentalParams(num_gata6=N_CELLS // 10, dox_step=5)
-    eng = HipscEngine(gen, xp)
+    diff = DiffusionParams(spat_res=20.0, diffuse_dt=6.0, diffuse_const=2.0,
+                           max_concentration=2.0, degradation=0.1,
+                           release_amount=0.01)
+    eng = HipscEngine(gen, xp, diff=diff, enable_diffusion=True)
     state = eng.init_state(seed=0)
 
     # warmup: trigger compile + any capacity growth
@@ -97,20 +103,15 @@ def _numpy_neighbors(locs, radius):
     return np.concatenate(pairs_i), np.concatenate(pairs_j)
 
 
-def _numpy_step(locs, radii, rng):
+def _numpy_step(locs, radii, rng, box):
     """One reference-equivalent step: biology bookkeeping + 11 physics
-    substeps (JKR + Stokes). Biology arrays are carried but the timing is
-    dominated by the physics loop, as in the reference."""
+    substeps (JKR + Stokes)."""
     import math
 
     n = len(locs)
-    # neighbor graph (radius 15) + per-agent counts
     i15, j15 = _numpy_neighbors(locs, 15.0)
     counts = np.bincount(i15, minlength=n) + np.bincount(j15, minlength=n)
-    # division/death/pathway/differentiate bookkeeping (vectorized stand-in)
-    div = rng.integers(0, 2, n)
-    _ = counts < 2
-    _ = div
+    _ = rng.integers(0, 2, n)  # division clocks
     motility = np.zeros((n, 3))
     free = counts < 6
     theta = rng.random(n) * 2 * math.pi
@@ -136,25 +137,27 @@ def _numpy_step(locs, radii, rng):
         np.add.at(forces, jj, -fmag[:, None] * normal)
         friction = 6 * math.pi * stokes * (radii / 1e6)
         vel = (forces + motility) / friction[:, None]
-        locs = np.clip(locs + 180.0 * vel * 1e6, 0.0, np.array([BOX[0], BOX[1], 0.0]))
+        locs = np.clip(locs + 180.0 * vel * 1e6, 0.0, np.array([box, box, 0.0]))
     return locs
 
 
 def bench_numpy_proxy():
     rng = np.random.default_rng(0)
-    locs = rng.random((N_CELLS, 3)) * np.asarray(BOX)
-    radii = np.full(N_CELLS, 5.0)
-    _numpy_step(locs, radii, rng)  # warm caches
+    box = 2000.0 * (PROXY_CELLS / 5000.0) ** 0.5  # same density as the TPU run
+    locs = rng.random((PROXY_CELLS, 3)) * np.array([box, box, 0.0])
+    radii = np.full(PROXY_CELLS, 5.0)
+    _numpy_step(locs, radii, rng, box)  # warm caches
     t0 = time.perf_counter()
-    _numpy_step(locs, radii, rng)
-    return 1.0 / (time.perf_counter() - t0)
+    _numpy_step(locs, radii, rng, box)
+    proxy_sps = 1.0 / (time.perf_counter() - t0)
+    return proxy_sps * PROXY_CELLS / N_CELLS  # linear-in-n scaling to 100k
 
 
 if __name__ == "__main__":
     tpu_sps = bench_tpu()
     proxy_sps = bench_numpy_proxy()
     print(json.dumps({
-        "metric": f"steps_per_sec_{N_CELLS // 1000}k_cells_full_model",
+        "metric": f"steps_per_sec_{N_CELLS // 1000}k_cells_forces_diffusion_fate",
         "value": round(tpu_sps, 3),
         "unit": "steps/sec",
         "vs_baseline": round(tpu_sps / proxy_sps, 2),
