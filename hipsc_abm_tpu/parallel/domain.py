@@ -9,11 +9,11 @@ ring attention, applied to space instead of sequence).
 
 This module provides the decomposed force pipeline:
 
-- ``stripe_of``: stripe assignment by x-coordinate;
-- ``exchange_halos``: shard_map body that ppermutes each stripe's boundary
-  band to its neighbors;
-- ``domain_forces``: per-device brute-band contact forces over
-  (local + halo) agents — validated against the global engine in
+- ``stripe_of`` / ``partition_by_stripe``: stripe assignment and the
+  stripe-major (n_stripes, per_stripe) slot layout;
+- ``domain_forces``: shard_map body that ppermutes each stripe's boundary
+  band to its neighbors and reduces contact forces over (local + halo)
+  agents — validated against a global all-pairs oracle in
   ``tests/test_domain.py`` on the virtual 8-device CPU mesh.
 
 The agent-sharded GSPMD path (``parallel.mesh``) remains the default
@@ -25,14 +25,12 @@ O(boundary) instead of O(C).
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from hipsc_abm_tpu.models.params import BiologyParams

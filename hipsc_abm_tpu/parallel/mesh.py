@@ -20,7 +20,6 @@ without a pod.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
