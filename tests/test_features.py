@@ -115,3 +115,58 @@ def test_golden_run_distributional():
     assert (locs >= 0).all() and (locs[:, :2] <= 600.0).all()
     # GATA6-high seeded cells progress toward differentiation after dox
     assert (states == 1).sum() >= n_diff_before_dox
+
+
+def test_three_d_cell_simulation(tmp_path, monkeypatch):
+    """Full model class in a 3D box (engine auto-selects the XLA path)."""
+    tdir = tmp_path / "templates"
+    tdir.mkdir()
+    (tdir / "general.yaml").write_text(yaml.dump({
+        "num_to_start": 50, "cuda": False, "end_step": 2,
+        "size": [150, 150, 150], "output_values": True, "output_images": True,
+        "record_initial_step": False, "image_quality": 80, "video_quality": 60,
+        "fps": 5, "seed": 0,
+    }))
+    (tdir / "experimental.yaml").write_text(yaml.dump({
+        "num_gata6": 5, "output_tda": True, "output_gradients": False,
+        "group": 0, "dox_step": 1, "guye_move": True, "lonely_thresh": 2,
+        "color_mode": False,  # exercise the FDS color palette too
+    }))
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "outputs"
+    out.mkdir()
+
+    from hipsc_abm_tpu.models.hipsc import CellSimulation
+
+    sim = CellSimulation.start(str(out) + os.sep, argv=["-n", "d3", "-m", "0"])
+    assert not sim.engine.cfg.use_pallas  # 3D -> XLA path
+    locs = np.asarray(sim.locations)
+    assert (locs[:, 2] >= 0).all() and (locs[:, 2] <= 150).all()
+    assert np.ptp(locs[:, 2]) > 0  # motion uses z
+    assert os.path.isfile(out / "d3" / "d3_images" / "d3_image_2.png")
+
+
+def test_pallas_falls_back_at_extreme_degree():
+    """>32 simultaneous contacts per cell: the engine must flip to the XLA
+    path (whose bond machinery handles any K) instead of compiling a kernel
+    whose VMEM frame would blow up."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    gen = GeneralParams(num_to_start=60, end_step=3, size=(300.0, 300.0, 0.0))
+    xp = ExperimentalParams(num_gata6=0, dox_step=99)
+    eng = HipscEngine(gen, xp, use_pallas=True)
+    eng.cfg = dataclasses.replace(eng.cfg, pallas_interpret=True)
+    # stack all 60 cells within a few microns: every pair is in contact
+    rng = np.random.default_rng(0)
+    locs = np.full((60, 3), 150.0)
+    locs[:, :2] += rng.random((60, 2)) * 4.0
+    locs[:, 2] = 0.0
+    state = eng.init_state(seed=1, locations=locs)
+    state, info = eng.safe_step(state)
+    assert int(info.jkr_max_degree) > 32
+    assert not eng.cfg.use_pallas  # fell back
+    assert eng.cfg.bond_cap >= int(info.jkr_max_degree)
+    locs_out = np.asarray(state.arrays["locations"])[np.asarray(state.alive)]
+    assert np.isfinite(locs_out).all()
