@@ -112,6 +112,7 @@ class EngineConfig:
     pallas_block: int = 128
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
     jkr_span: int = 512  # static DMA span cap (grown on overflow probe)
+    nbr_span: int = 512  # biology-kernel DMA span cap
 
     @classmethod
     def create(
@@ -153,6 +154,7 @@ class StepInfo(NamedTuple):
     jkr_max_in_bin: jnp.ndarray
     jkr_max_degree: jnp.ndarray
     jkr_span_needed: jnp.ndarray  # Pallas DMA span probe (0 on the XLA path)
+    nbr_span_needed: jnp.ndarray  # biology-kernel span probe (0 on XLA path)
 
 
 def _physics_dts(bio: BiologyParams) -> np.ndarray:
@@ -185,43 +187,112 @@ def hipsc_step(
     size = jnp.asarray(gen.size, dtype=arrays["locations"].dtype)
     capacity = alive.shape[0]
 
-    def window_lanes(fields):
-        """Gather per-candidate feature lanes over the biology window with a
-        single wide (C, W, 8) row gather (TPU gathers dominate windowed ops;
-        per-field 1-D gathers are ~5x slower than one packed row gather)."""
-        lanes = [f.astype(jnp.float32).reshape(capacity, -1) for f in fields]
-        pack = jnp.concatenate(lanes, axis=1)
-        pad = -pack.shape[1] % 8
-        if pad:
-            pack = jnp.pad(pack, ((0, 0), (0, pad)))
-        cand = pack[nbr_grid.order][nbr_pos]
-        out = []
-        col = 0
-        for f in fields:
-            w = 1 if f.ndim == 1 else f.shape[1]
-            out.append(cand[..., col] if f.ndim == 1 else cand[..., col : col + w])
-            col += w
-        return out
-
     # --- get_neighbors("neighbor_graph", 15) ---
     # window built from pre-division positions/liveness: this IS the step's
-    # neighbor graph (reference builds it once at the top of the step)
-    nbr_grid, nbr_pos, nbr_valid, nbr_max_in_bin = nbr_ops.sorted_window(
-        cfg.nbr_spec, arrays["locations"], alive
-    )
-    cand_xyz0, cand_alive0, cand_slot_f = window_lanes(
-        [arrays["locations"], alive, jnp.arange(capacity, dtype=jnp.float32)]
-    )
-    delta0 = cand_xyz0 - arrays["locations"][:, None, :]
-    r15 = jnp.float32(bio.neighbor_radius)
-    nbr_mask = (
-        nbr_valid
-        & (cand_slot_f != jnp.arange(capacity, dtype=jnp.float32)[:, None])
-        & (jnp.sum(delta0 * delta0, axis=-1) <= r15 * r15)
-        & (cand_alive0 > 0)
-        & alive[:, None]
-    )
-    nbr_count = nbr_ops.num_neighbors(nbr_mask)
+    # neighbor graph (reference builds it once at the top of the step). The
+    # biology phases consume only neighborhood *moments* (see models.biology);
+    # `bio_moments(curr_loc, f0, f1, f2, alive_now)` returns a (C, 16) moment
+    # table (count, sum f0, sum f0^2, class counts and displacement sums —
+    # layout in ops/pallas_bio.py), computed either by the fused Pallas
+    # reduction kernel or by a windowed-gather XLA fallback.
+    loc0 = arrays["locations"]
+    nbr_span_needed = jnp.zeros((), jnp.int32)
+
+    if cfg.use_pallas:
+        from hipsc_abm_tpu.ops.pallas_bio import bio_reduce_pallas
+        from hipsc_abm_tpu.ops.pallas_contact import block_span_starts
+
+        nbr_grid = nbr_ops.build_grid(cfg.nbr_spec, loc0, alive)
+        nbr_bounds = nbr_ops.sorted_run_bounds(cfg.nbr_spec, nbr_grid)
+        nbr_starts, nbr_span_needed = block_span_starts(
+            nbr_bounds, cfg.pallas_block, cfg.nbr_span, capacity
+        )
+        nbr_max_in_bin = jnp.max(
+            jnp.maximum(
+                nbr_bounds[:, 1] - nbr_bounds[:, 0],
+                jnp.maximum(nbr_bounds[:, 3] - nbr_bounds[:, 2],
+                            nbr_bounds[:, 5] - nbr_bounds[:, 4]),
+            )
+        )
+        nbr_inv = jnp.zeros((capacity,), jnp.int32).at[nbr_grid.order].set(
+            jnp.arange(capacity, dtype=jnp.int32)
+        )
+
+        def bio_moments(curr_loc, f0, f1, f2, alive_now):
+            pack = jnp.concatenate(
+                [
+                    loc0[:, :2],
+                    curr_loc[:, :2],
+                    f0.astype(jnp.float32)[:, None],
+                    f1.astype(jnp.float32)[:, None],
+                    f2.astype(jnp.float32)[:, None],
+                    alive_now.astype(jnp.float32)[:, None],
+                ],
+                axis=1,
+            )
+            out = bio_reduce_pallas(
+                pack[nbr_grid.order], nbr_bounds, nbr_starts,
+                block=cfg.pallas_block, span=cfg.nbr_span,
+                radius=bio.neighbor_radius, interpret=cfg.pallas_interpret,
+            )
+            return out[nbr_inv]
+    else:
+        nbr_grid, nbr_pos, nbr_valid, nbr_max_in_bin = nbr_ops.sorted_window(
+            cfg.nbr_spec, loc0, alive
+        )
+        slot_f = jnp.arange(capacity, dtype=jnp.float32)
+        base_pack = jnp.concatenate(
+            [loc0, slot_f[:, None], alive.astype(jnp.float32)[:, None],
+             jnp.zeros((capacity, 3), jnp.float32)],
+            axis=1,
+        )
+        base_cand = base_pack[nbr_grid.order][nbr_pos]
+        delta0 = base_cand[..., :3] - loc0[:, None, :]
+        r15 = jnp.float32(bio.neighbor_radius)
+        base_mask = (
+            nbr_valid
+            & (base_cand[..., 3] != slot_f[:, None])
+            & (jnp.sum(delta0 * delta0, axis=-1) <= r15 * r15)
+            & (base_cand[..., 4] > 0)
+            & alive[:, None]
+        )
+
+        def bio_moments(curr_loc, f0, f1, f2, alive_now):
+            pack = jnp.concatenate(
+                [
+                    curr_loc,
+                    f0.astype(jnp.float32)[:, None],
+                    f1.astype(jnp.float32)[:, None],
+                    f2.astype(jnp.float32)[:, None],
+                    alive_now.astype(jnp.float32)[:, None],
+                    jnp.zeros((capacity, 1), jnp.float32),
+                ],
+                axis=1,
+            )
+            cand = pack[nbr_grid.order][nbr_pos]  # (C, W, 8)
+            m = base_mask & (cand[..., 6] > 0)
+            mf = m.astype(jnp.float32)
+            cf0 = cand[..., 3]
+            disp = cand[..., :3] - curr_loc[:, None, :]
+            a = mf * (cand[..., 4] > cand[..., 3]).astype(jnp.float32)
+            b = mf * (cand[..., 5] != 0).astype(jnp.float32)
+            return jnp.concatenate(
+                [
+                    jnp.sum(mf, axis=1, keepdims=True),
+                    jnp.sum(mf * cf0, axis=1, keepdims=True),
+                    jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True),
+                    jnp.sum(a, axis=1, keepdims=True),
+                    jnp.sum(a[..., None] * disp, axis=1),  # (C, 3)
+                    jnp.sum(b, axis=1, keepdims=True),
+                    jnp.sum(b[..., None] * disp, axis=1),  # (C, 3)
+                    jnp.zeros((capacity, 5), jnp.float32),
+                ],
+                axis=1,
+            )
+
+    zero_i = jnp.zeros((capacity,), jnp.int32)
+    m1 = bio_moments(loc0, zero_i, zero_i, zero_i, alive)
+    nbr_count = m1[:, 0].astype(jnp.int32)
 
     # --- cell_division ---
     arrays, alive, daughter_mask, num_added, num_deferred = biology.cell_division(
@@ -241,17 +312,18 @@ def hipsc_step(
     bonds = drop_dead_partners(bonds, alive)
 
     # --- cell_pathway ---
-    # one packed gather: candidates' FGF4 plus their post-death liveness
-    # (deaths remove agents from everyone's neighborhood, cell_methods.py:47)
-    cand_FGF4, cand_alive = window_lanes([arrays["FGF4"], alive])
-    nbr_mask = nbr_mask & (cand_alive > 0) & alive[:, None]
+    # neighborhood moments with post-death liveness and post-division
+    # locations (deaths remove agents from everyone's neighborhood,
+    # cell_methods.py:47; daughters have no edges in the step's graph)
+    m2 = bio_moments(arrays["locations"], arrays["FGF4"], zero_i, zero_i, alive)
+    count2 = m2[:, 0].astype(jnp.int32)
     (
         arrays["FGF4"], arrays["FGFR"], arrays["ERK"],
         arrays["GATA6"], arrays["NANOG"], arrays["fds_counters"],
     ) = biology.cell_pathway(
         arrays["FGF4"], arrays["FGFR"], arrays["ERK"], arrays["GATA6"],
-        arrays["NANOG"], arrays["fds_counters"], alive, cand_FGF4, nbr_mask,
-        k_path, current_step, xp, bio,
+        arrays["NANOG"], arrays["fds_counters"], alive, count2, m2[:, 1],
+        m2[:, 2], k_path, current_step, xp, bio,
     )
 
     # --- cell_differentiate ---
@@ -270,10 +342,12 @@ def hipsc_step(
             arrays["GATA6"], arrays["NANOG"], alive, k_stoch, bio
         )
     if cfg.enable_diff_surround:
-        (cand_states_ds,) = window_lanes([arrays["states"]])
+        m_ds = bio_moments(
+            arrays["locations"], zero_i, zero_i, arrays["states"], alive
+        )
         arrays["GATA6"], arrays["NANOG"] = biology.cell_diff_surround(
             arrays["GATA6"], arrays["NANOG"], arrays["states"], alive,
-            cand_states_ds, nbr_mask, bio,
+            m_ds[:, 7].astype(jnp.int32), bio,
         )
     if cfg.enable_diffusion and diff is not None:
         dts = jnp.asarray(diffusion_dts_cached(bio.step_dt, diff.diffuse_dt))
@@ -293,16 +367,19 @@ def hipsc_step(
             )
 
     # --- cell_motility ---
-    # one packed gather of the post-fate candidate features (current GATA6/
-    # NANOG/states and post-division locations, as the reference's serial
-    # loop reads them at motility time)
-    cand_xyz_m, cand_GATA6, cand_NANOG, cand_states = window_lanes(
-        [arrays["locations"], arrays["GATA6"], arrays["NANOG"], arrays["states"]]
+    # post-fate candidate moments (current GATA6/NANOG/states and
+    # post-division locations, as the reference's serial loop reads them at
+    # motility time)
+    m3 = bio_moments(
+        arrays["locations"], arrays["GATA6"], arrays["NANOG"], arrays["states"],
+        alive,
     )
     arrays["motility_forces"] = biology.cell_motility(
         arrays["locations"], arrays["GATA6"], arrays["NANOG"], arrays["states"],
-        arrays["motility_forces"], alive, cand_xyz_m, cand_GATA6, cand_NANOG,
-        cand_states, nbr_mask, k_mot, xp, bio, cfg.two_d,
+        arrays["motility_forces"], alive, count2,
+        m3[:, 3].astype(jnp.int32), m3[:, 4:7],
+        m3[:, 7].astype(jnp.int32), m3[:, 8:11],
+        k_mot, xp, bio, cfg.two_d,
     )
 
     # --- apply_forces: 11 physics substeps (cell_methods.py:386-439) ---
@@ -334,6 +411,7 @@ def hipsc_step(
         jkr_max_in_bin=jnp.max(j_bins),
         jkr_max_degree=jnp.max(j_degs),
         jkr_span_needed=jnp.max(j_span),
+        nbr_span_needed=nbr_span_needed,
     )
     new_state = CellState(
         arrays=arrays,
@@ -558,6 +636,7 @@ class HipscEngine:
                 enable_diff_surround=enable_diff_surround,
                 use_pallas=bool(use_pallas) and two_d,
                 jkr_span=min(512, capacity),
+                nbr_span=min(512, capacity),
             )
         self.cfg = cfg
         self._compiled = {}
@@ -695,12 +774,16 @@ class HipscEngine:
         if cfg.use_pallas and int(info.jkr_span_needed) > jkr_span:
             jkr_span = min(_round_up(int(info.jkr_span_needed) * 1.25, 128), capacity)
             changed = True
+        nbr_span = cfg.nbr_span
+        if cfg.use_pallas and int(info.nbr_span_needed) > nbr_span:
+            nbr_span = min(_round_up(int(info.nbr_span_needed) * 1.25, 128), capacity)
+            changed = True
         if not changed:
             return None
         self.cfg = dataclasses.replace(
             cfg, nbr_spec=nbr_spec, jkr_spec=jkr_spec, bond_cap=bond_cap,
             capacity=capacity, jkr_span=min(jkr_span, capacity),
-            use_pallas=use_pallas,
+            nbr_span=min(nbr_span, capacity), use_pallas=use_pallas,
         )
         return self.repad_state(state, self.cfg)
 

@@ -184,8 +184,9 @@ def cell_pathway(
     NANOG: jnp.ndarray,
     fds_counters: jnp.ndarray,
     alive: jnp.ndarray,
-    cand_FGF4: jnp.ndarray,  # (C, W) f32 candidate FGF4 lane (pre-gathered)
-    nbr_mask: jnp.ndarray,
+    nbr_count: jnp.ndarray,  # (C,) neighbors in the post-death graph
+    nbr_FGF4_sum: jnp.ndarray,  # (C,) f32 sum of neighbors' FGF4
+    nbr_FGF4_sq_sum: jnp.ndarray,  # (C,) f32 sum of neighbors' FGF4^2
     key: jax.Array,
     current_step: jnp.ndarray,
     xp: ExperimentalParams,
@@ -194,22 +195,27 @@ def cell_pathway(
     """``cell_pathway`` (``cell_methods.py:176-228``): perceived FGF4 is the
     noisy mean over the closed neighborhood; the finite dynamical system
     (Boolean BN_9 for field=2, ternary polynomial otherwise) advances every
-    ``fds_thresh`` steps, gated on doxycycline induction."""
+    ``fds_thresh`` steps, gated on doxycycline induction.
+
+    Noise form: the reference draws one iid gaussian per neighborhood term,
+    ``sum_j (1 + g_ij) F_j / n`` (``cell_methods.py:190-192``). A sum of
+    independent gaussians scaled by F_j is itself gaussian, so this is
+    *exactly* equal in distribution to ``(sum F + g sqrt(sum F^2)) / n`` with
+    a single per-agent g ~ N(0,1) — and the per-agent draws are independent
+    across agents in the reference too (it redraws per (agent, neighbor)
+    visit). The moment form needs only two masked reductions over the
+    neighborhood, which the windowed/Pallas reduction paths supply directly.
+    """
     capacity = FGF4.shape[0]
-    k_pair, k_self = jax.random.split(key)
 
     active = alive & (current_step >= xp.dox_step)
 
-    # perceived FGF4: sum_j (1 + gauss) * FGF4_j / n over closed neighborhood
-    n_closed = jnp.sum(nbr_mask, axis=1) + 1
-    g_pair = jax.random.normal(k_pair, nbr_mask.shape, dtype=jnp.float32)
-    g_self = jax.random.normal(k_self, (capacity,), dtype=jnp.float32)
-    nbr_term = jnp.sum(
-        jnp.where(nbr_mask, (1.0 + g_pair) * cand_FGF4, 0.0),
-        axis=1,
-    )
-    self_term = (1.0 + g_self) * FGF4.astype(jnp.float32)
-    perceived = (nbr_term + self_term) / n_closed.astype(jnp.float32)
+    f_self = FGF4.astype(jnp.float32)
+    n_closed = (nbr_count + 1).astype(jnp.float32)
+    sum_f = nbr_FGF4_sum + f_self
+    sum_f2 = nbr_FGF4_sq_sum + f_self * f_self
+    g = jax.random.normal(key, (capacity,), dtype=jnp.float32)
+    perceived = (sum_f + g * jnp.sqrt(sum_f2)) / n_closed
     perceived = jnp.clip(jnp.floor(perceived), 0, p.field - 1).astype(jnp.int32)
 
     update = active & (fds_counters % p.fds_thresh == 0)
@@ -266,15 +272,13 @@ def cell_diff_surround(
     NANOG: jnp.ndarray,
     states: jnp.ndarray,
     alive: jnp.ndarray,
-    cand_states: jnp.ndarray,  # (C, W) f32 candidate state lane (pre-gathered)
-    nbr_mask: jnp.ndarray,
+    num_diff_neighbors: jnp.ndarray,  # (C,) differentiated-neighbor count
     p: BiologyParams,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``cell_diff_surround`` (``cell_methods.py:119-141``): >= 6 differentiated
     neighbors force a GATA6-low pluripotent cell to GATA6 high."""
     eligible = alive & (states == 0) & (GATA6 < NANOG)
-    num_diff = jnp.sum(nbr_mask & (cand_states != 0), axis=1)
-    induce = eligible & (num_diff >= p.diff_surround_neighbors)
+    induce = eligible & (num_diff_neighbors >= p.diff_surround_neighbors)
     return jnp.where(induce, p.field - 1, GATA6), jnp.where(induce, 0, NANOG)
 
 
@@ -328,11 +332,11 @@ def cell_motility(
     states: jnp.ndarray,
     motility_forces: jnp.ndarray,
     alive: jnp.ndarray,
-    cand_xyz: jnp.ndarray,  # (C, W, 3) candidate locations (pre-gathered)
-    cand_GATA6: jnp.ndarray,  # (C, W) f32
-    cand_NANOG: jnp.ndarray,  # (C, W) f32
-    cand_states: jnp.ndarray,  # (C, W) f32
-    nbr_mask: jnp.ndarray,
+    nbr_count: jnp.ndarray,  # (C,) neighbors in the post-death graph
+    cnt_nanog: jnp.ndarray,  # (C,) NANOG-high neighbor count
+    sum_nanog_disp: jnp.ndarray,  # (C, 3) sum of (loc_j - loc_i), NANOG-high j
+    cnt_diff: jnp.ndarray,  # (C,) differentiated neighbor count
+    sum_diff_disp: jnp.ndarray,  # (C, 3) sum of (loc_j - loc_i), diff j
     key: jax.Array,
     xp: ExperimentalParams,
     p: BiologyParams,
@@ -352,16 +356,9 @@ def cell_motility(
     - undecided: random walk.
     """
     capacity = locations.shape[0]
-    free_to_move = alive & (jnp.sum(nbr_mask, axis=1) < p.motility_crowd_neighbors)
-
-    disp = cand_xyz - locations[:, None, :]
-    nanog_high_j = nbr_mask & (cand_NANOG > cand_GATA6)
-    diff_j = nbr_mask & (cand_states != 0)
-
-    sum_nanog = jnp.sum(jnp.where(nanog_high_j[..., None], disp, 0.0), axis=1)
-    cnt_nanog = jnp.sum(nanog_high_j, axis=1)
-    sum_diff = jnp.sum(jnp.where(diff_j[..., None], disp, 0.0), axis=1)
-    cnt_diff = jnp.sum(diff_j, axis=1)
+    free_to_move = alive & (nbr_count < p.motility_crowd_neighbors)
+    sum_nanog = sum_nanog_disp
+    sum_diff = sum_diff_disp
 
     rand = random_vectors(key, capacity, two_d, locations.dtype)
     away_nanog = jnp.where(

@@ -152,7 +152,11 @@ def sorted_run_bounds(spec: GridSpec, grid: Grid) -> jnp.ndarray:
         cols.append(table[lo + 3])
     zero = jnp.zeros_like(cols[0])
     cols += [zero, zero]
-    return jnp.stack(cols, axis=1).astype(jnp.int32)
+    bounds = jnp.stack(cols, axis=1).astype(jnp.int32)
+    # dead-at-build rows (sentinel flat id) get empty intervals: their rows
+    # then produce zero candidates in the kernels, and they cannot inflate
+    # the per-block span probes
+    return jnp.where((f >= spec.num_bins)[:, None], 0, bounds)
 
 
 def _run_windows(spec: GridSpec, grid: Grid):

@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: fused biology neighborhood reductions.
+
+The biology phases consume only *moments* of the radius-15 neighborhood
+(see ``models.biology``): neighbor count, sum/sum-of-squares of FGF4
+(pathway), and class-filtered counts + displacement sums (motility,
+diff_surround). On the XLA path those come from a (C, W, 8) window gather —
+which at 500k agents costs ~300 ms per gather. This kernel computes all the
+moments in one pass over the same DMA'd sorted spans the contact kernel uses
+(``ops.pallas_contact``), reducing the per-step biology cost to two row
+gathers (sort + unsort) per invocation.
+
+Pack lanes (2D path): ``[x0, y0, x1, y1, f0, f1, f2, alive]`` where (x0, y0)
+are the positions the neighbor graph was built from (pre-division — the
+reference builds its graph once at the top of the step) and (x1, y1) are the
+current positions used for displacement vectors (the reference's motility
+loop reads post-division locations). Dead-at-build rows are neutralized by
+zeroed run bounds (see ``neighbors.sorted_run_bounds`` sanitization by the
+caller).
+
+Output lanes (C, 16):
+  0: neighbor count              (valid & radius & alive)
+  1: sum f0                      2: sum f0^2         (pathway FGF4 moments)
+  3: count (f1 > f0)             (NANOG-high when f0=GATA6, f1=NANOG)
+  4-6: sum (dx1, dy1, dz1=0) | f1 > f0
+  7: count (f2 != 0)             (differentiated neighbors)
+  8-10: sum (dx1, dy1, dz1=0) | f2 != 0
+  11-15: zero
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hipsc_abm_tpu.ops.pallas_contact import _ALIGN
+
+FIELDS = 8
+OUT_LANES = 16
+
+
+def _bio_kernel(
+    span_starts_ref,  # (4, nblocks) int32, 128-aligned
+    rows_ref,  # (B, 8) f32 sorted pack rows
+    bounds_ref,  # (B, 8) i32 absolute run bounds (zeroed for dead-at-build rows)
+    hbm_packT_ref,  # (8, C) f32 field-major sorted pack
+    out_ref,  # (B, 16) f32 moments
+    span_ref,  # (3, 8, S) f32
+    sems,
+    *,
+    S: int,
+    radius: float,
+):
+    i = pl.program_id(0)
+    B = rows_ref.shape[0]
+
+    def dma(r):
+        start = pl.multiple_of(span_starts_ref[r, i], _ALIGN)
+        return pltpu.make_async_copy(
+            hbm_packT_ref.at[:, pl.ds(start, S)], span_ref.at[r], sems.at[r]
+        )
+
+    for r in range(3):
+        dma(r).start()
+    for r in range(3):
+        dma(r).wait()
+
+    x0 = rows_ref[:, 0:1]
+    y0 = rows_ref[:, 1:2]
+    x1 = rows_ref[:, 2:3]
+    y1 = rows_ref[:, 3:4]
+    row_alive = rows_ref[:, 7:8] > 0.0
+    own_pos = i * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+    r2 = jnp.float32(radius * radius)
+    count = jnp.zeros((B, 1), jnp.float32)
+    sum_f0 = jnp.zeros((B, 1), jnp.float32)
+    sum_f0sq = jnp.zeros((B, 1), jnp.float32)
+    cnt_a = jnp.zeros((B, 1), jnp.float32)
+    sum_adx = jnp.zeros((B, 1), jnp.float32)
+    sum_ady = jnp.zeros((B, 1), jnp.float32)
+    cnt_b = jnp.zeros((B, 1), jnp.float32)
+    sum_bdx = jnp.zeros((B, 1), jnp.float32)
+    sum_bdy = jnp.zeros((B, 1), jnp.float32)
+
+    for r in range(3):
+        span = span_ref[r]  # (8, S)
+        cx0 = span[0:1, :]
+        cy0 = span[1:2, :]
+        cx1 = span[2:3, :]
+        cy1 = span[3:4, :]
+        cf0 = span[4:5, :]
+        cf1 = span[5:6, :]
+        cf2 = span[6:7, :]
+        calive = span[7:8, :] > 0.0
+
+        abs_pos = span_starts_ref[r, i] + jax.lax.broadcasted_iota(
+            jnp.int32, (1, S), 1
+        )
+        lo = bounds_ref[:, 2 * r : 2 * r + 1]
+        hi = bounds_ref[:, 2 * r + 1 : 2 * r + 2]
+        in_run = (abs_pos >= lo) & (abs_pos < hi)
+
+        dx0 = x0 - cx0
+        dy0 = y0 - cy0
+        dist2 = dx0 * dx0 + dy0 * dy0
+        m = (
+            in_run
+            & (abs_pos != own_pos)
+            & (dist2 <= r2)
+            & calive
+            & row_alive
+        )
+        mf = m.astype(jnp.float32)
+
+        count += jnp.sum(mf, axis=1, keepdims=True)
+        sum_f0 += jnp.sum(mf * cf0, axis=1, keepdims=True)
+        sum_f0sq += jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True)
+
+        # displacement vectors use the *current* positions (x1 lanes)
+        ddx = cx1 - x1
+        ddy = cy1 - y1
+        a = mf * (cf1 > cf0).astype(jnp.float32)
+        cnt_a += jnp.sum(a, axis=1, keepdims=True)
+        sum_adx += jnp.sum(a * ddx, axis=1, keepdims=True)
+        sum_ady += jnp.sum(a * ddy, axis=1, keepdims=True)
+        b = mf * (cf2 != 0.0).astype(jnp.float32)
+        cnt_b += jnp.sum(b, axis=1, keepdims=True)
+        sum_bdx += jnp.sum(b * ddx, axis=1, keepdims=True)
+        sum_bdy += jnp.sum(b * ddy, axis=1, keepdims=True)
+
+    zero = jnp.zeros((B, 1), jnp.float32)
+    out_ref[:] = jnp.concatenate(
+        [count, sum_f0, sum_f0sq, cnt_a, sum_adx, sum_ady, zero, cnt_b,
+         sum_bdx, sum_bdy, zero, jnp.zeros((B, OUT_LANES - 11), jnp.float32)],
+        axis=1,
+    )
+
+
+def bio_reduce_pallas(
+    srt_pack: jnp.ndarray,  # (C, 8) sorted pack rows
+    bounds: jnp.ndarray,  # (C, 8) int32 (dead-at-build rows zeroed)
+    span_starts: jnp.ndarray,  # (4, nblocks) int32 128-aligned
+    *,
+    block: int,
+    span: int,
+    radius: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-sorted-row biology neighborhood moments, (C, 16)."""
+    C = srt_pack.shape[0]
+    nblocks = C // block
+    assert C % block == 0, (C, block)
+    assert span % _ALIGN == 0 or span == C, (span, C)
+
+    kernel = functools.partial(_bio_kernel, S=span, radius=radius)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((block, FIELDS), lambda i, s: (i, 0)),
+            pl.BlockSpec((block, 8), lambda i, s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((block, OUT_LANES), lambda i, s: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((3, FIELDS, span), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, OUT_LANES), jnp.float32),
+        interpret=interpret,
+    )(span_starts, srt_pack, bounds, srt_pack.T)

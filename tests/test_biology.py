@@ -17,9 +17,9 @@ KEY = jax.random.PRNGKey(7)
 # per-primitive eager dispatch cost on CPU test runs
 death_j = jax.jit(biology.cell_death, static_argnums=(4, 5))
 division_j = jax.jit(biology.cell_division, static_argnums=(4, 5))
-pathway_j = jax.jit(biology.cell_pathway, static_argnums=(11, 12))
+pathway_j = jax.jit(biology.cell_pathway, static_argnums=(12, 13))
 differentiate_j = jax.jit(biology.cell_differentiate, static_argnums=(6,))
-diff_surround_j = jax.jit(biology.cell_diff_surround, static_argnums=(6,))
+diff_surround_j = jax.jit(biology.cell_diff_surround, static_argnums=(5,))
 growth_j = jax.jit(biology.cell_growth, static_argnums=(4,))
 stochastic_j = jax.jit(biology.cell_stochastic_update, static_argnums=(4, 5))
 motility_j = jax.jit(biology.cell_motility, static_argnums=(12, 13, 14))
@@ -155,20 +155,23 @@ def test_division_counter_stochastic_increment():
 
 def run_pathway(FGF4, FGFR, ERK, GATA6, NANOG, step, fds_counters=None, mask=None):
     n = len(FGF4)
+    f = np.asarray(FGF4, np.float32)
     if mask is None:
-        _, mask = no_neighbors(n)
-        cand_FGF4 = jnp.zeros(mask.shape, jnp.float32)
+        count = np.zeros(n, np.int32)
+        sum_f = np.zeros(n, np.float32)
+        sum_f2 = np.zeros(n, np.float32)
     else:
-        # candidate j in column j: the FGF4 lane is FGF4 broadcast per row
-        cand_FGF4 = jnp.broadcast_to(
-            jnp.asarray(FGF4, jnp.float32)[None, :], (n, n))
+        m = np.asarray(mask)
+        count = m.sum(axis=1).astype(np.int32)
+        sum_f = (m * f[None, :]).sum(axis=1).astype(np.float32)
+        sum_f2 = (m * (f * f)[None, :]).sum(axis=1).astype(np.float32)
     if fds_counters is None:
         fds_counters = np.zeros(n, int)
     return pathway_j(
         jnp.asarray(FGF4), jnp.asarray(FGFR), jnp.asarray(ERK),
         jnp.asarray(GATA6), jnp.asarray(NANOG), jnp.asarray(fds_counters),
-        jnp.ones(n, bool), cand_FGF4, mask,
-        KEY, jnp.asarray(step), XP, BIO,
+        jnp.ones(n, bool), jnp.asarray(count), jnp.asarray(sum_f),
+        jnp.asarray(sum_f2), KEY, jnp.asarray(step), XP, BIO,
     )
 
 
@@ -200,11 +203,11 @@ def test_pathway_bn9_truth_table_zero_fgf4():
 def test_pathway_fds_thresh_gates_update():
     bio3 = BiologyParams(fds_thresh=3)
     n = 1
-    cand, mask = no_neighbors(n)
+    z = jnp.zeros(n, jnp.float32)
     # counter 1 -> 1 % 3 != 0 -> no update even though NANOG=1 would flip FGF4
     out = biology.cell_pathway(
         jnp.array([0]), jnp.array([0]), jnp.array([0]), jnp.array([0]), jnp.array([1]),
-        jnp.array([1]), jnp.ones(n, bool), cand, mask, KEY,
+        jnp.array([1]), jnp.ones(n, bool), jnp.zeros(n, jnp.int32), z, z, KEY,
         jnp.asarray(XP.dox_step), XP, bio3,
     )
     assert int(out[0][0]) == 0 and int(out[5][0]) == 2
@@ -246,13 +249,12 @@ def test_differentiate_trigger():
 
 def test_diff_surround_induction():
     n = 8
-    mask = jnp.zeros((n, n), bool).at[0, 1:7].set(True)  # agent 0 sees 6 neighbors
     states = jnp.array([0, 1, 1, 1, 1, 1, 1, 0])
-    cand_states = jnp.broadcast_to(states.astype(jnp.float32)[None, :], (n, n))
+    num_diff = jnp.array([6, 0, 0, 0, 0, 0, 0, 0])  # agent 0 sees 6 diff nbrs
     GATA6 = jnp.zeros(n, int)
     NANOG = jnp.ones(n, int)
     nG, nN = diff_surround_j(
-        GATA6, NANOG, states, jnp.ones(n, bool), cand_states, mask, BIO
+        GATA6, NANOG, states, jnp.ones(n, bool), num_diff, BIO
     )
     assert int(nG[0]) == BIO.field - 1 and int(nN[0]) == 0
     assert int(nG[7]) == 0 and int(nN[7]) == 1  # no neighbors -> unchanged
@@ -295,23 +297,29 @@ def motility_setup(states, GATA6, NANOG, neighbor_of_0=None):
     if neighbor_of_0 is not None:
         mask[0, neighbor_of_0] = True
         mask[neighbor_of_0, 0] = True
-    bcast = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32)[None, :], (n, n))
-    cand_xyz = jnp.broadcast_to(jnp.asarray(locs)[None, :, :], (n, n, 3))
+    G = np.asarray(GATA6); N = np.asarray(NANOG); S = np.asarray(states)
+    disp = locs[None, :, :] - locs[:, None, :]
+    nanog_j = mask & (N[None, :] > G[None, :])
+    diff_j = mask & (S[None, :] != 0)
     return (
         jnp.asarray(locs), jnp.asarray(GATA6), jnp.asarray(NANOG), jnp.asarray(states),
         jnp.zeros((n, 3), jnp.float32), jnp.ones(n, bool),
-        cand_xyz, bcast(GATA6), bcast(NANOG), bcast(states), jnp.asarray(mask),
+        jnp.asarray(mask.sum(axis=1).astype(np.int32)),
+        jnp.asarray(nanog_j.sum(axis=1).astype(np.int32)),
+        jnp.asarray((nanog_j[..., None] * disp).sum(axis=1).astype(np.float32)),
+        jnp.asarray(diff_j.sum(axis=1).astype(np.int32)),
+        jnp.asarray((diff_j[..., None] * disp).sum(axis=1).astype(np.float32)),
     )
 
 
 def test_motility_crowded_cells_get_no_force():
     n = 8
-    mask = jnp.ones((n, n), bool) & ~jnp.eye(n, dtype=bool)  # 7 neighbors each
-    zl = jnp.zeros((n, n), jnp.float32)
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    zi = jnp.zeros(n, jnp.int32)
     out = motility_j(
         jnp.zeros((n, 3), jnp.float32), jnp.zeros(n, int), jnp.ones(n, int),
-        jnp.zeros(n, int), jnp.zeros((n, 3), jnp.float32), jnp.ones(n, bool),
-        jnp.zeros((n, n, 3), jnp.float32), zl, 1.0 + zl, zl, mask, KEY, XP, BIO, True,
+        jnp.zeros(n, int), z3, jnp.ones(n, bool),
+        jnp.full(n, 7, jnp.int32), zi, z3, zi, z3, KEY, XP, BIO, True,
     )
     np.testing.assert_allclose(np.asarray(out), 0.0)
 
