@@ -778,6 +778,12 @@ class HipscEngine:
         if cfg.use_pallas and int(info.nbr_span_needed) > nbr_span:
             nbr_span = min(_round_up(int(info.nbr_span_needed) * 1.25, 128), capacity)
             changed = True
+        if use_pallas and max(jkr_span, nbr_span) > 1024:
+            # a DMA span this wide means an extremely uneven bin-row packing;
+            # the kernels' VMEM frames scale with the span, so fall back to
+            # the XLA path rather than risk a scoped-vmem compile failure
+            use_pallas = False
+            changed = True
         if not changed:
             return None
         self.cfg = dataclasses.replace(

@@ -153,10 +153,17 @@ def sorted_run_bounds(spec: GridSpec, grid: Grid) -> jnp.ndarray:
     zero = jnp.zeros_like(cols[0])
     cols += [zero, zero]
     bounds = jnp.stack(cols, axis=1).astype(jnp.int32)
-    # dead-at-build rows (sentinel flat id) get empty intervals: their rows
-    # then produce zero candidates in the kernels, and they cannot inflate
-    # the per-block span probes
-    return jnp.where((f >= spec.num_bins)[:, None], 0, bounds)
+    # dead-at-build rows (sentinel flat id) get empty intervals with
+    # lo > hi chosen so they are neutral for the per-block span probes:
+    # lo = capacity cannot lower a block's min start, hi = 0 cannot raise
+    # its max end, and no span position satisfies lo <= p < hi
+    capacity = grid.order.shape[0]
+    dead = (f >= spec.num_bins)[:, None]
+    empty = jnp.tile(
+        jnp.array([[capacity, 0, capacity, 0, capacity, 0, 0, 0]], jnp.int32),
+        (capacity, 1),
+    )
+    return jnp.where(dead, empty, bounds)
 
 
 def _run_windows(spec: GridSpec, grid: Grid):

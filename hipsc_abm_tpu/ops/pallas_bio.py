@@ -48,26 +48,30 @@ def _bio_kernel(
     rows_ref,  # (B, 8) f32 sorted pack rows
     bounds_ref,  # (B, 8) i32 absolute run bounds (zeroed for dead-at-build rows)
     hbm_packT_ref,  # (8, C) f32 field-major sorted pack
-    out_ref,  # (B, 16) f32 moments
-    span_ref,  # (3, 8, S) f32
+    out_ref,  # (B, 16) f32 moments (accumulated across the run grid dim)
+    span_ref,  # (8, S) f32
     sems,
     *,
     S: int,
     radius: float,
 ):
+    # grid = (nblocks, 3): the stencil runs ride the second grid dimension so
+    # each program's VMEM stack frame holds one run's temporaries (a single
+    # unrolled 3-run body exceeds the 16 MB scoped-vmem limit at S=512);
+    # TPU grids execute sequentially, so the revisited output block
+    # accumulates across the run steps.
     i = pl.program_id(0)
+    r = pl.program_id(1)
     B = rows_ref.shape[0]
 
-    def dma(r):
+    def dma():
         start = pl.multiple_of(span_starts_ref[r, i], _ALIGN)
         return pltpu.make_async_copy(
-            hbm_packT_ref.at[:, pl.ds(start, S)], span_ref.at[r], sems.at[r]
+            hbm_packT_ref.at[:, pl.ds(start, S)], span_ref, sems
         )
 
-    for r in range(3):
-        dma(r).start()
-    for r in range(3):
-        dma(r).wait()
+    dma().start()
+    dma().wait()
 
     x0 = rows_ref[:, 0:1]
     y0 = rows_ref[:, 1:2]
@@ -77,68 +81,60 @@ def _bio_kernel(
     own_pos = i * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
     r2 = jnp.float32(radius * radius)
-    count = jnp.zeros((B, 1), jnp.float32)
-    sum_f0 = jnp.zeros((B, 1), jnp.float32)
-    sum_f0sq = jnp.zeros((B, 1), jnp.float32)
-    cnt_a = jnp.zeros((B, 1), jnp.float32)
-    sum_adx = jnp.zeros((B, 1), jnp.float32)
-    sum_ady = jnp.zeros((B, 1), jnp.float32)
-    cnt_b = jnp.zeros((B, 1), jnp.float32)
-    sum_bdx = jnp.zeros((B, 1), jnp.float32)
-    sum_bdy = jnp.zeros((B, 1), jnp.float32)
+    span = span_ref[:]  # (8, S)
+    cx0 = span[0:1, :]
+    cy0 = span[1:2, :]
+    cx1 = span[2:3, :]
+    cy1 = span[3:4, :]
+    cf0 = span[4:5, :]
+    cf1 = span[5:6, :]
+    cf2 = span[6:7, :]
+    calive = span[7:8, :] > 0.0
 
-    for r in range(3):
-        span = span_ref[r]  # (8, S)
-        cx0 = span[0:1, :]
-        cy0 = span[1:2, :]
-        cx1 = span[2:3, :]
-        cy1 = span[3:4, :]
-        cf0 = span[4:5, :]
-        cf1 = span[5:6, :]
-        cf2 = span[6:7, :]
-        calive = span[7:8, :] > 0.0
+    abs_pos = span_starts_ref[r, i] + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    # run bounds live in lane pairs (2r, 2r+1); select by run id
+    lo = jnp.where(r == 0, bounds_ref[:, 0:1],
+                   jnp.where(r == 1, bounds_ref[:, 2:3], bounds_ref[:, 4:5]))
+    hi = jnp.where(r == 0, bounds_ref[:, 1:2],
+                   jnp.where(r == 1, bounds_ref[:, 3:4], bounds_ref[:, 5:6]))
+    in_run = (abs_pos >= lo) & (abs_pos < hi)
 
-        abs_pos = span_starts_ref[r, i] + jax.lax.broadcasted_iota(
-            jnp.int32, (1, S), 1
-        )
-        lo = bounds_ref[:, 2 * r : 2 * r + 1]
-        hi = bounds_ref[:, 2 * r + 1 : 2 * r + 2]
-        in_run = (abs_pos >= lo) & (abs_pos < hi)
+    dx0 = x0 - cx0
+    dy0 = y0 - cy0
+    dist2 = dx0 * dx0 + dy0 * dy0
+    m = in_run & (abs_pos != own_pos) & (dist2 <= r2) & calive & row_alive
+    mf = m.astype(jnp.float32)
 
-        dx0 = x0 - cx0
-        dy0 = y0 - cy0
-        dist2 = dx0 * dx0 + dy0 * dy0
-        m = (
-            in_run
-            & (abs_pos != own_pos)
-            & (dist2 <= r2)
-            & calive
-            & row_alive
-        )
-        mf = m.astype(jnp.float32)
+    count = jnp.sum(mf, axis=1, keepdims=True)
+    sum_f0 = jnp.sum(mf * cf0, axis=1, keepdims=True)
+    sum_f0sq = jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True)
 
-        count += jnp.sum(mf, axis=1, keepdims=True)
-        sum_f0 += jnp.sum(mf * cf0, axis=1, keepdims=True)
-        sum_f0sq += jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True)
-
-        # displacement vectors use the *current* positions (x1 lanes)
-        ddx = cx1 - x1
-        ddy = cy1 - y1
-        a = mf * (cf1 > cf0).astype(jnp.float32)
-        cnt_a += jnp.sum(a, axis=1, keepdims=True)
-        sum_adx += jnp.sum(a * ddx, axis=1, keepdims=True)
-        sum_ady += jnp.sum(a * ddy, axis=1, keepdims=True)
-        b = mf * (cf2 != 0.0).astype(jnp.float32)
-        cnt_b += jnp.sum(b, axis=1, keepdims=True)
-        sum_bdx += jnp.sum(b * ddx, axis=1, keepdims=True)
-        sum_bdy += jnp.sum(b * ddy, axis=1, keepdims=True)
+    # displacement vectors use the *current* positions (x1 lanes)
+    ddx = cx1 - x1
+    ddy = cy1 - y1
+    a = mf * (cf1 > cf0).astype(jnp.float32)
+    cnt_a = jnp.sum(a, axis=1, keepdims=True)
+    sum_adx = jnp.sum(a * ddx, axis=1, keepdims=True)
+    sum_ady = jnp.sum(a * ddy, axis=1, keepdims=True)
+    b = mf * (cf2 != 0.0).astype(jnp.float32)
+    cnt_b = jnp.sum(b, axis=1, keepdims=True)
+    sum_bdx = jnp.sum(b * ddx, axis=1, keepdims=True)
+    sum_bdy = jnp.sum(b * ddy, axis=1, keepdims=True)
 
     zero = jnp.zeros((B, 1), jnp.float32)
-    out_ref[:] = jnp.concatenate(
+    partial = jnp.concatenate(
         [count, sum_f0, sum_f0sq, cnt_a, sum_adx, sum_ady, zero, cnt_b,
          sum_bdx, sum_bdy, zero, jnp.zeros((B, OUT_LANES - 11), jnp.float32)],
         axis=1,
     )
+
+    @pl.when(r == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(r > 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial
 
 
 def bio_reduce_pallas(
@@ -160,16 +156,16 @@ def bio_reduce_pallas(
     kernel = functools.partial(_bio_kernel, S=span, radius=radius)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nblocks,),
+        grid=(nblocks, 3),
         in_specs=[
-            pl.BlockSpec((block, FIELDS), lambda i, s: (i, 0)),
-            pl.BlockSpec((block, 8), lambda i, s: (i, 0)),
+            pl.BlockSpec((block, FIELDS), lambda i, r, s: (i, 0)),
+            pl.BlockSpec((block, 8), lambda i, r, s: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((block, OUT_LANES), lambda i, s: (i, 0)),
+        out_specs=pl.BlockSpec((block, OUT_LANES), lambda i, r, s: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((3, FIELDS, span), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((FIELDS, span), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
