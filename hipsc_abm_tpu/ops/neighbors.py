@@ -136,6 +136,10 @@ def _bin_table(spec: GridSpec, sorted_flat: jnp.ndarray) -> jnp.ndarray:
 
 
 def sorted_run_bounds(spec: GridSpec, grid: Grid) -> jnp.ndarray:
+    return sorted_run_bounds_from_flat(spec, grid.sorted_flat)
+
+
+def sorted_run_bounds_from_flat(spec: GridSpec, sorted_flat: jnp.ndarray) -> jnp.ndarray:
     """(C, 8) int32 absolute run bounds [s0,e0,s1,e1,s2,e2,0,0] per *sorted*
     row — the layout the Pallas contact kernel consumes. 2D only (3 runs).
 
@@ -143,8 +147,8 @@ def sorted_run_bounds(spec: GridSpec, grid: Grid) -> jnp.ndarray:
     the run for x-offset dx starts at flat id ``f + dx*ny - 1``), so no
     coordinate gathers are needed."""
     assert spec.two_d, "sorted_run_bounds currently supports 2D lattices"
-    table = _bin_table(spec, grid.sorted_flat)
-    f = grid.sorted_flat
+    table = _bin_table(spec, sorted_flat)
+    f = sorted_flat
     cols = []
     for (dx,) in spec.run_offsets:
         lo = jnp.clip(f + dx * spec.ny - 1, 0, spec.num_bins - 3)
@@ -157,7 +161,7 @@ def sorted_run_bounds(spec: GridSpec, grid: Grid) -> jnp.ndarray:
     # lo > hi chosen so they are neutral for the per-block span probes:
     # lo = capacity cannot lower a block's min start, hi = 0 cannot raise
     # its max end, and no span position satisfies lo <= p < hi
-    capacity = grid.order.shape[0]
+    capacity = sorted_flat.shape[0]
     dead = (f >= spec.num_bins)[:, None]
     empty = jnp.tile(
         jnp.array([[capacity, 0, capacity, 0, capacity, 0, 0, 0]], jnp.int32),
