@@ -126,6 +126,11 @@ class EngineConfig:
         verlet_skin: float = 6.0,
         **flags,
     ) -> "EngineConfig":
+        # DMA spans may never exceed capacity (pl.ds would read out of range)
+        flags.setdefault("jkr_span", 512)
+        flags.setdefault("nbr_span", 512)
+        for span_key in ("jkr_span", "nbr_span"):
+            flags[span_key] = min(int(flags[span_key]), int(capacity))
         return cls(
             capacity=int(capacity),
             nbr_spec=GridSpec.from_box(size, bio.neighbor_radius, nbr_run_cap),
@@ -721,9 +726,26 @@ class HipscEngine:
             )
         return self._compiled[key]
 
+    def _cfg_for_state(self, state: CellState) -> EngineConfig:
+        """A config whose static shapes match the given state. ``self.cfg``
+        is only a template: stepping a state whose capacity/bond shape differs
+        (e.g. an older state held across a growth event) must not recompile
+        against mismatched shapes — derive a matching config instead."""
+        cfg = self.cfg
+        bond_cap = state.bonds.partners.shape[1]
+        if cfg.capacity != state.capacity or cfg.bond_cap != bond_cap:
+            cfg = dataclasses.replace(
+                cfg,
+                capacity=state.capacity,
+                bond_cap=bond_cap,
+                jkr_span=min(cfg.jkr_span, state.capacity),
+                nbr_span=min(cfg.nbr_span, state.capacity),
+            )
+        return cfg
+
     def step(self, state: CellState) -> Tuple[CellState, StepInfo]:
         """Raw jitted step (no overflow handling) — for benchmarking."""
-        return self._step_fn(self.cfg)(state)
+        return self._step_fn(self._cfg_for_state(state))(state)
 
     def safe_step(self, state: CellState) -> Tuple[CellState, StepInfo]:
         """Step with exact capacity-overflow recovery.
@@ -735,15 +757,22 @@ class HipscEngine:
         (``simulation.py:217-221,277-281``), amortized to O(log) recompiles.
         """
         for _ in range(16):
-            new_state, info = self.step(state)
-            grown = self._maybe_grow(state, info)
-            if grown is None:
+            cfg = self._cfg_for_state(state)
+            new_state, info = self._step_fn(cfg)(state)
+            grown_cfg = self._grown_cfg(cfg, info)
+            if grown_cfg is None:
                 return new_state, info
-            state = grown
+            # commit the grown config as the template for future states and
+            # re-execute this step from its unmodified input
+            self.cfg = grown_cfg
+            state = self.repad_state(state, grown_cfg)
         raise RuntimeError("capacity growth failed to converge")
 
-    def _maybe_grow(self, state: CellState, info: StepInfo) -> Optional[CellState]:
-        cfg = self.cfg
+    @staticmethod
+    def _grown_cfg(cfg: EngineConfig, info: StepInfo) -> Optional[EngineConfig]:
+        """Pure growth policy: the (new) config demanded by the step's
+        overflow probes, or None if nothing overflowed. Never mutates shared
+        state — ``safe_step`` decides what to commit."""
         changed = False
         nbr_spec, jkr_spec, bond_cap, capacity = (
             cfg.nbr_spec, cfg.jkr_spec, cfg.bond_cap, cfg.capacity,
@@ -786,12 +815,11 @@ class HipscEngine:
             changed = True
         if not changed:
             return None
-        self.cfg = dataclasses.replace(
+        return dataclasses.replace(
             cfg, nbr_spec=nbr_spec, jkr_spec=jkr_spec, bond_cap=bond_cap,
             capacity=capacity, jkr_span=min(jkr_span, capacity),
             nbr_span=min(nbr_span, capacity), use_pallas=use_pallas,
         )
-        return self.repad_state(state, self.cfg)
 
     @staticmethod
     def repad_state(state: CellState, cfg: EngineConfig) -> CellState:

@@ -14,8 +14,10 @@ are the positions the neighbor graph was built from (pre-division — the
 reference builds its graph once at the top of the step) and (x1, y1) are the
 current positions used for displacement vectors (the reference's motility
 loop reads post-division locations). Dead-at-build rows are neutralized by
-zeroed run bounds (see ``neighbors.sorted_run_bounds`` sanitization by the
-caller).
+``neighbors.sorted_run_bounds``'s sentinel intervals (lo=capacity, hi=0):
+lo=capacity cannot lower a block's min span start, hi=0 cannot raise its max
+end, and no span position satisfies lo <= p < hi, so such rows contribute
+nothing to the span probes or the masked reductions.
 
 Output lanes (C, 16):
   0: neighbor count              (valid & radius & alive)
@@ -152,6 +154,7 @@ def bio_reduce_pallas(
     nblocks = C // block
     assert C % block == 0, (C, block)
     assert span % _ALIGN == 0 or span == C, (span, C)
+    assert span <= C, f"DMA span {span} exceeds capacity {C}"
 
     kernel = functools.partial(_bio_kernel, S=span, radius=radius)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -197,6 +197,7 @@ def contact_substep_pallas(
     nblocks = C // block
     assert C % block == 0, (C, block)
     assert span % _ALIGN == 0 or span == C, (span, C)
+    assert span <= C, f"DMA span {span} exceeds capacity {C}"
 
     kernel = functools.partial(
         _contact_kernel,

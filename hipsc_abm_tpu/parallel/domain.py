@@ -100,6 +100,12 @@ def domain_forces(
     per_stripe = locations.shape[1]
     width = box_x / n_stripes
     reach = bio.jkr_radius + 2.0 * bio.jkr_break_band
+    if width < reach:
+        raise ValueError(
+            f"stripe width {width:.1f} um < interaction reach {reach:.1f} um: "
+            "pairs spanning a whole stripe would be missed; use fewer stripes "
+            "or a larger box"
+        )
 
     def body(loc, alv, rad):
         # loc: (1, per_stripe, 3) — this device's stripe

@@ -107,11 +107,18 @@ class AgentGraph:
 
     def _build_adjacency(self) -> List[np.ndarray]:
         if self._adjacency is None:
-            adj: List[List[int]] = [[] for _ in range(self.num_vertices)]
-            for a, b in self.edges:
-                adj[a].append(b)
-                adj[b].append(a)
-            self._adjacency = [np.array(a, dtype=np.int64) for a in adj]
+            if len(self.edges) == 0:
+                self._adjacency = [
+                    np.empty(0, dtype=np.int64) for _ in range(self.num_vertices)
+                ]
+            else:
+                src = np.concatenate([self.edges[:, 0], self.edges[:, 1]])
+                dst = np.concatenate([self.edges[:, 1], self.edges[:, 0]])
+                order = np.argsort(src, kind="stable")
+                splits = np.searchsorted(
+                    src[order], np.arange(1, self.num_vertices)
+                )
+                self._adjacency = np.split(dst[order], splits)
         return self._adjacency
 
     def neighbors(self, index: int) -> list:

@@ -141,6 +141,31 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     assert tree_equal(cont, resumed)
 
 
+def test_interleaved_states_across_growth():
+    """Two live states on one engine: after one state triggers capacity
+    growth, stepping the *other* (old-capacity) state must still work and
+    produce the same result it would have before the growth — the grown
+    config is a template, not a mutation of in-flight shapes."""
+    eng = small_engine()
+    a = eng.init_state(seed=13)
+    b = eng.init_state(seed=14)
+    b_expected, _ = eng.step(b)  # pre-growth reference result
+
+    # force growth via state a (fill its division clocks at a tiny capacity)
+    eng.cfg = dataclasses.replace(eng.cfg, capacity=a.capacity)
+    a = a._replace(arrays={
+        **a.arrays,
+        "div_counters": jnp.full((a.capacity,), eng.bio.pluri_div_thresh, jnp.int32),
+        "death_counters": jnp.zeros((a.capacity,), jnp.int32),
+    })
+    a, info = eng.safe_step(a)
+    assert eng.cfg.capacity > b.capacity  # growth happened
+
+    # the old-capacity state still steps, identically
+    b_after, _ = eng.step(b)
+    assert tree_equal(b_after, b_expected)
+
+
 def test_three_d_space():
     eng = small_engine(size=(200.0, 200.0, 200.0), n=100, num_gata6=0)
     state = eng.init_state(seed=4)
