@@ -39,14 +39,18 @@ from hipsc_abm_tpu.ops.integrate import stokes_integrate
 from hipsc_abm_tpu.ops.jkr import (
     BondState,
     clear_bond_rows,
-    drop_dead_partners,
     pack_physics,
 )
 from hipsc_abm_tpu.ops.neighbors import GridSpec
 
 
 class CellState(NamedTuple):
-    """Complete simulation state as a PyTree (bit-exact checkpointable)."""
+    """Complete simulation state as a PyTree (bit-exact checkpointable).
+
+    ``arrays["ids"]`` holds stable, never-recycled agent ids: all randomness
+    is id-keyed (``ops.rng``) and bonds store partner ids, so dynamics are
+    independent of slot layout — the property the domain-decomposed engine
+    relies on. ``next_id`` is the id the next daughter born will receive."""
 
     arrays: Dict[str, jnp.ndarray]  # per-agent slot arrays (SoA)
     alive: jnp.ndarray  # (C,) bool slot occupancy
@@ -54,6 +58,7 @@ class CellState(NamedTuple):
     gradients: Dict[str, jnp.ndarray]  # morphogen lattices
     key: jax.Array  # jax.random key threaded through all stochastic phases
     step: jnp.ndarray  # int32 current step counter
+    next_id: jnp.ndarray  # int32 scalar: first unassigned agent id
 
     @property
     def capacity(self) -> int:
@@ -64,8 +69,10 @@ class CellState(NamedTuple):
 
 
 # per-agent arrays of the hiPSC model and their dtypes / vector widths
-# (reference ``cell_simulation.py:136-149``)
+# (reference ``cell_simulation.py:136-149``; "ids" is engine-internal —
+# stable agent identity for id-keyed RNG and the bond graph)
 HIPSC_ARRAY_SPECS: Dict[str, Tuple[object, Optional[int]]] = {
+    "ids": (jnp.int32, None),
     "locations": (jnp.float32, 3),
     "radii": (jnp.float32, None),
     "FGF4": (jnp.int32, None),
@@ -160,6 +167,7 @@ class StepInfo(NamedTuple):
     jkr_max_degree: jnp.ndarray
     jkr_span_needed: jnp.ndarray  # Pallas DMA span probe (0 on the XLA path)
     nbr_span_needed: jnp.ndarray  # biology-kernel span probe (0 on XLA path)
+    max_id: jnp.ndarray  # id high-water mark (ids must stay f32-exact < 2^24)
 
 
 def _physics_dts(bio: BiologyParams) -> np.ndarray:
@@ -201,13 +209,14 @@ def hipsc_step(
     # layout in ops/pallas_bio.py), computed either by the fused Pallas
     # reduction kernel or by a windowed-gather XLA fallback.
     loc0 = arrays["locations"]
+    ids0 = arrays["ids"]
     nbr_span_needed = jnp.zeros((), jnp.int32)
 
     if cfg.use_pallas:
         from hipsc_abm_tpu.ops.pallas_bio import bio_reduce_pallas
         from hipsc_abm_tpu.ops.pallas_contact import block_span_starts
 
-        nbr_grid = nbr_ops.build_grid(cfg.nbr_spec, loc0, alive)
+        nbr_grid = nbr_ops.build_grid(cfg.nbr_spec, loc0, ids0, alive)
         nbr_bounds = nbr_ops.sorted_run_bounds(cfg.nbr_spec, nbr_grid)
         nbr_starts, nbr_span_needed = block_span_starts(
             nbr_bounds, cfg.pallas_block, cfg.nbr_span, capacity
@@ -243,11 +252,11 @@ def hipsc_step(
             return out[nbr_inv]
     else:
         nbr_grid, nbr_pos, nbr_valid, nbr_max_in_bin = nbr_ops.sorted_window(
-            cfg.nbr_spec, loc0, alive
+            cfg.nbr_spec, loc0, ids0, alive
         )
-        slot_f = jnp.arange(capacity, dtype=jnp.float32)
+        ids_f = ids0.astype(jnp.float32)
         base_pack = jnp.concatenate(
-            [loc0, slot_f[:, None], alive.astype(jnp.float32)[:, None],
+            [loc0, ids_f[:, None], alive.astype(jnp.float32)[:, None],
              jnp.zeros((capacity, 3), jnp.float32)],
             axis=1,
         )
@@ -256,7 +265,7 @@ def hipsc_step(
         r15 = jnp.float32(bio.neighbor_radius)
         base_mask = (
             nbr_valid
-            & (base_cand[..., 3] != slot_f[:, None])
+            & (base_cand[..., 3] != ids_f[:, None])
             & (jnp.sum(delta0 * delta0, axis=-1) <= r15 * r15)
             & (base_cand[..., 4] > 0)
             & alive[:, None]
@@ -300,8 +309,11 @@ def hipsc_step(
     nbr_count = m1[:, 0].astype(jnp.int32)
 
     # --- cell_division ---
+    # daughter ids are assigned by the mothers' canonical (bin, id) rank —
+    # layout-independent, so the domain-decomposed engine assigns identically
     arrays, alive, daughter_mask, num_added, num_deferred = biology.cell_division(
-        arrays, alive, nbr_count, k_div, bio, cfg.two_d
+        arrays, alive, nbr_count, k_div, bio, cfg.two_d,
+        canon_order=nbr_grid.order, next_id=state.next_id,
     )
     bonds = clear_bond_rows(bonds, daughter_mask)  # fresh graph vertices, no edges
     # daughters have no edges in the pre-division graph; their slots were dead
@@ -309,12 +321,13 @@ def hipsc_step(
     nbr_count = jnp.where(daughter_mask, 0, nbr_count)
 
     # --- cell_death ---
+    # (bonds of dead agents need no cleanup: dead ids never reappear in any
+    # candidate window, so their entries are inert and drop at compaction)
     arrays["death_counters"], removed, num_removed = biology.cell_death(
         arrays["states"], arrays["death_counters"], alive, nbr_count,
         xp.lonely_thresh, bio.death_thresh,
     )
     alive = alive & ~removed
-    bonds = drop_dead_partners(bonds, alive)
 
     # --- cell_pathway ---
     # neighborhood moments with post-death liveness and post-division
@@ -327,14 +340,14 @@ def hipsc_step(
         arrays["GATA6"], arrays["NANOG"], arrays["fds_counters"],
     ) = biology.cell_pathway(
         arrays["FGF4"], arrays["FGFR"], arrays["ERK"], arrays["GATA6"],
-        arrays["NANOG"], arrays["fds_counters"], alive, count2, m2[:, 1],
-        m2[:, 2], k_path, current_step, xp, bio,
+        arrays["NANOG"], arrays["fds_counters"], arrays["ids"], alive, count2,
+        m2[:, 1], m2[:, 2], k_path, current_step, xp, bio,
     )
 
     # --- cell_differentiate ---
     arrays["NANOG"], arrays["states"], arrays["diff_counters"] = biology.cell_differentiate(
         arrays["GATA6"], arrays["NANOG"], arrays["states"], arrays["diff_counters"],
-        alive, k_diff, bio,
+        arrays["ids"], alive, k_diff, bio,
     )
 
     # --- optional phases the reference ships disabled (cell_simulation.py:98-104) ---
@@ -344,7 +357,7 @@ def hipsc_step(
         )
     if cfg.enable_stochastic:
         arrays["GATA6"], arrays["NANOG"] = biology.cell_stochastic_update(
-            arrays["GATA6"], arrays["NANOG"], alive, k_stoch, bio
+            arrays["GATA6"], arrays["NANOG"], arrays["ids"], alive, k_stoch, bio
         )
     if cfg.enable_diff_surround:
         m_ds = bio_moments(
@@ -381,7 +394,7 @@ def hipsc_step(
     )
     arrays["motility_forces"] = biology.cell_motility(
         arrays["locations"], arrays["GATA6"], arrays["NANOG"], arrays["states"],
-        arrays["motility_forces"], alive, count2,
+        arrays["motility_forces"], arrays["ids"], alive, count2,
         m3[:, 3].astype(jnp.int32), m3[:, 4:7],
         m3[:, 7].astype(jnp.int32), m3[:, 8:11],
         k_mot, xp, bio, cfg.two_d,
@@ -417,6 +430,7 @@ def hipsc_step(
         jkr_max_degree=jnp.max(j_degs),
         jkr_span_needed=jnp.max(j_span),
         nbr_span_needed=nbr_span_needed,
+        max_id=jnp.max(jnp.where(alive, arrays["ids"], 0)),
     )
     new_state = CellState(
         arrays=arrays,
@@ -425,6 +439,7 @@ def hipsc_step(
         gradients=gradients,
         key=key,
         step=current_step + 1,
+        next_id=state.next_id + num_added.astype(jnp.int32),
     )
     return new_state, info
 
@@ -433,9 +448,11 @@ def _physics_scan_xla(cfg, bio, arrays, alive, bonds, size, dts):
     """Physics substeps on the pure-XLA path (window gathers). The bond graph
     rides along in slot space with per-substep compaction."""
 
+    ids = arrays["ids"]
+
     def build_window(locations):
         grid, pos, valid, max_run = nbr_ops.sorted_window(
-            cfg.jkr_spec, locations, alive
+            cfg.jkr_spec, locations, ids, alive
         )
         return (grid.order, pos, valid, max_run, locations)
 
@@ -453,7 +470,7 @@ def _physics_scan_xla(cfg, bio, arrays, alive, bonds, size, dts):
             locations,
         )
         order, pos, valid, j_max_in_bin, _ = win
-        packed = pack_physics(locations, arrays["radii"], alive)
+        packed = pack_physics(locations, arrays["radii"], ids, alive)
         jkr_forces, bonds, max_degree = jkr_ops.jkr_substep(
             bonds, packed, order, pos, valid, bio.jkr_radius,
             bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
@@ -484,11 +501,12 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
     capacity = alive.shape[0]
     block = cfg.pallas_block
     radii = arrays["radii"]
+    ids = arrays["ids"]
     motility = arrays["motility_forces"]
 
     def build_window(args):
         locations, srt_bonds_old, inv_old = args
-        grid = nbr_ops.build_grid(cfg.jkr_spec, locations, alive)
+        grid = nbr_ops.build_grid(cfg.jkr_spec, locations, ids, alive)
         bounds = nbr_ops.sorted_run_bounds(cfg.jkr_spec, grid)
         starts, span_needed = block_span_starts(
             bounds, block, cfg.jkr_span, capacity
@@ -526,7 +544,7 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
             (locations, srt_bonds, win[1]),
         )
         order, inv, bounds, starts, _, max_run, span_needed = win
-        packed = pack_physics(locations, radii, alive)
+        packed = pack_physics(locations, radii, ids, alive)
         force_deg, srt_bonds = contact_substep_pallas(
             packed[order], bounds, srt_bonds, starts,
             block=block, span=cfg.jkr_span, radius=bio.jkr_radius,
@@ -666,6 +684,7 @@ class HipscEngine:
 
         if locations is None:
             locations = rng.random((n, 3)) * np.asarray(gen.size)
+        arrays["ids"][:n] = np.arange(n, dtype=np.int32)
         arrays["locations"][:n] = locations
         arrays["radii"][:n] = bio.max_radius
         for fds in ("FGF4", "FGFR", "ERK", "NANOG"):
@@ -711,6 +730,7 @@ class HipscEngine:
             gradients={k: jnp.asarray(v) for k, v in gradients.items()},
             key=jax.random.PRNGKey(seed),
             step=jnp.asarray(1, dtype=jnp.int32),
+            next_id=jnp.asarray(n, dtype=jnp.int32),
         )
 
     # -- stepping -----------------------------------------------------------
@@ -759,6 +779,14 @@ class HipscEngine:
         for _ in range(16):
             cfg = self._cfg_for_state(state)
             new_state, info = self._step_fn(cfg)(state)
+            if int(info.max_id) >= (1 << 24) - 1:
+                # ids ride f32 pack lanes; past 2^24 they lose exactness.
+                # 16.7M agents-ever is far beyond any published workload —
+                # fail loudly rather than corrupt bond identity silently.
+                raise RuntimeError(
+                    "agent id space exhausted (2^24 agents ever created); "
+                    "id recycling is not implemented"
+                )
             grown_cfg = self._grown_cfg(cfg, info)
             if grown_cfg is None:
                 return new_state, info
@@ -850,4 +878,5 @@ class HipscEngine:
             gradients=state.gradients,
             key=state.key,
             step=state.step,
+            next_id=state.next_id,
         )

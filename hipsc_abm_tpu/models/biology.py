@@ -14,20 +14,22 @@ set is not a meaningful part of the model.
 
 All functions take the fixed-capacity slot arrays plus the padded neighbor
 window (``cand_idx``, ``nbr_mask``) produced by ``ops.neighbors`` and return
-updated arrays; randomness is threaded through explicit ``jax.random`` keys
-(bit-exact reproducibility and checkpoint resume, unlike the reference's
-global ``random`` module state).
+updated arrays. Randomness is *id-keyed* (``ops.rng``): every draw is a pure
+function of (step key, stable agent id, stream salt), so results are
+bit-exactly reproducible on resume AND identical across slot layouts —
+the property the domain-decomposed multi-chip engine relies on.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from hipsc_abm_tpu.models.params import BiologyParams, ExperimentalParams
+from hipsc_abm_tpu.ops import rng
 
 
 def random_vectors(key: jax.Array, n: int, two_d: bool, dtype=jnp.float32) -> jnp.ndarray:
@@ -114,6 +116,17 @@ def allocate_daughter_slots(
     return can_divide, daughter_slot, num_deferred
 
 
+def canonical_rank(mask: jnp.ndarray, canon_order: jnp.ndarray) -> jnp.ndarray:
+    """Per-slot rank of the masked agents in the canonical (bin, id) order
+    ``canon_order`` (a permutation of slots, e.g. ``Grid.order``). The rank is
+    layout-independent — the same agent set gets the same ranks regardless of
+    slot permutation or domain decomposition — which makes daughter-id
+    assignment identical between the single-device and domain engines."""
+    m_srt = mask[canon_order].astype(jnp.int32)
+    rank_srt = jnp.cumsum(m_srt) - 1
+    return jnp.zeros_like(rank_srt).at[canon_order].set(rank_srt)
+
+
 def cell_division(
     arrays: Dict[str, jnp.ndarray],
     alive: jnp.ndarray,
@@ -121,6 +134,8 @@ def cell_division(
     key: jax.Array,
     p: BiologyParams,
     two_d: bool,
+    canon_order: Optional[jnp.ndarray] = None,
+    next_id: Optional[jnp.ndarray] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``cell_division`` (``cell_methods.py:54-117``).
 
@@ -128,14 +143,22 @@ def cell_division(
     ``pluri_div_thresh``, differentiated at ``diff_div_thresh`` under contact
     inhibition. A daughter is a full copy of the mother's slot values written
     into a free slot; the pair is displaced +/- a random vector scaled by
-    (max_radius - min_radius); both division counters reset.
+    (max_radius - min_radius); both division counters reset. Daughters get
+    fresh stable ids ``next_id + canonical rank of their mother`` — slot
+    choice is layout-local, the id is not.
 
     Returns (arrays, alive, daughter_mask, num_added, num_deferred).
     """
     capacity = alive.shape[0]
-    k_inc, k_vec = jax.random.split(key)
+    ids = arrays["ids"]
+    if canon_order is None:
+        canon_order = jnp.arange(capacity, dtype=jnp.int32)
+    if next_id is None:
+        next_id = jnp.max(jnp.where(alive, ids, -1)) + 1
 
-    div_counters = arrays["div_counters"] + jnp.where(alive, coin_flips(k_inc, capacity), 0)
+    div_counters = arrays["div_counters"] + jnp.where(
+        alive, rng.coin_flips(key, ids, salt=0), 0
+    )
     states = arrays["states"]
     pluri_div = (states == 0) & (div_counters >= p.pluri_div_thresh)
     diff_div = (
@@ -146,12 +169,13 @@ def cell_division(
     dividing = alive & (pluri_div | diff_div)
 
     can_divide, daughter_slot, num_deferred = allocate_daughter_slots(dividing, alive)
+    daughter_ids = next_id + canonical_rank(can_divide, canon_order)
 
     # mother/daughter displacement (cell_methods.py:103-105): daughter copies
     # the mother's pre-displacement location, then moves -disp; mother +disp.
-    disp = random_vectors(k_vec, capacity, two_d, arrays["locations"].dtype) * (
-        p.max_radius - p.min_radius
-    )
+    disp = rng.unit_vectors(key, ids, two_d, salt=1).astype(
+        arrays["locations"].dtype
+    ) * (p.max_radius - p.min_radius)
 
     new_arrays = {}
     for name, arr in arrays.items():
@@ -162,6 +186,8 @@ def cell_division(
         elif name == "div_counters":
             arr = div_counters.at[daughter_slot].set(0, mode="drop")
             arr = jnp.where(can_divide, 0, arr)
+        elif name == "ids":
+            arr = arr.at[daughter_slot].set(daughter_ids, mode="drop")
         else:
             arr = arr.at[daughter_slot].set(arr, mode="drop")
         new_arrays[name] = arr
@@ -183,6 +209,7 @@ def cell_pathway(
     GATA6: jnp.ndarray,
     NANOG: jnp.ndarray,
     fds_counters: jnp.ndarray,
+    ids: jnp.ndarray,
     alive: jnp.ndarray,
     nbr_count: jnp.ndarray,  # (C,) neighbors in the post-death graph
     nbr_FGF4_sum: jnp.ndarray,  # (C,) f32 sum of neighbors' FGF4
@@ -214,7 +241,7 @@ def cell_pathway(
     n_closed = (nbr_count + 1).astype(jnp.float32)
     sum_f = nbr_FGF4_sum + f_self
     sum_f2 = nbr_FGF4_sq_sum + f_self * f_self
-    g = jax.random.normal(key, (capacity,), dtype=jnp.float32)
+    g = rng.normal(key, ids, salt=0)
     perceived = (sum_f + g * jnp.sqrt(sum_f2)) / n_closed
     perceived = jnp.clip(jnp.floor(perceived), 0, p.field - 1).astype(jnp.int32)
 
@@ -254,13 +281,14 @@ def cell_differentiate(
     NANOG: jnp.ndarray,
     states: jnp.ndarray,
     diff_counters: jnp.ndarray,
+    ids: jnp.ndarray,
     alive: jnp.ndarray,
     key: jax.Array,
     p: BiologyParams,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``cell_differentiate`` (``cell_methods.py:230-244``)."""
     eligible = alive & (GATA6 > NANOG) & (states == 0)
-    counters = diff_counters + jnp.where(eligible, coin_flips(key, GATA6.shape[0]), 0)
+    counters = diff_counters + jnp.where(eligible, rng.coin_flips(key, ids), 0)
     trigger = eligible & (counters >= p.pluri_to_diff)
     states = jnp.where(trigger, 1, states)
     NANOG = jnp.where(trigger, 0, NANOG)
@@ -302,6 +330,7 @@ def cell_growth(
 def cell_stochastic_update(
     GATA6: jnp.ndarray,
     NANOG: jnp.ndarray,
+    ids: jnp.ndarray,
     alive: jnp.ndarray,
     key: jax.Array,
     p: BiologyParams,
@@ -310,12 +339,10 @@ def cell_stochastic_update(
     """``cell_stochastic_update`` (``cell_methods.py:160-174``): random GATA6
     bump with probability ``GATA6_prob``. The NANOG branch is commented out in
     the reference; pass ``nanog_too=True`` to enable it."""
-    k_g, k_n = jax.random.split(key)
-    n = GATA6.shape[0]
-    bump_g = jax.random.uniform(k_g, (n,)) < p.GATA6_prob
+    bump_g = rng.uniform(key, ids, salt=0) < p.GATA6_prob
     GATA6 = jnp.where(alive & bump_g & (GATA6 != p.field - 1), GATA6 + 1, GATA6)
     if nanog_too:
-        bump_n = jax.random.uniform(k_n, (n,)) < p.NANOG_prob
+        bump_n = rng.uniform(key, ids, salt=1) < p.NANOG_prob
         NANOG = jnp.where(alive & bump_n & (NANOG != p.field - 1), NANOG + 1, NANOG)
     return GATA6, NANOG
 
@@ -331,6 +358,7 @@ def cell_motility(
     NANOG: jnp.ndarray,
     states: jnp.ndarray,
     motility_forces: jnp.ndarray,
+    ids: jnp.ndarray,
     alive: jnp.ndarray,
     nbr_count: jnp.ndarray,  # (C,) neighbors in the post-death graph
     cnt_nanog: jnp.ndarray,  # (C,) NANOG-high neighbor count
@@ -355,12 +383,11 @@ def cell_motility(
     - NANOG-high pluripotent: toward NANOG-high neighbors;
     - undecided: random walk.
     """
-    capacity = locations.shape[0]
     free_to_move = alive & (nbr_count < p.motility_crowd_neighbors)
     sum_nanog = sum_nanog_disp
     sum_diff = sum_diff_disp
 
-    rand = random_vectors(key, capacity, two_d, locations.dtype)
+    rand = rng.unit_vectors(key, ids, two_d).astype(locations.dtype)
     away_nanog = jnp.where(
         (cnt_nanog > 0)[:, None],
         normalize_rows(sum_nanog) * -0.8 + rand * 0.2,

@@ -165,7 +165,10 @@ class CellSimulation(Simulation):
         for name, (dtype, vec) in HIPSC_ARRAY_SPECS.items():
             shape = (C,) if vec is None else (C, vec)
             host = np.zeros(shape, dtype=dtype)
-            host[:n] = np.asarray(self.__dict__[name])
+            if name == "ids":  # engine-internal stable identity
+                host[:n] = np.arange(n, dtype=np.int32)
+            else:
+                host[:n] = np.asarray(self.__dict__[name])
             arrays[name] = jax.numpy.asarray(host)
         alive = np.zeros((C,), dtype=bool)
         alive[:n] = True
@@ -183,6 +186,7 @@ class CellSimulation(Simulation):
             gradients=gradients,
             key=jax.random.PRNGKey(self.seed),
             step=jax.numpy.asarray(self.beginning_step, dtype=jax.numpy.int32),
+            next_id=jax.numpy.asarray(n, dtype=jax.numpy.int32),
         )
 
     def _sync_host(self) -> None:

@@ -45,13 +45,21 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-PACK_WIDTH = 8  # [x, y, z, radius, slot_id, alive, pad, pad]
+PACK_WIDTH = 8  # [x, y, z, radius, agent_id, alive, pad, pad]
 
 
 class BondState(NamedTuple):
-    """Persistent bonded-partner matrix for one graph (slot-indexed)."""
+    """Persistent bonded-partner matrix for one graph.
 
-    partners: jnp.ndarray  # (C, K) int32 partner slot ids
+    Partners are stored by **stable agent id**, not slot index: ids never get
+    recycled (unlike slots, where a daughter can claim a just-died agent's
+    slot), so a stale entry can never rebind to a different agent — it simply
+    never matches any window candidate again and drops out at the next
+    compaction. This also makes the bond state layout-independent (the
+    domain-decomposed engine migrates agents between per-device slot blocks
+    without touching bond contents)."""
+
+    partners: jnp.ndarray  # (C, K) int32 partner agent ids
     mask: jnp.ndarray  # (C, K) bool
 
     @classmethod
@@ -66,18 +74,21 @@ class BondState(NamedTuple):
 
 
 def pack_physics(
-    locations: jnp.ndarray, radii: jnp.ndarray, alive: jnp.ndarray
+    locations: jnp.ndarray,
+    radii: jnp.ndarray,
+    ids: jnp.ndarray,
+    alive: jnp.ndarray,
 ) -> jnp.ndarray:
-    """(C, 8) f32 feature rows for gather-efficient windowed physics."""
+    """(C, 8) f32 feature rows for gather-efficient windowed physics.
+    ``ids`` are the stable agent ids (exact in f32 below 2^24; the engine's
+    overflow probe guards the bound)."""
     capacity = locations.shape[0]
-    assert capacity < (1 << 24), "slot ids must stay exact in f32"
-    slot = jnp.arange(capacity, dtype=jnp.float32)
     zeros = jnp.zeros((capacity, PACK_WIDTH - 6), dtype=jnp.float32)
     return jnp.concatenate(
         [
             locations.astype(jnp.float32),
             radii.astype(jnp.float32)[:, None],
-            slot[:, None],
+            ids.astype(jnp.float32)[:, None],
             alive.astype(jnp.float32)[:, None],
             zeros,
         ],
@@ -159,15 +170,17 @@ def _compact_bonds(
     return BondState(partners=new_partners, mask=new_mask), jnp.max(degree)
 
 
-def window_cand_slots(order: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """(C, W) candidate slot ids of a window (int gather; only needed at bond
-    conversion points, not in the per-substep hot path)."""
-    return order[pos]
+def window_cand_ids(
+    packed: jnp.ndarray, order: jnp.ndarray, pos: jnp.ndarray
+) -> jnp.ndarray:
+    """(C, W) candidate agent ids of a window (only needed at bond conversion
+    points, not in the per-substep hot path)."""
+    return packed[order, 4][pos]
 
 
-def bonds_to_window_mask(bonds: BondState, cand_slot: jnp.ndarray) -> jnp.ndarray:
+def bonds_to_window_mask(bonds: BondState, cand_id: jnp.ndarray) -> jnp.ndarray:
     """Align the persistent (C, K) bond set to a window: (C, W) bond mask."""
-    return _is_bonded(bonds, cand_slot)
+    return _is_bonded(bonds, cand_id)
 
 
 def window_mask_to_bonds(
@@ -204,11 +217,10 @@ def jkr_substep_aligned(
     clear=False)`` -> ``calculate_jkr`` -> edge deletion] at
     ``cell_methods.py:399-404``.
     """
-    capacity = packed.shape[0]
     self_xyz = packed[:, :3]
     self_rad = packed[:, 3]
     row_alive = packed[:, 5] > 0.0
-    self_slot = jnp.arange(capacity, dtype=jnp.float32)
+    self_id = packed[:, 4]
 
     # The window is guaranteed (by bin sizing: search radius + break band +
     # Verlet skin) to contain every force-active pair — fresh contacts within
@@ -220,12 +232,12 @@ def jkr_substep_aligned(
     cand = sorted_pack[pos]  # (C, W, 8) — the one wide window gather
     cand_xyz = cand[..., :3]
     cand_rad = cand[..., 3]
-    cand_slot_f = cand[..., 4]
+    cand_id = cand[..., 4]
 
     delta = cand_xyz - self_xyz[:, None, :]
     dist2 = jnp.sum(delta * delta, axis=-1)
     r = jnp.float32(radius)
-    pair_ok = valid & (cand_slot_f != self_slot[:, None]) & row_alive[:, None]
+    pair_ok = valid & (cand_id != self_id[:, None]) & row_alive[:, None]
     # force-eligible: fresh contact within the search radius, or an edge
     # already in the bond graph (clear=False persistence,
     # cell_methods.py:401 + simulation.py:286-288)
@@ -256,29 +268,26 @@ def jkr_substep(
     """Slot-space wrapper over ``jkr_substep_aligned``: converts the (C, K)
     bond matrix to a window mask, runs the substep, compacts back. Used by
     tests and one-shot callers; the engine's scan keeps the mask form."""
-    cand_slot = window_cand_slots(order, pos)
-    bond_mask = bonds_to_window_mask(bonds, cand_slot)
+    cand_id = window_cand_ids(packed, order, pos)
+    bond_mask = bonds_to_window_mask(bonds, cand_id)
     forces, keep, _ = jkr_substep_aligned(
         bond_mask, packed, order, pos, valid, radius,
         adhesion_const, poisson, youngs, break_d,
     )
-    new_bonds, max_degree = window_mask_to_bonds(cand_slot, keep, bonds.partners.shape[1])
+    new_bonds, max_degree = window_mask_to_bonds(cand_id, keep, bonds.partners.shape[1])
     return forces, new_bonds, max_degree
 
 
 def clear_bond_rows(bonds: BondState, rows_to_clear: jnp.ndarray) -> BondState:
     """Empty the bond rows of given slots (daughters on division get fresh
-    graph vertices with no edges — ``cell_methods.py:112-113``)."""
+    graph vertices with no edges — ``cell_methods.py:112-113``).
+
+    Dead *partners* need no explicit cleanup (the reference's
+    ``delete_vertices`` edge removal, ``cell_methods.py:47-48``): a dead
+    agent's id never appears in any candidate window again, so its bonds
+    exert no force and vanish at the next in-window compaction — and because
+    ids are never recycled, the stale entry can't rebind to a new agent."""
     return BondState(
         partners=bonds.partners,
         mask=bonds.mask & ~rows_to_clear[:, None],
-    )
-
-
-def drop_dead_partners(bonds: BondState, alive: jnp.ndarray) -> BondState:
-    """Remove bonds whose partner slot died (igraph ``delete_vertices``
-    removed incident edges — ``cell_methods.py:47-48``)."""
-    return BondState(
-        partners=bonds.partners,
-        mask=bonds.mask & alive[bonds.partners] & alive[:, None],
     )

@@ -106,21 +106,50 @@ def _bin_coords(spec: GridSpec, locations: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(coords, 0, dims - 1)
 
 
-def build_grid(spec: GridSpec, locations: jnp.ndarray, alive: jnp.ndarray) -> Grid:
-    """Sort agents by flat bin id (replaces ``assign_bins_jit``,
-    ``backend.py:31-50``, without the dense bins array or the retry loop)."""
+def dead_sentinel(spec: GridSpec) -> int:
+    """Flat id assigned to dead slots: beyond every live id AND beyond every
+    stencil probe a live row can make (max live probe = num_bins - 1 + ny + 2
+    in 2D), so flat-id interval tests never match dead candidates."""
+    minor = spec.ny if spec.two_d else spec.ny * spec.nz
+    return spec.num_bins + minor + 3
+
+
+def flat_bin_ids(spec: GridSpec, locations: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
+    """Row-major flat bin id per agent; dead slots get the sentinel."""
     coords = _bin_coords(spec, locations)
     if spec.two_d:
         flat = coords[:, 0] * spec.ny + coords[:, 1]
     else:
         flat = (coords[:, 0] * spec.ny + coords[:, 1]) * spec.nz + coords[:, 2]
-    flat = jnp.where(alive, flat, spec.num_bins)  # dead -> sentinel, sorts last
+    return jnp.where(alive, flat, dead_sentinel(spec))
 
-    order = jnp.argsort(flat)  # stable
+
+def build_grid(
+    spec: GridSpec,
+    locations: jnp.ndarray,
+    ids: jnp.ndarray,
+    alive: jnp.ndarray,
+) -> Grid:
+    """Sort agents into the **canonical (flat bin, agent id) order**
+    (replaces ``assign_bins_jit``, ``backend.py:31-50``, without the dense
+    bins array or the retry loop).
+
+    The id tie-break makes the order a pure function of the agent *set*, not
+    its slot layout: any permutation of slots — including the stripe-major
+    layout of the domain-decomposed engine — yields the same sorted sequence
+    of agents. Daughter-id assignment and windowed float summation order
+    both inherit this layout independence.
+    """
+    capacity = locations.shape[0]
+    flat = flat_bin_ids(spec, locations, alive)
+    _, _, order = jax.lax.sort(
+        (flat, ids.astype(jnp.int32), jnp.arange(capacity, dtype=jnp.int32)),
+        num_keys=2,
+    )
     return Grid(
         order=order.astype(jnp.int32),
         sorted_flat=flat[order],
-        coords=coords,
+        coords=_bin_coords(spec, locations),
     )
 
 
@@ -223,7 +252,10 @@ def candidate_window(
 
 
 def sorted_window(
-    spec: GridSpec, locations: jnp.ndarray, alive: jnp.ndarray
+    spec: GridSpec,
+    locations: jnp.ndarray,
+    ids: jnp.ndarray,
+    alive: jnp.ndarray,
 ) -> Tuple[Grid, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Candidate window expressed as *sorted positions* (gather-light).
 
@@ -234,7 +266,7 @@ def sorted_window(
     per-field gathers (idx, locations, radii, alive) into one wide row gather
     is a large win on the physics path.
     """
-    grid = build_grid(spec, locations, alive)
+    grid = build_grid(spec, locations, ids, alive)
     pos, valid, max_run = _run_windows(spec, grid)
     return grid, pos, valid, max_run
 
@@ -281,7 +313,8 @@ def neighbor_search(
     ``run_cap`` (the reference's adaptive doubling loops,
     ``simulation.py:217-221`` and ``:277-281``, moved off the hot path).
     """
-    grid = build_grid(spec, locations, alive)
+    ids = jnp.arange(locations.shape[0], dtype=jnp.int32)  # host API: slot = id
+    grid = build_grid(spec, locations, ids, alive)
     cand_idx, cand_valid, max_run = candidate_window(spec, grid)
     mask = neighbor_mask(locations, alive, cand_idx, cand_valid, radius)
     return cand_idx, mask, max_run

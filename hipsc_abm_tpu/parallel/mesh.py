@@ -53,6 +53,7 @@ def state_shardings(state: CellState, mesh: Mesh) -> CellState:
         gradients={k: replicated for k in state.gradients},
         key=replicated,
         step=replicated,
+        next_id=replicated,
     )
 
 

@@ -24,7 +24,7 @@ import numpy as np
 from hipsc_abm_tpu.engine import CellState
 from hipsc_abm_tpu.ops.jkr import BondState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: + arrays/ids, next_id (stable agent identity)
 
 
 def save_state(path: str, state: CellState, meta: dict | None = None) -> None:
@@ -40,6 +40,7 @@ def save_state(path: str, state: CellState, meta: dict | None = None) -> None:
         payload[f"gradients/{name}"] = np.asarray(grid)
     payload["key"] = np.asarray(host.key)
     payload["step"] = np.asarray(host.step)
+    payload["next_id"] = np.asarray(host.next_id)
     payload["meta"] = np.frombuffer(
         json.dumps({"format_version": _FORMAT_VERSION, **(meta or {})}).encode(),
         dtype=np.uint8,
@@ -72,5 +73,6 @@ def load_state(path: str) -> Tuple[CellState, dict]:
             gradients={k: jax.numpy.asarray(v) for k, v in gradients.items()},
             key=jax.numpy.asarray(data["key"]),
             step=jax.numpy.asarray(data["step"]),
+            next_id=jax.numpy.asarray(data["next_id"]),
         )
     return state, meta

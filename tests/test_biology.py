@@ -17,12 +17,12 @@ KEY = jax.random.PRNGKey(7)
 # per-primitive eager dispatch cost on CPU test runs
 death_j = jax.jit(biology.cell_death, static_argnums=(4, 5))
 division_j = jax.jit(biology.cell_division, static_argnums=(4, 5))
-pathway_j = jax.jit(biology.cell_pathway, static_argnums=(12, 13))
-differentiate_j = jax.jit(biology.cell_differentiate, static_argnums=(6,))
+pathway_j = jax.jit(biology.cell_pathway, static_argnums=(13, 14))
+differentiate_j = jax.jit(biology.cell_differentiate, static_argnums=(7,))
 diff_surround_j = jax.jit(biology.cell_diff_surround, static_argnums=(5,))
 growth_j = jax.jit(biology.cell_growth, static_argnums=(4,))
-stochastic_j = jax.jit(biology.cell_stochastic_update, static_argnums=(4, 5))
-motility_j = jax.jit(biology.cell_motility, static_argnums=(12, 13, 14))
+stochastic_j = jax.jit(biology.cell_stochastic_update, static_argnums=(5, 6))
+motility_j = jax.jit(biology.cell_motility, static_argnums=(13, 14, 15))
 
 
 def no_neighbors(capacity, window=8):
@@ -73,6 +73,7 @@ def make_arrays(capacity, **overrides):
     for name, (dtype, vec) in HIPSC_ARRAY_SPECS.items():
         shape = (capacity,) if vec is None else (capacity, vec)
         arrays[name] = jnp.zeros(shape, dtype=dtype)
+    arrays["ids"] = jnp.arange(capacity, dtype=jnp.int32)
     arrays.update({k: jnp.asarray(v) for k, v in overrides.items()})
     return arrays
 
@@ -170,8 +171,8 @@ def run_pathway(FGF4, FGFR, ERK, GATA6, NANOG, step, fds_counters=None, mask=Non
     return pathway_j(
         jnp.asarray(FGF4), jnp.asarray(FGFR), jnp.asarray(ERK),
         jnp.asarray(GATA6), jnp.asarray(NANOG), jnp.asarray(fds_counters),
-        jnp.ones(n, bool), jnp.asarray(count), jnp.asarray(sum_f),
-        jnp.asarray(sum_f2), KEY, jnp.asarray(step), XP, BIO,
+        jnp.arange(n, dtype=jnp.int32), jnp.ones(n, bool), jnp.asarray(count),
+        jnp.asarray(sum_f), jnp.asarray(sum_f2), KEY, jnp.asarray(step), XP, BIO,
     )
 
 
@@ -207,8 +208,8 @@ def test_pathway_fds_thresh_gates_update():
     # counter 1 -> 1 % 3 != 0 -> no update even though NANOG=1 would flip FGF4
     out = biology.cell_pathway(
         jnp.array([0]), jnp.array([0]), jnp.array([0]), jnp.array([0]), jnp.array([1]),
-        jnp.array([1]), jnp.ones(n, bool), jnp.zeros(n, jnp.int32), z, z, KEY,
-        jnp.asarray(XP.dox_step), XP, bio3,
+        jnp.array([1]), jnp.arange(n, dtype=jnp.int32), jnp.ones(n, bool),
+        jnp.zeros(n, jnp.int32), z, z, KEY, jnp.asarray(XP.dox_step), XP, bio3,
     )
     assert int(out[0][0]) == 0 and int(out[5][0]) == 2
 
@@ -240,7 +241,8 @@ def test_differentiate_trigger():
     states = jnp.array([0, 0, 0, 1])
     counters = jnp.array([BIO.pluri_to_diff, 0, BIO.pluri_to_diff, BIO.pluri_to_diff])
     alive = jnp.ones(4, bool)
-    nN, nS, nC = differentiate_j(GATA6, NANOG, states, counters, alive, KEY, BIO)
+    ids = jnp.arange(4, dtype=jnp.int32)
+    nN, nS, nC = differentiate_j(GATA6, NANOG, states, counters, ids, alive, KEY, BIO)
     assert int(nS[0]) == 1 and int(nN[0]) == 0  # triggered
     assert int(nS[1]) == 0  # counter too low (36 needed; 0 or 1 after increment)
     assert int(nS[2]) == 0  # NANOG high, not eligible
@@ -278,7 +280,8 @@ def test_stochastic_update_rate():
     n = 20000
     GATA6 = jnp.zeros(n, int)
     NANOG = jnp.zeros(n, int)
-    nG, nN = stochastic_j(GATA6, NANOG, jnp.ones(n, bool), KEY, BIO)
+    nG, nN = stochastic_j(GATA6, NANOG, jnp.arange(n, dtype=jnp.int32),
+                          jnp.ones(n, bool), KEY, BIO)
     rate = float(jnp.mean(nG))
     assert 0.005 < rate < 0.015  # ~GATA6_prob
     assert not bool(jnp.any(nN))  # NANOG branch disabled by default (as in ref)
@@ -303,7 +306,7 @@ def motility_setup(states, GATA6, NANOG, neighbor_of_0=None):
     diff_j = mask & (S[None, :] != 0)
     return (
         jnp.asarray(locs), jnp.asarray(GATA6), jnp.asarray(NANOG), jnp.asarray(states),
-        jnp.zeros((n, 3), jnp.float32), jnp.ones(n, bool),
+        jnp.zeros((n, 3), jnp.float32), jnp.arange(n, dtype=jnp.int32), jnp.ones(n, bool),
         jnp.asarray(mask.sum(axis=1).astype(np.int32)),
         jnp.asarray(nanog_j.sum(axis=1).astype(np.int32)),
         jnp.asarray((nanog_j[..., None] * disp).sum(axis=1).astype(np.float32)),
@@ -318,7 +321,7 @@ def test_motility_crowded_cells_get_no_force():
     zi = jnp.zeros(n, jnp.int32)
     out = motility_j(
         jnp.zeros((n, 3), jnp.float32), jnp.zeros(n, int), jnp.ones(n, int),
-        jnp.zeros(n, int), z3, jnp.ones(n, bool),
+        jnp.zeros(n, int), z3, jnp.arange(n, dtype=jnp.int32), jnp.ones(n, bool),
         jnp.full(n, 7, jnp.int32), zi, z3, zi, z3, KEY, XP, BIO, True,
     )
     np.testing.assert_allclose(np.asarray(out), 0.0)

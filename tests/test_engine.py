@@ -141,6 +141,44 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     assert tree_equal(cont, resumed)
 
 
+def test_dynamics_are_slot_layout_independent():
+    """The same colony stored under a random slot permutation must evolve
+    identically per agent (matched by stable id): randomness is id-keyed, the
+    grid order is canonical (bin, id), and bonds store ids. This is the
+    invariant the domain-decomposed engine builds on."""
+    from hipsc_abm_tpu.ops.jkr import BondState
+
+    eng = small_engine()
+    s = eng.init_state(seed=17)
+    perm = np.random.default_rng(0).permutation(s.capacity)
+    s_perm = s._replace(
+        arrays={k: v[perm] for k, v in s.arrays.items()},
+        alive=s.alive[perm],
+        bonds=BondState(partners=s.bonds.partners[perm], mask=s.bonds.mask[perm]),
+    )
+
+    for _ in range(3):
+        s, _ = eng.safe_step(s)
+        s_perm, _ = eng.safe_step(s_perm)
+
+    def by_id(state):
+        alive = np.asarray(state.alive)
+        ids = np.asarray(state.arrays["ids"])[alive]
+        order = np.argsort(ids)
+        rows = {k: np.asarray(v)[alive][order] for k, v in state.arrays.items()}
+        return ids[order], rows
+
+    ids_a, rows_a = by_id(s)
+    ids_b, rows_b = by_id(s_perm)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    for name in rows_a:
+        if rows_a[name].dtype.kind == "f":
+            np.testing.assert_allclose(rows_a[name], rows_b[name], atol=1e-6,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(rows_a[name], rows_b[name], err_msg=name)
+
+
 def test_interleaved_states_across_growth():
     """Two live states on one engine: after one state triggers capacity
     growth, stepping the *other* (old-capacity) state must still work and

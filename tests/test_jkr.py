@@ -47,8 +47,9 @@ def _jitted_substep(capacity):
 
     @jax.jit
     def run(locs, radii, alive, bonds):
-        grid, pos, valid, _ = nbr.sorted_window(spec, locs, alive)
-        packed = pack_physics(locs, radii, alive)
+        ids = jnp.arange(locs.shape[0], dtype=jnp.int32)  # slot == id here
+        grid, pos, valid, _ = nbr.sorted_window(spec, locs, ids, alive)
+        packed = pack_physics(locs, radii, ids, alive)
         return jkr_substep(
             bonds, packed, grid.order, pos, valid, BIO.jkr_radius,
             BIO.adhesion_const, BIO.poisson, BIO.youngs, BIO.jkr_break_d,
@@ -158,7 +159,7 @@ def test_no_double_count_for_bonded_contact():
     assert int(bonds2.mask[0].sum()) == 1  # no duplicate bond entries
 
 
-def test_degree_probe_and_dead_partner_drop(rng):
+def test_degree_probe_and_dead_partner_self_clean(rng):
     n = 10
     locs = np.zeros((n, 3), dtype=np.float32)
     locs[:, :2] = 10.0 + rng.random((n, 2)) * 4.0  # everyone in contact
@@ -167,12 +168,21 @@ def test_degree_probe_and_dead_partner_drop(rng):
     _, bonds, max_deg = run_substep(locs, radii, alive, bond_cap=16)
     assert max_deg == n - 1
 
-    # kill half; their bonds must stop contributing
+    # kill half; their ids vanish from every candidate window, so one more
+    # substep self-cleans the bond state (dead ids are never recycled, so the
+    # stale entries are inert in the interim)
     alive2 = alive.copy()
     alive2[n // 2:] = False
-    from hipsc_abm_tpu.ops.jkr import drop_dead_partners
-    bonds = drop_dead_partners(BondState(*map(jnp.asarray, bonds)), jnp.asarray(alive2))
-    partners = np.asarray(bonds.partners)
-    mask = np.asarray(bonds.mask)
+    forces, bonds2, _ = run_substep(locs, radii, alive2, bonds=bonds, bond_cap=16)
+    partners = np.asarray(bonds2.partners)
+    mask = np.asarray(bonds2.mask)
     assert not mask[n // 2:].any()
     assert (partners[mask] < n // 2).all()
+    # and the dead agents exert no force on the living
+    want = np.zeros((n, 3))
+    for i in range(n // 2):
+        for j in range(n // 2):
+            if i != j and np.linalg.norm(locs[i] - locs[j]) <= BIO.jkr_radius:
+                f, _ = oracle_pair_force(locs[i], locs[j], 5.0, 5.0)
+                want[i] += f
+    np.testing.assert_allclose(forces[: n // 2], want[: n // 2], rtol=2e-4, atol=1e-16)

@@ -19,6 +19,10 @@ BOX = (300.0, 300.0, 0.0)
 CELL = BIO.jkr_radius + 2 * BIO.jkr_break_band + 2.0  # engine's jkr bin size
 
 
+def ids_of(C):
+    return jnp.arange(C, dtype=jnp.int32)  # slot == id in these unit tests
+
+
 def build_inputs(rng, C=256, n=230, bond_cap=8, seed_bonds=False):
     locs = np.zeros((C, 3), np.float32)
     locs[:n] = rng.random((n, 3)).astype(np.float32) * np.asarray(BOX, np.float32)
@@ -28,13 +32,13 @@ def build_inputs(rng, C=256, n=230, bond_cap=8, seed_bonds=False):
     alive[:n] = True
 
     spec = nbr.GridSpec.from_box(BOX, CELL, run_cap=64)
-    grid = nbr.build_grid(spec, jnp.asarray(locs), jnp.asarray(alive))
-    packed = pack_physics(jnp.asarray(locs), jnp.asarray(radii), jnp.asarray(alive))
+    grid = nbr.build_grid(spec, jnp.asarray(locs), ids_of(C), jnp.asarray(alive))
+    packed = pack_physics(jnp.asarray(locs), jnp.asarray(radii), ids_of(C), jnp.asarray(alive))
 
     bonds = BondState.empty(C, bond_cap)
     if seed_bonds:
         # bond every close pair (run one XLA substep to produce a bond state)
-        g2, pos, valid, _ = nbr.sorted_window(spec, jnp.asarray(locs), jnp.asarray(alive))
+        g2, pos, valid, _ = nbr.sorted_window(spec, jnp.asarray(locs), ids_of(C), jnp.asarray(alive))
         _, bonds, _ = jkr_substep(
             bonds, packed, g2.order, pos, valid, BIO.jkr_radius,
             BIO.adhesion_const, BIO.poisson, BIO.youngs, BIO.jkr_break_d,
@@ -43,7 +47,9 @@ def build_inputs(rng, C=256, n=230, bond_cap=8, seed_bonds=False):
 
 
 def run_xla(spec, locs, alive, packed, bonds):
-    grid, pos, valid, _ = nbr.sorted_window(spec, jnp.asarray(locs), jnp.asarray(alive))
+    grid, pos, valid, _ = nbr.sorted_window(
+        spec, jnp.asarray(locs), ids_of(len(locs)), jnp.asarray(alive)
+    )
     return jkr_substep(
         bonds, packed, grid.order, pos, valid, BIO.jkr_radius,
         BIO.adhesion_const, BIO.poisson, BIO.youngs, BIO.jkr_break_d,
@@ -110,8 +116,8 @@ def test_bond_persistence_through_kernel(rng):
     alive[:2] = True
 
     spec = nbr.GridSpec.from_box(BOX, CELL, run_cap=16)
-    grid = nbr.build_grid(spec, jnp.asarray(locs), jnp.asarray(alive))
-    packed = pack_physics(jnp.asarray(locs), jnp.asarray(radii), jnp.asarray(alive))
+    grid = nbr.build_grid(spec, jnp.asarray(locs), ids_of(C), jnp.asarray(alive))
+    packed = pack_physics(jnp.asarray(locs), jnp.asarray(radii), ids_of(C), jnp.asarray(alive))
 
     no_bonds = BondState.empty(C, 8)
     f0, _ = run_pallas(spec, grid, packed, no_bonds)

@@ -34,14 +34,15 @@ float(jnp.sum(s.arrays["locations"]))
 C = eng.cfg.capacity
 spec = eng.cfg.jkr_spec
 locs, radii, alive = s.arrays["locations"], s.arrays["radii"], s.alive
+    ids = s.arrays["ids"]
 bonds = s.bonds
 BLOCK = 128
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def pallas_path(locs, radii, alive, bonds, span):
-    grid = nbr.build_grid(spec, locs, alive)
-    packed = pack_physics(locs, radii, alive)
+    grid = nbr.build_grid(spec, locs, ids, alive)
+    packed = pack_physics(locs, radii, ids, alive)
     srt_pack = packed[grid.order]
     bounds = nbr.sorted_run_bounds(spec, grid)
     partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
@@ -57,7 +58,7 @@ def pallas_path(locs, radii, alive, bonds, span):
     return fd[inv], nb[inv], need
 
 
-grid = nbr.build_grid(spec, locs, alive)
+grid = nbr.build_grid(spec, locs, ids, alive)
 bounds = nbr.sorted_run_bounds(spec, grid)
 _, need = block_span_starts(bounds, BLOCK, span=min(C, 4096), capacity=C)
 SPAN = int((int(need) + 127) // 128 * 128)
@@ -72,8 +73,8 @@ float(jnp.sum(fd))
 print("pallas full path (incl sort+bounds+unsort):",
       round((time.perf_counter() - t0) / 20 * 1000, 2), "ms")
 
-g2, pos, valid, _ = jax.jit(functools.partial(nbr.sorted_window, spec))(locs, alive)
-packed = pack_physics(locs, radii, alive)
+g2, pos, valid, _ = jax.jit(functools.partial(nbr.sorted_window, spec))(locs, ids, alive)
+packed = pack_physics(locs, radii, ids, alive)
 jk = jax.jit(functools.partial(
     jkr_substep, radius=BIO.jkr_radius, adhesion_const=BIO.adhesion_const,
     poisson=BIO.poisson, youngs=BIO.youngs, break_d=BIO.jkr_break_d))

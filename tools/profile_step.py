@@ -41,16 +41,17 @@ def main(n=10000):
         s, _ = eng.safe_step(s)
     cfg, bio = eng.cfg, eng.bio
     locs, radii, alive = s.arrays["locations"], s.arrays["radii"], s.alive
+    ids = s.arrays["ids"]
     print("capacity", cfg.capacity, "jkr W", cfg.jkr_spec.window, "nbr W", cfg.nbr_spec.window, "K", cfg.bond_cap)
 
     full = jax.jit(lambda st: hipsc_step(st, cfg=cfg, gen=gen, xp=xp, bio=bio, diff=None)[0])
     timeit("full step", full, s, reps=5)
 
     spec = cfg.jkr_spec
-    timeit("build_grid(jkr)", jax.jit(functools.partial(nbr_ops.build_grid, spec)), locs, alive)
-    timeit("sorted_window(jkr)", jax.jit(functools.partial(nbr_ops.sorted_window, spec)), locs, alive)
-    grid, pos, valid, _ = jax.jit(functools.partial(nbr_ops.sorted_window, spec))(locs, alive)
-    packed = pack_physics(locs, radii, alive)
+    timeit("build_grid(jkr)", jax.jit(functools.partial(nbr_ops.build_grid, spec)), locs, ids, alive)
+    timeit("sorted_window(jkr)", jax.jit(functools.partial(nbr_ops.sorted_window, spec)), locs, ids, alive)
+    grid, pos, valid, _ = jax.jit(functools.partial(nbr_ops.sorted_window, spec))(locs, ids, alive)
+    packed = pack_physics(locs, radii, ids, alive)
     bonds = s.bonds
 
     timeit("jkr_substep", jax.jit(functools.partial(
