@@ -120,6 +120,14 @@ class EngineConfig:
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
     jkr_span: int = 512  # static DMA span cap (grown on overflow probe)
     nbr_span: int = 512  # biology-kernel DMA span cap
+    # span-chunk width: the kernels process CHUNK-wide span slices gated by
+    # per-block need, so compute scales with true candidate counts, not the
+    # static span cap (see ops.pallas_contact)
+    pallas_chunk: int = 256
+    # compile-time scalar radius for the contact pair law (set when growth is
+    # disabled and all radii are known equal — the reference default); None
+    # selects the general per-pair path
+    uniform_radius: Optional[float] = None
 
     @classmethod
     def create(
@@ -218,8 +226,9 @@ def hipsc_step(
 
         nbr_grid = nbr_ops.build_grid(cfg.nbr_spec, loc0, ids0, alive)
         nbr_bounds = nbr_ops.sorted_run_bounds(cfg.nbr_spec, nbr_grid)
-        nbr_starts, nbr_span_needed = block_span_starts(
-            nbr_bounds, cfg.pallas_block, cfg.nbr_span, capacity
+        nbr_starts, nbr_needs, nbr_span_needed = block_span_starts(
+            nbr_bounds, cfg.pallas_block, cfg.nbr_span, capacity,
+            chunk=cfg.pallas_chunk,
         )
         nbr_max_in_bin = jnp.max(
             jnp.maximum(
@@ -247,7 +256,8 @@ def hipsc_step(
             out = bio_reduce_pallas(
                 pack[nbr_grid.order], nbr_bounds, nbr_starts,
                 block=cfg.pallas_block, span=cfg.nbr_span,
-                radius=bio.neighbor_radius, interpret=cfg.pallas_interpret,
+                radius=bio.neighbor_radius, chunk=cfg.pallas_chunk,
+                chunk_needs=nbr_needs, interpret=cfg.pallas_interpret,
             )
             return out[nbr_inv]
     else:
@@ -508,8 +518,8 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
         locations, srt_bonds_old, inv_old = args
         grid = nbr_ops.build_grid(cfg.jkr_spec, locations, ids, alive)
         bounds = nbr_ops.sorted_run_bounds(cfg.jkr_spec, grid)
-        starts, span_needed = block_span_starts(
-            bounds, block, cfg.jkr_span, capacity
+        starts, chunk_needs, span_needed = block_span_starts(
+            bounds, block, cfg.jkr_span, capacity, chunk=cfg.pallas_chunk
         )
         inv = jnp.zeros((capacity,), jnp.int32).at[grid.order].set(
             jnp.arange(capacity, dtype=jnp.int32)
@@ -522,7 +532,8 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
                 jnp.maximum(bounds[:, 3] - bounds[:, 2], bounds[:, 5] - bounds[:, 4]),
             )
         )
-        win = (grid.order, inv, bounds, starts, locations, max_run, span_needed)
+        win = (grid.order, inv, bounds, starts, chunk_needs, locations,
+               max_run, span_needed)
         return win, srt_bonds
 
     # initial window + bonds in sorted order
@@ -535,7 +546,7 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
     def substep(carry, dt):
         locations, srt_bonds, win = carry
         drift2 = jnp.max(
-            jnp.where(alive, jnp.sum((locations - win[4]) ** 2, axis=-1), 0.0)
+            jnp.where(alive, jnp.sum((locations - win[5]) ** 2, axis=-1), 0.0)
         )
         win, srt_bonds = jax.lax.cond(
             drift2 > (cfg.verlet_skin * 0.5) ** 2,
@@ -543,13 +554,15 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
             lambda args: (win, args[1]),
             (locations, srt_bonds, win[1]),
         )
-        order, inv, bounds, starts, _, max_run, span_needed = win
+        order, inv, bounds, starts, chunk_needs, _, max_run, span_needed = win
         packed = pack_physics(locations, radii, ids, alive)
         force_deg, srt_bonds = contact_substep_pallas(
             packed[order], bounds, srt_bonds, starts,
             block=block, span=cfg.jkr_span, radius=bio.jkr_radius,
             adhesion_const=bio.adhesion_const, poisson=bio.poisson,
             youngs=bio.youngs, break_d=bio.jkr_break_d,
+            chunk=cfg.pallas_chunk, chunk_needs=chunk_needs,
+            uniform_radius=cfg.uniform_radius,
             interpret=cfg.pallas_interpret,
         )
         force_deg_slot = force_deg[inv]
@@ -660,6 +673,10 @@ class HipscEngine:
                 use_pallas=bool(use_pallas) and two_d,
                 jkr_span=min(512, capacity),
                 nbr_span=min(512, capacity),
+                # all radii are max_radius at init and only growth changes
+                # them (cell_simulation.py:98); model wrappers that seed
+                # custom radii clear this (CellSimulation.build_state)
+                uniform_radius=None if enable_growth else self.bio.max_radius,
             )
         self.cfg = cfg
         self._compiled = {}
@@ -835,10 +852,11 @@ class HipscEngine:
         if cfg.use_pallas and int(info.nbr_span_needed) > nbr_span:
             nbr_span = min(_round_up(int(info.nbr_span_needed) * 1.25, 128), capacity)
             changed = True
-        if use_pallas and max(jkr_span, nbr_span) > 1024:
-            # a DMA span this wide means an extremely uneven bin-row packing;
-            # the kernels' VMEM frames scale with the span, so fall back to
-            # the XLA path rather than risk a scoped-vmem compile failure
+        if use_pallas and max(jkr_span, nbr_span) > 8192:
+            # span chunking makes wide caps cheap (VMEM scales with the chunk,
+            # not the span; inactive chunks are skipped), but a span this wide
+            # means a pathologically uneven bin-row packing — fall back to the
+            # XLA path rather than grow the chunk grid without bound
             use_pallas = False
             changed = True
         if not changed:

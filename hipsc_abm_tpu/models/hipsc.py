@@ -149,16 +149,23 @@ class CellSimulation(Simulation):
 
     def build_state(self) -> None:
         """Pack the registered host arrays into the device state PyTree."""
+        import dataclasses as _dc
+
         if self.engine is None:
             self.engine = self._make_engine()
         cfg = self.engine.cfg
         n = self.number_agents
         if n > cfg.capacity:
-            import dataclasses as _dc
-
             self.engine.cfg = cfg = _dc.replace(
                 cfg, capacity=max(cfg.capacity, ((int(n * 1.5) + 127) // 128) * 128)
             )
+        # the contact kernel's scalar-radius fast path assumes every agent
+        # has the same radius; host-seeded custom radii select the general
+        # per-pair path instead
+        if cfg.uniform_radius is not None and not np.all(
+            np.asarray(self.radii)[:n] == cfg.uniform_radius
+        ):
+            self.engine.cfg = cfg = _dc.replace(cfg, uniform_radius=None)
         C = cfg.capacity
 
         arrays = {}

@@ -7,7 +7,9 @@ diff_surround). On the XLA path those come from a (C, W, 8) window gather —
 which at 500k agents costs ~300 ms per gather. This kernel computes all the
 moments in one pass over the same DMA'd sorted spans the contact kernel uses
 (``ops.pallas_contact``), reducing the per-step biology cost to two row
-gathers (sort + unsort) per invocation.
+gathers (sort + unsort) per invocation. Like the contact kernel, the span is
+processed in CHUNK-wide gated slices, so compute scales with each block's
+true candidate count rather than the static worst-case span.
 
 Pack lanes (2D path): ``[x0, y0, x1, y1, f0, f1, f2, alive]`` where (x0, y0)
 are the positions the neighbor graph was built from (pre-division — the
@@ -17,7 +19,8 @@ loop reads post-division locations). Dead-at-build rows are neutralized by
 ``neighbors.sorted_run_bounds``'s sentinel intervals (lo=capacity, hi=0):
 lo=capacity cannot lower a block's min span start, hi=0 cannot raise its max
 end, and no span position satisfies lo <= p < hi, so such rows contribute
-nothing to the span probes or the masked reductions.
+nothing to the span probes or the masked reductions — and blocks made only
+of dead rows get zero active chunks.
 
 Output lanes (C, 16):
   0: neighbor count              (valid & radius & alive)
@@ -32,14 +35,14 @@ Output lanes (C, 16):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hipsc_abm_tpu.ops.pallas_contact import _ALIGN
+from hipsc_abm_tpu.ops.pallas_contact import _ALIGN, effective_chunk
 
 FIELDS = 8
 OUT_LANES = 16
@@ -47,127 +50,139 @@ OUT_LANES = 16
 
 def _bio_kernel(
     span_starts_ref,  # (4, nblocks) int32, 128-aligned
+    chunk_needs_ref,  # (4, nblocks) int32 per-run active chunk counts
     rows_ref,  # (B, 8) f32 sorted pack rows
-    bounds_ref,  # (B, 8) i32 absolute run bounds (zeroed for dead-at-build rows)
+    bounds_ref,  # (B, 8) i32 absolute run bounds (sentineled for dead rows)
     hbm_packT_ref,  # (8, C) f32 field-major sorted pack
-    out_ref,  # (B, 16) f32 moments (accumulated across the run grid dim)
-    span_ref,  # (8, S) f32
+    out_ref,  # (B, 16) f32 moments (accumulated across the run/chunk grid dims)
+    span_ref,  # (8, CS) f32
     sems,
     *,
-    S: int,
+    CS: int,
     radius: float,
 ):
-    # grid = (nblocks, 3): the stencil runs ride the second grid dimension so
-    # each program's VMEM stack frame holds one run's temporaries (a single
-    # unrolled 3-run body exceeds the 16 MB scoped-vmem limit at S=512);
-    # TPU grids execute sequentially, so the revisited output block
-    # accumulates across the run steps.
+    # grid = (nblocks, 3, nchunks): the stencil runs and span chunks ride the
+    # inner grid dimensions so each program's VMEM frame holds one chunk's
+    # temporaries; TPU grids execute sequentially, so the revisited output
+    # block accumulates across the run and chunk steps. Chunks past a
+    # (run, block)'s need are skipped entirely (no DMA, no compute).
     i = pl.program_id(0)
     r = pl.program_id(1)
+    c = pl.program_id(2)
     B = rows_ref.shape[0]
 
-    def dma():
-        start = pl.multiple_of(span_starts_ref[r, i], _ALIGN)
-        return pltpu.make_async_copy(
-            hbm_packT_ref.at[:, pl.ds(start, S)], span_ref, sems
+    @pl.when((r == 0) & (c == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(c < chunk_needs_ref[r, i])
+    def _():
+        def dma():
+            start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
+            return pltpu.make_async_copy(
+                hbm_packT_ref.at[:, pl.ds(start, CS)], span_ref, sems
+            )
+
+        dma().start()
+        dma().wait()
+
+        x0 = rows_ref[:, 0:1]
+        y0 = rows_ref[:, 1:2]
+        x1 = rows_ref[:, 2:3]
+        y1 = rows_ref[:, 3:4]
+        row_alive = rows_ref[:, 7:8] > 0.0
+        own_pos = i * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+        r2 = jnp.float32(radius * radius)
+        span = span_ref[:]  # (8, CS)
+        cx0 = span[0:1, :]
+        cy0 = span[1:2, :]
+        cx1 = span[2:3, :]
+        cy1 = span[3:4, :]
+        cf0 = span[4:5, :]
+        cf1 = span[5:6, :]
+        cf2 = span[6:7, :]
+        calive = span[7:8, :] > 0.0
+
+        abs_pos = (
+            span_starts_ref[r, i]
+            + c * CS
+            + jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
         )
+        # run bounds live in lane pairs (2r, 2r+1); select by run id
+        lo = jnp.where(r == 0, bounds_ref[:, 0:1],
+                       jnp.where(r == 1, bounds_ref[:, 2:3], bounds_ref[:, 4:5]))
+        hi = jnp.where(r == 0, bounds_ref[:, 1:2],
+                       jnp.where(r == 1, bounds_ref[:, 3:4], bounds_ref[:, 5:6]))
+        in_run = (abs_pos >= lo) & (abs_pos < hi)
 
-    dma().start()
-    dma().wait()
+        dx0 = x0 - cx0
+        dy0 = y0 - cy0
+        dist2 = dx0 * dx0 + dy0 * dy0
+        m = in_run & (abs_pos != own_pos) & (dist2 <= r2) & calive & row_alive
+        mf = m.astype(jnp.float32)
 
-    x0 = rows_ref[:, 0:1]
-    y0 = rows_ref[:, 1:2]
-    x1 = rows_ref[:, 2:3]
-    y1 = rows_ref[:, 3:4]
-    row_alive = rows_ref[:, 7:8] > 0.0
-    own_pos = i * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        count = jnp.sum(mf, axis=1, keepdims=True)
+        sum_f0 = jnp.sum(mf * cf0, axis=1, keepdims=True)
+        sum_f0sq = jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True)
 
-    r2 = jnp.float32(radius * radius)
-    span = span_ref[:]  # (8, S)
-    cx0 = span[0:1, :]
-    cy0 = span[1:2, :]
-    cx1 = span[2:3, :]
-    cy1 = span[3:4, :]
-    cf0 = span[4:5, :]
-    cf1 = span[5:6, :]
-    cf2 = span[6:7, :]
-    calive = span[7:8, :] > 0.0
+        # displacement vectors use the *current* positions (x1 lanes)
+        ddx = cx1 - x1
+        ddy = cy1 - y1
+        a = mf * (cf1 > cf0).astype(jnp.float32)
+        cnt_a = jnp.sum(a, axis=1, keepdims=True)
+        sum_adx = jnp.sum(a * ddx, axis=1, keepdims=True)
+        sum_ady = jnp.sum(a * ddy, axis=1, keepdims=True)
+        b = mf * (cf2 != 0.0).astype(jnp.float32)
+        cnt_b = jnp.sum(b, axis=1, keepdims=True)
+        sum_bdx = jnp.sum(b * ddx, axis=1, keepdims=True)
+        sum_bdy = jnp.sum(b * ddy, axis=1, keepdims=True)
 
-    abs_pos = span_starts_ref[r, i] + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    # run bounds live in lane pairs (2r, 2r+1); select by run id
-    lo = jnp.where(r == 0, bounds_ref[:, 0:1],
-                   jnp.where(r == 1, bounds_ref[:, 2:3], bounds_ref[:, 4:5]))
-    hi = jnp.where(r == 0, bounds_ref[:, 1:2],
-                   jnp.where(r == 1, bounds_ref[:, 3:4], bounds_ref[:, 5:6]))
-    in_run = (abs_pos >= lo) & (abs_pos < hi)
-
-    dx0 = x0 - cx0
-    dy0 = y0 - cy0
-    dist2 = dx0 * dx0 + dy0 * dy0
-    m = in_run & (abs_pos != own_pos) & (dist2 <= r2) & calive & row_alive
-    mf = m.astype(jnp.float32)
-
-    count = jnp.sum(mf, axis=1, keepdims=True)
-    sum_f0 = jnp.sum(mf * cf0, axis=1, keepdims=True)
-    sum_f0sq = jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True)
-
-    # displacement vectors use the *current* positions (x1 lanes)
-    ddx = cx1 - x1
-    ddy = cy1 - y1
-    a = mf * (cf1 > cf0).astype(jnp.float32)
-    cnt_a = jnp.sum(a, axis=1, keepdims=True)
-    sum_adx = jnp.sum(a * ddx, axis=1, keepdims=True)
-    sum_ady = jnp.sum(a * ddy, axis=1, keepdims=True)
-    b = mf * (cf2 != 0.0).astype(jnp.float32)
-    cnt_b = jnp.sum(b, axis=1, keepdims=True)
-    sum_bdx = jnp.sum(b * ddx, axis=1, keepdims=True)
-    sum_bdy = jnp.sum(b * ddy, axis=1, keepdims=True)
-
-    zero = jnp.zeros((B, 1), jnp.float32)
-    partial = jnp.concatenate(
-        [count, sum_f0, sum_f0sq, cnt_a, sum_adx, sum_ady, zero, cnt_b,
-         sum_bdx, sum_bdy, zero, jnp.zeros((B, OUT_LANES - 11), jnp.float32)],
-        axis=1,
-    )
-
-    @pl.when(r == 0)
-    def _():
-        out_ref[:] = partial
-
-    @pl.when(r > 0)
-    def _():
+        zero = jnp.zeros((B, 1), jnp.float32)
+        partial = jnp.concatenate(
+            [count, sum_f0, sum_f0sq, cnt_a, sum_adx, sum_ady, zero, cnt_b,
+             sum_bdx, sum_bdy, zero, jnp.zeros((B, OUT_LANES - 11), jnp.float32)],
+            axis=1,
+        )
         out_ref[:] = out_ref[:] + partial
 
 
 def bio_reduce_pallas(
     srt_pack: jnp.ndarray,  # (C, 8) sorted pack rows
-    bounds: jnp.ndarray,  # (C, 8) int32 (dead-at-build rows zeroed)
+    bounds: jnp.ndarray,  # (C, 8) int32 (dead-at-build rows sentineled)
     span_starts: jnp.ndarray,  # (4, nblocks) int32 128-aligned
     *,
     block: int,
     span: int,
     radius: float,
+    chunk: int = 256,
+    chunk_needs: Optional[jnp.ndarray] = None,  # (4, nblocks) int32
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-sorted-row biology neighborhood moments, (C, 16)."""
     C = srt_pack.shape[0]
     nblocks = C // block
+    chunk = effective_chunk(span, chunk)
     assert C % block == 0, (C, block)
-    assert span % _ALIGN == 0 or span == C, (span, C)
+    assert span % chunk == 0, (span, chunk)
+    assert chunk % _ALIGN == 0 or chunk == C, (chunk, C)
     assert span <= C, f"DMA span {span} exceeds capacity {C}"
+    nchunks = span // chunk
+    if chunk_needs is None:
+        chunk_needs = jnp.full((4, nblocks), nchunks, jnp.int32)
 
-    kernel = functools.partial(_bio_kernel, S=span, radius=radius)
+    kernel = functools.partial(_bio_kernel, CS=chunk, radius=radius)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nblocks, 3),
+        num_scalar_prefetch=2,
+        grid=(nblocks, 3, nchunks),
         in_specs=[
-            pl.BlockSpec((block, FIELDS), lambda i, r, s: (i, 0)),
-            pl.BlockSpec((block, 8), lambda i, r, s: (i, 0)),
+            pl.BlockSpec((block, FIELDS), lambda i, r, c, *s: (i, 0)),
+            pl.BlockSpec((block, 8), lambda i, r, c, *s: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((block, OUT_LANES), lambda i, r, s: (i, 0)),
+        out_specs=pl.BlockSpec((block, OUT_LANES), lambda i, r, c, *s: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((FIELDS, span), jnp.float32),
+            pltpu.VMEM((FIELDS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -176,4 +191,4 @@ def bio_reduce_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, OUT_LANES), jnp.float32),
         interpret=interpret,
-    )(span_starts, srt_pack, bounds, srt_pack.T)
+    )(span_starts, chunk_needs, srt_pack, bounds, srt_pack.T)

@@ -10,24 +10,35 @@ removes every gather from the substep hot loop:
   as a lane-contiguous (8, S) tile of the field-major sorted pack, replacing
   the (C, W, 8) gather. Span starts are rounded down to the 128-lane tile
   boundary; the extra candidates are rejected by the per-row interval masks;
+- **chunked span gating**: the span is processed in CHUNK-wide slices riding
+  a second grid dimension, and a block only DMAs/computes the chunks its rows
+  actually reach (a scalar-prefetched per-(run, block) chunk count). The
+  static span cap is sized for the worst block, but most blocks need a
+  fraction of it — and blocks of dead slots need none — so compute scales
+  with the *true* candidate count, not the worst case. VMEM scratch scales
+  with CHUNK, not the span cap, so the cap can be generous;
 - per-row candidate masks come from absolute-position interval tests against
   the row's run bounds (pure VPU compares);
 - bond membership (slot-id compare against the row's K partners) and
   first-K bond compaction (prefix-sum + select-reduce) run in-kernel,
-  replacing the (C, W, K) broadcast and the one-hot MXU contraction.
+  replacing the (C, W, K) broadcast and the one-hot MXU contraction;
+- when every agent has the same radius (the reference default — growth is
+  disabled, ``cell_simulation.py:98``), the JKR overlap scale and force
+  prefactor are compile-time scalars (``uniform_radius``), removing the
+  per-pair cube root / divide from the pair law.
 
 The kernel computes exactly the same physics as ``ops.jkr.jkr_substep``
 (same eligibility rule: fresh contact within the search radius OR an existing
 bond, force while the nondimensional overlap stays above the break
 threshold); equivalence is tested in ``tests/test_pallas.py`` in interpreter
-mode and against the XLA path on real hardware.
+mode and against the XLA path on real hardware (``tests/test_tpu_hw.py``).
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +48,17 @@ from jax.experimental.pallas import tpu as pltpu
 FIELDS = 8  # pack fields: [x, y, z, radius, slot, alive, 0, 0]
 NO_BOND = -1.0
 _ALIGN = 128  # lane-tile alignment for span starts
+
+
+def effective_chunk(span: int, chunk: int) -> int:
+    """The chunk width actually used for a given span cap: never wider than
+    the span, and falling back to one whole-span chunk when the span is not
+    chunk-divisible (callers must use this same value for both
+    ``block_span_starts`` and the kernels)."""
+    chunk = min(chunk, span)
+    if span % chunk:
+        return span
+    return chunk
 
 
 def _prefix_sum_lanes(v: jnp.ndarray) -> jnp.ndarray:
@@ -52,6 +74,7 @@ def _prefix_sum_lanes(v: jnp.ndarray) -> jnp.ndarray:
 def _contact_kernel(
     # scalar prefetch
     span_starts_ref,  # (4, nblocks) int32 — 128-aligned per-run span starts
+    chunk_needs_ref,  # (4, nblocks) int32 — per-run active chunk counts
     # (run-major layout: SMEM pads the minor dim to 128 lanes, so the long
     # block axis must be minor)
     # VMEM blocks
@@ -60,37 +83,48 @@ def _contact_kernel(
     bonds_ref,  # (B, K) f32 — partner slot ids, NO_BOND empty
     # HBM
     hbm_packT_ref,  # (8, C) f32 — field-major sorted pack (span DMA source)
-    # outputs
+    # outputs (revisited across the chunk grid dim; accumulate)
     out_force_ref,  # (B, 8) f32 — [fx, fy, fz, degree, 0...]
     out_bonds_ref,  # (B, K) f32 — new partner slot ids, NO_BOND empty
     # scratch
-    span_ref,  # (3, 8, S) f32 — one slot per stencil run
+    span_ref,  # (3, 8, CS) f32 — one chunk slot per stencil run
     sems,  # DMA semaphores (3,)
     *,
-    S: int,
+    CS: int,
     K: int,
     radius: float,
     adhesion_const: float,
     poisson: float,
     youngs: float,
     break_d: float,
+    uniform_radius: Optional[float],
 ):
     i = pl.program_id(0)
+    c = pl.program_id(1)
     B = rows_ref.shape[0]
 
-    # --- DMA the three candidate spans (replaces the XLA window gather) ---
+    @pl.when(c == 0)
+    def _():
+        out_force_ref[:] = jnp.zeros_like(out_force_ref)
+        out_bonds_ref[:] = jnp.full_like(out_bonds_ref, NO_BOND)
+
+    # --- DMA this chunk of each active run's candidate span ---
     def dma(r):
-        start = pl.multiple_of(span_starts_ref[r, i], _ALIGN)
+        start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
         return pltpu.make_async_copy(
-            hbm_packT_ref.at[:, pl.ds(start, S)],
+            hbm_packT_ref.at[:, pl.ds(start, CS)],
             span_ref.at[r],
             sems.at[r],
         )
 
     for r in range(3):
-        dma(r).start()
+        @pl.when(c < chunk_needs_ref[r, i])
+        def _(r=r):
+            dma(r).start()
     for r in range(3):
-        dma(r).wait()
+        @pl.when(c < chunk_needs_ref[r, i])
+        def _(r=r):
+            dma(r).wait()
 
     x = rows_ref[:, 0:1]
     y = rows_ref[:, 1:2]
@@ -101,77 +135,98 @@ def _contact_kernel(
 
     e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
     r2 = jnp.float32(radius * radius)
-
-    fx = jnp.zeros((B, 1), jnp.float32)
-    fy = jnp.zeros((B, 1), jnp.float32)
-    fz = jnp.zeros((B, 1), jnp.float32)
-    degree = jnp.zeros((B, 1), jnp.float32)
-    count_so_far = jnp.zeros((B, 1), jnp.int32)
-    part_sum = [jnp.zeros((B, 1), jnp.float32) for _ in range(K)]
-    part_present = [jnp.zeros((B, 1), jnp.float32) for _ in range(K)]
+    if uniform_radius is not None:
+        # scalar-radius fast path: the JKR overlap scale and prefactor are
+        # compile-time constants (reference default: growth disabled, all
+        # radii == max_radius)
+        u_r_hat = (uniform_radius * uniform_radius) / (1e6 * 2.0 * uniform_radius)
+        u_scale = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * u_r_hat ** (
+            1.0 / 3.0
+        )
+        u_inv_scale = 1.0 / (1e6 * u_scale)  # folds the um -> m conversion
+        u_fpre = math.pi * adhesion_const * u_r_hat
 
     for r in range(3):
-        span = span_ref[r]  # (8, S)
-        cand_x = span[0:1, :]
-        cand_y = span[1:2, :]
-        cand_z = span[2:3, :]
-        cand_rad = span[3:4, :]
-        cand_slot = span[4:5, :]
+        @pl.when(c < chunk_needs_ref[r, i])
+        def _(r=r):
+            span = span_ref[r]  # (8, CS)
+            cand_x = span[0:1, :]
+            cand_y = span[1:2, :]
+            cand_z = span[2:3, :]
+            cand_rad = span[3:4, :]
+            cand_slot = span[4:5, :]
 
-        abs_pos = span_starts_ref[r, i] + jax.lax.broadcasted_iota(
-            jnp.int32, (1, S), 1
-        )
-        lo = bounds_ref[:, 2 * r : 2 * r + 1]
-        hi = bounds_ref[:, 2 * r + 1 : 2 * r + 2]
-        in_run = (abs_pos >= lo) & (abs_pos < hi)  # (B, S)
+            abs_pos = (
+                span_starts_ref[r, i]
+                + c * CS
+                + jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
+            )
+            lo = bounds_ref[:, 2 * r : 2 * r + 1]
+            hi = bounds_ref[:, 2 * r + 1 : 2 * r + 2]
+            in_run = (abs_pos >= lo) & (abs_pos < hi)  # (B, CS)
 
-        dx = x - cand_x
-        dy = y - cand_y
-        dz = z - cand_z
-        dist2 = dx * dx + dy * dy + dz * dz
-        pair_ok = in_run & (cand_slot != slot) & row_alive
+            dx = x - cand_x
+            dy = y - cand_y
+            dz = z - cand_z
+            dist2 = dx * dx + dy * dy + dz * dz
+            pair_ok = in_run & (cand_slot != slot) & row_alive
 
-        bonded = jnp.zeros_like(pair_ok)
-        for k in range(K):
-            bonded |= cand_slot == bonds_ref[:, k : k + 1]
-        eligible = pair_ok & ((dist2 <= r2) | bonded)
+            bonded = jnp.zeros_like(pair_ok)
+            for k in range(K):
+                bonded |= cand_slot == bonds_ref[:, k : k + 1]
+            eligible = pair_ok & ((dist2 <= r2) | bonded)
 
-        # JKR pair law (cell_backend.py:73-113)
-        mag = jnp.sqrt(dist2)
-        overlap = (rad + cand_rad - mag) / 1e6
-        r_hat = (rad * cand_rad) / (1e6 * jnp.maximum(rad + cand_rad, 1e-12))
-        overlap_scale = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * jnp.power(
-            r_hat, 1.0 / 3.0
-        )
-        d = overlap / jnp.maximum(overlap_scale, 1e-30)
-        survive = d > break_d
-        f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
-        fmag = f * (math.pi * adhesion_const) * r_hat
+            # JKR pair law (cell_backend.py:73-113)
+            mag = jnp.sqrt(dist2)
+            if uniform_radius is not None:
+                d = (2.0 * uniform_radius - mag) * u_inv_scale
+                survive = d > break_d
+                f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+                fmag = f * u_fpre
+            else:
+                overlap = (rad + cand_rad - mag) / 1e6
+                r_hat = (rad * cand_rad) / (1e6 * jnp.maximum(rad + cand_rad, 1e-12))
+                overlap_scale = (
+                    (math.pi * adhesion_const) / e_hat
+                ) ** (2.0 / 3.0) * jnp.power(r_hat, 1.0 / 3.0)
+                d = overlap / jnp.maximum(overlap_scale, 1e-30)
+                survive = d > break_d
+                f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+                fmag = f * (math.pi * adhesion_const) * r_hat
 
-        keep = eligible & survive
-        safe_mag = jnp.where(mag > 0, mag, 1.0)
-        w = jnp.where(keep & (mag > 0), fmag / safe_mag, 0.0)
+            keep = eligible & survive
+            safe_mag = jnp.where(mag > 0, mag, 1.0)
+            w = jnp.where(keep & (mag > 0), fmag / safe_mag, 0.0)
 
-        fx += jnp.sum(w * dx, axis=1, keepdims=True)
-        fy += jnp.sum(w * dy, axis=1, keepdims=True)
-        fz += jnp.sum(w * dz, axis=1, keepdims=True)
-        degree += jnp.sum(keep.astype(jnp.float32), axis=1, keepdims=True)
+            fx = jnp.sum(w * dx, axis=1, keepdims=True)
+            fy = jnp.sum(w * dy, axis=1, keepdims=True)
+            fz = jnp.sum(w * dz, axis=1, keepdims=True)
+            nkeep = jnp.sum(keep.astype(jnp.float32), axis=1, keepdims=True)
 
-        # first-K compaction, continuing the running per-row bond count
-        dest = _prefix_sum_lanes(keep.astype(jnp.int32)) - 1 + count_so_far
-        for k in range(K):
-            sel = keep & (dest == k)
-            part_sum[k] += jnp.sum(jnp.where(sel, cand_slot, 0.0), axis=1, keepdims=True)
-            part_present[k] += jnp.sum(sel.astype(jnp.float32), axis=1, keepdims=True)
-        count_so_far += jnp.sum(keep.astype(jnp.int32), axis=1, keepdims=True)
+            # first-K compaction, continuing the per-row bond count carried
+            # in the degree lane of the (revisited) force output
+            count_so_far = out_force_ref[:, 3:4].astype(jnp.int32)
+            dest = _prefix_sum_lanes(keep.astype(jnp.int32)) - 1 + count_so_far
+            prev = out_bonds_ref[:]
+            cols = []
+            for k in range(K):
+                sel = keep & (dest == k)
+                val = jnp.sum(jnp.where(sel, cand_slot, 0.0), axis=1, keepdims=True)
+                present = jnp.sum(sel.astype(jnp.float32), axis=1, keepdims=True)
+                cols.append(jnp.where(present > 0, val, prev[:, k : k + 1]))
+            out_bonds_ref[:] = jnp.concatenate(cols, axis=1)
 
-    out_force_ref[:] = jnp.concatenate(
-        [fx, fy, fz, degree, jnp.zeros((B, 4), jnp.float32)], axis=1
-    )
-    out_bonds_ref[:] = jnp.concatenate(
-        [jnp.where(part_present[k] > 0, part_sum[k], NO_BOND) for k in range(K)],
-        axis=1,
-    )
+            acc = out_force_ref[:]
+            out_force_ref[:] = jnp.concatenate(
+                [
+                    acc[:, 0:1] + fx,
+                    acc[:, 1:2] + fy,
+                    acc[:, 2:3] + fz,
+                    acc[:, 3:4] + nkeep,
+                    acc[:, 4:8],
+                ],
+                axis=1,
+            )
 
 
 def contact_substep_pallas(
@@ -187,43 +242,56 @@ def contact_substep_pallas(
     poisson: float,
     youngs: float,
     break_d: float,
+    chunk: int = 256,
+    chunk_needs: Optional[jnp.ndarray] = None,  # (4, nblocks) int32
+    uniform_radius: Optional[float] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused contact kernel. Returns ``(force_deg (C, 8), new_bonds
     (C, K))`` in sorted-row order; lane 3 of the force output is the per-row
-    kept-bond degree (overflow probe)."""
+    kept-bond degree (overflow probe).
+
+    ``chunk_needs`` (from ``block_span_starts``) gates which CHUNK-wide span
+    slices each block processes; without it every block runs the full span.
+    """
     C = srt_pack.shape[0]
     K = srt_bonds.shape[1]
     nblocks = C // block
+    chunk = effective_chunk(span, chunk)
     assert C % block == 0, (C, block)
-    assert span % _ALIGN == 0 or span == C, (span, C)
+    assert span % chunk == 0, (span, chunk)
+    assert chunk % _ALIGN == 0 or chunk == C, (chunk, C)
     assert span <= C, f"DMA span {span} exceeds capacity {C}"
+    nchunks = span // chunk
+    if chunk_needs is None:
+        chunk_needs = jnp.full((4, nblocks), nchunks, jnp.int32)
 
     kernel = functools.partial(
         _contact_kernel,
-        S=span,
+        CS=chunk,
         K=K,
         radius=radius,
         adhesion_const=adhesion_const,
         poisson=poisson,
         youngs=youngs,
         break_d=break_d,
+        uniform_radius=uniform_radius,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nblocks,),
+        num_scalar_prefetch=2,
+        grid=(nblocks, nchunks),
         in_specs=[
-            pl.BlockSpec((block, FIELDS), lambda i, s: (i, 0)),
-            pl.BlockSpec((block, 8), lambda i, s: (i, 0)),
-            pl.BlockSpec((block, K), lambda i, s: (i, 0)),
+            pl.BlockSpec((block, FIELDS), lambda i, c, *s: (i, 0)),
+            pl.BlockSpec((block, 8), lambda i, c, *s: (i, 0)),
+            pl.BlockSpec((block, K), lambda i, c, *s: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),  # field-major pack
         ],
         out_specs=[
-            pl.BlockSpec((block, 8), lambda i, s: (i, 0)),
-            pl.BlockSpec((block, K), lambda i, s: (i, 0)),
+            pl.BlockSpec((block, 8), lambda i, c, *s: (i, 0)),
+            pl.BlockSpec((block, K), lambda i, c, *s: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, FIELDS, span), jnp.float32),
+            pltpu.VMEM((3, FIELDS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -235,28 +303,44 @@ def contact_substep_pallas(
             jax.ShapeDtypeStruct((C, K), jnp.float32),
         ],
         interpret=interpret,
-    )(span_starts, srt_pack, bounds, srt_bonds, srt_pack.T)
+    )(span_starts, chunk_needs, srt_pack, bounds, srt_bonds, srt_pack.T)
     return force_deg, new_bonds
 
 
 def block_span_starts(
-    bounds: jnp.ndarray, block: int, span: int, capacity: int
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    bounds: jnp.ndarray, block: int, span: int, capacity: int, chunk: int = 256
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-block 128-aligned span starts (min over the block's rows of each
     run start, rounded down to the lane tile), clipped so spans stay
-    in-array, plus the required-span probe (grow ``span`` and re-execute when
-    it exceeds the static cap)."""
+    in-array, plus the per-run active chunk counts and the required-span
+    probe (grow ``span`` and re-execute when it exceeds the static cap).
+
+    Returns ``(starts (4, nblocks) int32, chunk_needs (4, nblocks) int32,
+    span_needed scalar)``. Blocks of dead slots get zero active chunks (their
+    sentinel bounds are lo=capacity / hi=0), so capacity slack costs no
+    kernel work.
+    """
+    chunk = effective_chunk(span, chunk)
     nblocks = bounds.shape[0] // block
     b = bounds.reshape(nblocks, block, 8)
     max_start = max(capacity - span, 0) // _ALIGN * _ALIGN
+    nchunks = -(-span // chunk)
     starts = []
-    need = []
+    needs = []
+    need_max = []
     for r in range(3):
         lo = (jnp.min(b[:, :, 2 * r], axis=1) // _ALIGN) * _ALIGN
         lo = jnp.clip(lo, 0, max_start)
         hi = jnp.max(b[:, :, 2 * r + 1], axis=1)
+        need = hi - lo
         starts.append(lo)
-        need.append(hi - lo)
+        need_max.append(need)
+        needs.append(jnp.clip(-(-need // chunk), 0, nchunks))
     starts.append(jnp.zeros_like(starts[0]))
-    span_needed = jnp.max(jnp.stack(need))
-    return jnp.stack(starts, axis=0).astype(jnp.int32), span_needed
+    needs.append(jnp.zeros_like(needs[0]))
+    span_needed = jnp.max(jnp.stack(need_max))
+    return (
+        jnp.stack(starts, axis=0).astype(jnp.int32),
+        jnp.stack(needs, axis=0).astype(jnp.int32),
+        span_needed,
+    )

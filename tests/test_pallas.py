@@ -56,7 +56,8 @@ def run_xla(spec, locs, alive, packed, bonds):
     )
 
 
-def run_pallas(spec, grid, packed, bonds, block=64):
+def run_pallas(spec, grid, packed, bonds, block=64, chunk=128,
+               uniform_radius=None):
     C = packed.shape[0]
     order = grid.order
     srt_pack = packed[order]
@@ -65,15 +66,19 @@ def run_pallas(spec, grid, packed, bonds, block=64):
     partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
     srt_bonds = partners_f[order]
 
-    starts, span_needed = block_span_starts(bounds, block, span=C, capacity=C)
+    starts, _, span_needed = block_span_starts(bounds, block, span=C, capacity=C)
     span = min(int(((int(span_needed) + 127) // 128) * 128), C)
-    starts, _ = block_span_starts(bounds, block, span=span, capacity=C)
+    starts, chunk_needs, _ = block_span_starts(
+        bounds, block, span=span, capacity=C, chunk=chunk
+    )
 
     force_deg, new_bonds_srt = contact_substep_pallas(
         srt_pack, bounds, srt_bonds, starts,
         block=block, span=span, radius=BIO.jkr_radius,
         adhesion_const=BIO.adhesion_const, poisson=BIO.poisson,
-        youngs=BIO.youngs, break_d=BIO.jkr_break_d, interpret=True,
+        youngs=BIO.youngs, break_d=BIO.jkr_break_d,
+        chunk=chunk, chunk_needs=chunk_needs,
+        uniform_radius=uniform_radius, interpret=True,
     )
     # unsort to slot rows
     inv = jnp.zeros((C,), jnp.int32).at[order].set(jnp.arange(C, dtype=jnp.int32))
@@ -103,6 +108,34 @@ def test_kernel_matches_xla_substep(rng, seed_bonds):
         np.minimum(np.asarray(fd_pal[:, 3]).astype(int), K),
         np.asarray(jnp.sum(b_xla.mask, axis=1)).astype(int),
     )
+
+
+def test_kernel_uniform_radius_matches_general(rng):
+    """The scalar-radius fast path equals the general pair law when all
+    radii are in fact equal."""
+    locs, radii, alive, spec, grid, packed, bonds = build_inputs(
+        rng, seed_bonds=True
+    )
+    f_gen, b_gen = run_pallas(spec, grid, packed, bonds)
+    f_uni, b_uni = run_pallas(spec, grid, packed, bonds, uniform_radius=5.0)
+    np.testing.assert_allclose(
+        np.asarray(f_uni[:, :3]), np.asarray(f_gen[:, :3]), rtol=1e-4, atol=1e-13
+    )
+    np.testing.assert_array_equal(np.asarray(b_uni), np.asarray(b_gen))
+
+
+def test_kernel_chunk_widths_agree(rng):
+    """Span chunk gating is a pure execution-schedule choice: every chunk
+    width yields identical forces and bond sets."""
+    locs, radii, alive, spec, grid, packed, bonds = build_inputs(
+        rng, seed_bonds=True
+    )
+    f_128, b_128 = run_pallas(spec, grid, packed, bonds, chunk=128)
+    f_full, b_full = run_pallas(spec, grid, packed, bonds, chunk=10**9)
+    np.testing.assert_allclose(
+        np.asarray(f_128), np.asarray(f_full), rtol=1e-6, atol=1e-13
+    )
+    np.testing.assert_array_equal(np.asarray(b_128), np.asarray(b_full))
 
 
 def test_bond_persistence_through_kernel(rng):
@@ -152,9 +185,11 @@ def test_engine_pallas_matches_xla(rng):
         s_p, _ = eng_p.safe_step(s_p)
 
     np.testing.assert_array_equal(np.asarray(s_x.alive), np.asarray(s_p.alive))
+    # chunked span accumulation reorders the f32 force sums, so positions
+    # agree to summation-order tolerance, not bit-exactly
     np.testing.assert_allclose(
         np.asarray(s_x.arrays["locations"]), np.asarray(s_p.arrays["locations"]),
-        atol=2e-5,
+        atol=1e-4,
     )
     for name in ("GATA6", "NANOG", "states", "div_counters", "death_counters"):
         np.testing.assert_array_equal(

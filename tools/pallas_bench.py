@@ -47,12 +47,12 @@ def pallas_path(locs, radii, alive, bonds, span):
     bounds = nbr.sorted_run_bounds(spec, grid)
     partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
     srt_bonds = partners_f[grid.order]
-    starts, need = block_span_starts(bounds, BLOCK, span=span, capacity=C)
+    starts, chunk_needs, need = block_span_starts(bounds, BLOCK, span=span, capacity=C)
     fd, nb = contact_substep_pallas(
         srt_pack, bounds, srt_bonds, starts,
         block=BLOCK, span=span, radius=BIO.jkr_radius,
         adhesion_const=BIO.adhesion_const, poisson=BIO.poisson,
-        youngs=BIO.youngs, break_d=BIO.jkr_break_d,
+        youngs=BIO.youngs, break_d=BIO.jkr_break_d, chunk_needs=chunk_needs,
     )
     inv = jnp.zeros((C,), jnp.int32).at[grid.order].set(jnp.arange(C, dtype=jnp.int32))
     return fd[inv], nb[inv], need
@@ -60,7 +60,7 @@ def pallas_path(locs, radii, alive, bonds, span):
 
 grid = nbr.build_grid(spec, locs, ids, alive)
 bounds = nbr.sorted_run_bounds(spec, grid)
-_, need = block_span_starts(bounds, BLOCK, span=min(C, 4096), capacity=C)
+_, _, need = block_span_starts(bounds, BLOCK, span=min(C, 4096), capacity=C)
 SPAN = int((int(need) + 127) // 128 * 128)
 print("span needed:", int(need), "-> S =", SPAN)
 

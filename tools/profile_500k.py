@@ -56,19 +56,24 @@ def main(n=500_000):
     spec = cfg.jkr_spec
     grid = timeit("build_grid(jkr) [argsort]", jax.jit(functools.partial(nbr_ops.build_grid, spec)), locs, ids, alive)
     bounds = timeit("sorted_run_bounds", jax.jit(functools.partial(nbr_ops.sorted_run_bounds, spec)), grid)
-    starts, _ = timeit("block_span_starts", jax.jit(functools.partial(
-        block_span_starts, block=cfg.pallas_block, span=cfg.jkr_span, capacity=C)), bounds)
+    starts, cneeds, _ = timeit("block_span_starts", jax.jit(functools.partial(
+        block_span_starts, block=cfg.pallas_block, span=cfg.jkr_span, capacity=C,
+        chunk=cfg.pallas_chunk)), bounds)
 
     packed = jax.jit(pack_physics)(locs, radii, ids, alive)
     timeit("pack_physics (elementwise)", jax.jit(pack_physics), locs, radii, ids, alive)
     timeit("packed[order] row gather (C,8)", jax.jit(lambda p, o: p[o]), packed, grid.order)
     srt_pack = packed[grid.order]
     srt_bonds = jnp.full((C, cfg.bond_cap), NO_BOND, jnp.float32)
-    timeit("contact_substep_pallas", jax.jit(functools.partial(
-        contact_substep_pallas, block=cfg.pallas_block, span=cfg.jkr_span,
-        radius=bio.jkr_radius, adhesion_const=bio.adhesion_const,
-        poisson=bio.poisson, youngs=bio.youngs, break_d=bio.jkr_break_d)),
-        srt_pack, bounds, srt_bonds, starts)
+    def run_contact(sp, bd, sb, st, cn):
+        return contact_substep_pallas(
+            sp, bd, sb, st, block=cfg.pallas_block, span=cfg.jkr_span,
+            radius=bio.jkr_radius, adhesion_const=bio.adhesion_const,
+            poisson=bio.poisson, youngs=bio.youngs, break_d=bio.jkr_break_d,
+            chunk=cfg.pallas_chunk, chunk_needs=cn,
+            uniform_radius=cfg.uniform_radius)
+    timeit("contact_substep_pallas", jax.jit(run_contact),
+           srt_pack, bounds, srt_bonds, starts, cneeds)
     timeit("stokes_integrate (elementwise)", jax.jit(functools.partial(
         stokes_integrate, stokes=bio.stokes, size=jnp.asarray(gen.size), dt=180.0)),
         locs, radii, s.arrays["jkr_forces"], s.arrays["motility_forces"], alive)
@@ -76,16 +81,20 @@ def main(n=500_000):
     nspec = cfg.nbr_spec
     ngrid = timeit("build_grid(nbr) [argsort]", jax.jit(functools.partial(nbr_ops.build_grid, nspec)), locs, ids, alive)
     nbounds = jax.jit(functools.partial(nbr_ops.sorted_run_bounds, nspec))(ngrid)
-    nstarts, _ = jax.jit(functools.partial(
-        block_span_starts, block=cfg.pallas_block, span=cfg.nbr_span, capacity=C))(nbounds)
+    nstarts, nneeds, _ = jax.jit(functools.partial(
+        block_span_starts, block=cfg.pallas_block, span=cfg.nbr_span, capacity=C,
+        chunk=cfg.pallas_chunk))(nbounds)
     bio_pack = jnp.concatenate([locs[:, :2], locs[:, :2],
                                 jnp.zeros((C, 3), jnp.float32),
                                 alive.astype(jnp.float32)[:, None]], axis=1)
     timeit("bio pack[order] gather (C,8)", jax.jit(lambda p, o: p[o]), bio_pack, ngrid.order)
     srt_bio = bio_pack[ngrid.order]
-    out = timeit("bio_reduce_pallas", jax.jit(functools.partial(
-        bio_reduce_pallas, block=cfg.pallas_block, span=cfg.nbr_span,
-        radius=bio.neighbor_radius)), srt_bio, nbounds, nstarts)
+    def run_bio(sp, bd, st, cn):
+        return bio_reduce_pallas(
+            sp, bd, st, block=cfg.pallas_block, span=cfg.nbr_span,
+            radius=bio.neighbor_radius, chunk=cfg.pallas_chunk, chunk_needs=cn)
+    out = timeit("bio_reduce_pallas", jax.jit(run_bio),
+                 srt_bio, nbounds, nstarts, nneeds)
     inv = jnp.zeros((C,), jnp.int32).at[ngrid.order].set(jnp.arange(C, dtype=jnp.int32))
     timeit("moments out[inv] gather (C,16)", jax.jit(lambda o, i: o[i]), out, inv)
 
