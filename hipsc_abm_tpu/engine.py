@@ -146,15 +146,24 @@ class EngineConfig:
         flags.setdefault("nbr_span", 512)
         for span_key in ("jkr_span", "nbr_span"):
             flags[span_key] = min(int(flags[span_key]), int(capacity))
+        nbr_spec = GridSpec.from_box(size, bio.neighbor_radius, nbr_run_cap)
+        # bin size covers every force-active pair (fresh contacts within
+        # jkr_radius AND persisted bonds out to + jkr_break_band, with 2x
+        # margin for over-grown radii) plus the Verlet drift allowance
+        jkr_spec = GridSpec.from_box(
+            size, bio.jkr_radius + 2.0 * bio.jkr_break_band + verlet_skin, jkr_run_cap
+        )
+        for spec in (nbr_spec, jkr_spec):
+            # flat bin ids ride f32 pack lanes in the Pallas kernels
+            if nbr_ops.dead_sentinel(spec) >= (1 << 24):
+                raise ValueError(
+                    f"lattice of {spec.num_bins} bins exceeds the f32-exact "
+                    "flat-id range (2^24); use a coarser bin size"
+                )
         return cls(
             capacity=int(capacity),
-            nbr_spec=GridSpec.from_box(size, bio.neighbor_radius, nbr_run_cap),
-            # bin size covers every force-active pair (fresh contacts within
-            # jkr_radius AND persisted bonds out to + jkr_break_band, with 2x
-            # margin for over-grown radii) plus the Verlet drift allowance
-            jkr_spec=GridSpec.from_box(
-                size, bio.jkr_radius + 2.0 * bio.jkr_break_band + verlet_skin, jkr_run_cap
-            ),
+            nbr_spec=nbr_spec,
+            jkr_spec=jkr_spec,
             bond_cap=int(bond_cap),
             two_d=size[2] == 0,
             verlet_skin=float(verlet_skin),
@@ -222,26 +231,28 @@ def hipsc_step(
 
     if cfg.use_pallas:
         from hipsc_abm_tpu.ops.pallas_bio import bio_reduce_pallas
-        from hipsc_abm_tpu.ops.pallas_contact import block_span_starts
 
         nbr_grid = nbr_ops.build_grid(cfg.nbr_spec, loc0, ids0, alive)
-        nbr_bounds = nbr_ops.sorted_run_bounds(cfg.nbr_spec, nbr_grid)
-        nbr_starts, nbr_needs, nbr_span_needed = block_span_starts(
-            nbr_bounds, cfg.pallas_block, cfg.nbr_span, capacity,
-            chunk=cfg.pallas_chunk,
-        )
-        nbr_max_in_bin = jnp.max(
-            jnp.maximum(
-                nbr_bounds[:, 1] - nbr_bounds[:, 0],
-                jnp.maximum(nbr_bounds[:, 3] - nbr_bounds[:, 2],
-                            nbr_bounds[:, 5] - nbr_bounds[:, 4]),
+        nbr_starts, nbr_needs, nbr_span_needed, nbr_max_in_bin = (
+            nbr_ops.block_span_plan(
+                cfg.nbr_spec, nbr_grid.sorted_flat, cfg.pallas_block,
+                cfg.nbr_span, capacity, cfg.pallas_chunk,
             )
         )
+        nbr_flat0 = nbr_ops.flat_bin_ids(cfg.nbr_spec, loc0, alive)
+        nbr_sentinel = jnp.float32(nbr_ops.dead_sentinel(cfg.nbr_spec))
         nbr_inv = jnp.zeros((capacity,), jnp.int32).at[nbr_grid.order].set(
             jnp.arange(capacity, dtype=jnp.int32)
         )
 
         def bio_moments(curr_loc, f0, f1, f2, alive_now):
+            # lane 7 carries the build-time flat bin id re-sentineled by the
+            # CURRENT liveness: membership stays the build window, but agents
+            # killed earlier in the step stop contributing (the reference
+            # removes dead vertices from the graph, cell_methods.py:47)
+            flat_lane = jnp.where(
+                alive_now, nbr_flat0.astype(jnp.float32), nbr_sentinel
+            )
             pack = jnp.concatenate(
                 [
                     loc0[:, :2],
@@ -249,15 +260,16 @@ def hipsc_step(
                     f0.astype(jnp.float32)[:, None],
                     f1.astype(jnp.float32)[:, None],
                     f2.astype(jnp.float32)[:, None],
-                    alive_now.astype(jnp.float32)[:, None],
+                    flat_lane[:, None],
                 ],
                 axis=1,
             )
             out = bio_reduce_pallas(
-                pack[nbr_grid.order], nbr_bounds, nbr_starts,
+                pack[nbr_grid.order], nbr_starts, nbr_needs,
                 block=cfg.pallas_block, span=cfg.nbr_span,
+                ny=cfg.nbr_spec.ny, num_bins=cfg.nbr_spec.num_bins,
                 radius=bio.neighbor_radius, chunk=cfg.pallas_chunk,
-                chunk_needs=nbr_needs, interpret=cfg.pallas_interpret,
+                interpret=cfg.pallas_interpret,
             )
             return out[nbr_inv]
     else:
@@ -504,7 +516,6 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
     so only window rebuilds permute them."""
     from hipsc_abm_tpu.ops.pallas_contact import (
         NO_BOND,
-        block_span_starts,
         contact_substep_pallas,
     )
 
@@ -517,22 +528,19 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
     def build_window(args):
         locations, srt_bonds_old, inv_old = args
         grid = nbr_ops.build_grid(cfg.jkr_spec, locations, ids, alive)
-        bounds = nbr_ops.sorted_run_bounds(cfg.jkr_spec, grid)
-        starts, chunk_needs, span_needed = block_span_starts(
-            bounds, block, cfg.jkr_span, capacity, chunk=cfg.pallas_chunk
+        starts, chunk_needs, span_needed, max_run = nbr_ops.block_span_plan(
+            cfg.jkr_spec, grid.sorted_flat, block, cfg.jkr_span, capacity,
+            cfg.pallas_chunk,
         )
+        # build-time flat bin ids (slot order): the kernel's run-membership
+        # test; rides pack lane 6 so per-substep packs need no extra gather
+        flat_slot = nbr_ops.flat_bin_ids(cfg.jkr_spec, locations, alive)
         inv = jnp.zeros((capacity,), jnp.int32).at[grid.order].set(
             jnp.arange(capacity, dtype=jnp.int32)
         )
         # re-permute the bond lists: new sorted row -> slot -> old sorted row
         srt_bonds = srt_bonds_old[inv_old[grid.order]]
-        max_run = jnp.max(
-            jnp.maximum(
-                bounds[:, 1] - bounds[:, 0],
-                jnp.maximum(bounds[:, 3] - bounds[:, 2], bounds[:, 5] - bounds[:, 4]),
-            )
-        )
-        win = (grid.order, inv, bounds, starts, chunk_needs, locations,
+        win = (grid.order, inv, flat_slot, starts, chunk_needs, locations,
                max_run, span_needed)
         return win, srt_bonds
 
@@ -554,14 +562,15 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
             lambda args: (win, args[1]),
             (locations, srt_bonds, win[1]),
         )
-        order, inv, bounds, starts, chunk_needs, _, max_run, span_needed = win
-        packed = pack_physics(locations, radii, ids, alive)
+        order, inv, flat_slot, starts, chunk_needs, _, max_run, span_needed = win
+        packed = pack_physics(locations, radii, ids, alive, flat=flat_slot)
         force_deg, srt_bonds = contact_substep_pallas(
-            packed[order], bounds, srt_bonds, starts,
-            block=block, span=cfg.jkr_span, radius=bio.jkr_radius,
+            packed[order], srt_bonds, starts, chunk_needs,
+            block=block, span=cfg.jkr_span, ny=cfg.jkr_spec.ny,
+            radius=bio.jkr_radius,
             adhesion_const=bio.adhesion_const, poisson=bio.poisson,
             youngs=bio.youngs, break_d=bio.jkr_break_d,
-            chunk=cfg.pallas_chunk, chunk_needs=chunk_needs,
+            chunk=cfg.pallas_chunk,
             uniform_radius=cfg.uniform_radius,
             interpret=cfg.pallas_interpret,
         )

@@ -40,12 +40,12 @@ bonded or fresh, is provably inside the window):
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-PACK_WIDTH = 8  # [x, y, z, radius, agent_id, alive, pad, pad]
+PACK_WIDTH = 8  # [x, y, z, radius, agent_id, alive, flat_bin, pad]
 
 
 class BondState(NamedTuple):
@@ -78,18 +78,25 @@ def pack_physics(
     radii: jnp.ndarray,
     ids: jnp.ndarray,
     alive: jnp.ndarray,
+    flat: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(C, 8) f32 feature rows for gather-efficient windowed physics.
     ``ids`` are the stable agent ids (exact in f32 below 2^24; the engine's
-    overflow probe guards the bound)."""
+    overflow probe guards the bound). ``flat`` (optional, lane 6) is the
+    window-build-time flat bin id the Pallas kernel tests run membership
+    against (also f32-exact; ``EngineConfig.create`` guards the lattice
+    size)."""
     capacity = locations.shape[0]
-    zeros = jnp.zeros((capacity, PACK_WIDTH - 6), dtype=jnp.float32)
+    if flat is None:
+        flat = jnp.zeros((capacity,), dtype=jnp.float32)
+    zeros = jnp.zeros((capacity, PACK_WIDTH - 7), dtype=jnp.float32)
     return jnp.concatenate(
         [
             locations.astype(jnp.float32),
             radii.astype(jnp.float32)[:, None],
             ids.astype(jnp.float32)[:, None],
             alive.astype(jnp.float32)[:, None],
+            flat.astype(jnp.float32)[:, None],
             zeros,
         ],
         axis=1,

@@ -199,6 +199,73 @@ def sorted_run_bounds_from_flat(spec: GridSpec, sorted_flat: jnp.ndarray) -> jnp
     return jnp.where(dead, empty, bounds)
 
 
+def block_span_plan(
+    spec: GridSpec,
+    sorted_flat: jnp.ndarray,
+    block: int,
+    span: int,
+    capacity: int,
+    chunk: int,
+    align: int = 128,
+):
+    """Per-block DMA span plan for the Pallas kernels, from block *edge* rows
+    only (2D).
+
+    Within a block, rows are sorted by flat bin id, so each run's start
+    (``table[f + dx*ny - 1]``) and end (``table[f + dx*ny + 2]``) are
+    monotone over rows: the block's span per run is exactly
+    ``[table[f_first + off - 1], table[f_lastlive + off + 2])``. That needs
+    only 6 table lookups per block — per-*row* run bounds (the 6 (C,) table
+    gathers of ``sorted_run_bounds``, ~40 ms at 500k agents) are not needed
+    at all: the kernels test candidate membership by comparing flat bin ids
+    directly.
+
+    Returns ``(starts (4, nblocks) i32, chunk_needs (4, nblocks) i32,
+    span_needed scalar, max_run_occupancy scalar)``. Blocks with no live
+    rows get zero active chunks; ``max_run_occupancy`` is the exact max live
+    count over any contiguous 3-bin run (the ``run_cap`` growth probe for
+    the XLA fallback windows), computed from the bin table in O(num_bins).
+    """
+    assert spec.two_d, "block_span_plan currently supports 2D lattices"
+    if span % chunk:
+        chunk = span
+    nblocks = sorted_flat.shape[0] // block
+    table = _bin_table(spec, sorted_flat)
+    counts = table[1:] - table[:-1]
+    max_run_occ = jnp.max(counts[:-2] + counts[1:-1] + counts[2:])
+
+    f2 = sorted_flat.reshape(nblocks, block)
+    f_lo = f2[:, 0]
+    # dead rows sort last (sentinel flat id); the largest live flat id in the
+    # block bounds the last live row's run ends
+    f_hi = jnp.max(jnp.where(f2 < spec.num_bins, f2, -1), axis=1)
+    has_live = f_hi >= 0
+
+    max_start = max(capacity - span, 0) // align * align
+    nchunks = -(-span // chunk)
+    starts = []
+    needs = []
+    need_max = []
+    for (dx,) in spec.run_offsets:
+        off = dx * spec.ny
+        lo = table[jnp.clip(f_lo + off - 1, 0, spec.num_bins)]
+        hi = table[jnp.clip(f_hi + off + 2, 0, spec.num_bins)]
+        lo_aligned = jnp.clip((lo // align) * align, 0, max_start)
+        need = jnp.where(has_live, hi - lo_aligned, 0)
+        starts.append(lo_aligned)
+        need_max.append(jnp.max(need))
+        needs.append(jnp.clip(-(-need // chunk), 0, nchunks))
+    starts.append(jnp.zeros_like(starts[0]))
+    needs.append(jnp.zeros_like(needs[0]))
+    span_needed = jnp.max(jnp.stack(need_max))
+    return (
+        jnp.stack(starts, axis=0).astype(jnp.int32),
+        jnp.stack(needs, axis=0).astype(jnp.int32),
+        span_needed,
+        max_run_occ,
+    )
+
+
 def _run_windows(spec: GridSpec, grid: Grid):
     """Shared stencil-run probe: per-agent sorted-position windows."""
     capacity = grid.order.shape[0]

@@ -11,16 +11,16 @@ gathers (sort + unsort) per invocation. Like the contact kernel, the span is
 processed in CHUNK-wide gated slices, so compute scales with each block's
 true candidate count rather than the static worst-case span.
 
-Pack lanes (2D path): ``[x0, y0, x1, y1, f0, f1, f2, alive]`` where (x0, y0)
+Pack lanes (2D path): ``[x0, y0, x1, y1, f0, f1, f2, flat]`` where (x0, y0)
 are the positions the neighbor graph was built from (pre-division — the
-reference builds its graph once at the top of the step) and (x1, y1) are the
+reference builds its graph once at the top of the step), (x1, y1) are the
 current positions used for displacement vectors (the reference's motility
-loop reads post-division locations). Dead-at-build rows are neutralized by
-``neighbors.sorted_run_bounds``'s sentinel intervals (lo=capacity, hi=0):
-lo=capacity cannot lower a block's min span start, hi=0 cannot raise its max
-end, and no span position satisfies lo <= p < hi, so such rows contribute
-nothing to the span probes or the masked reductions — and blocks made only
-of dead rows get zero active chunks.
+loop reads post-division locations), and ``flat`` is the build-time flat bin
+id, which doubles as the aliveness encoding: rows/candidates that are dead
+(at build, or killed mid-step — the caller re-sentinels them per invocation)
+carry ``neighbors.dead_sentinel``, which exceeds every live stencil probe,
+so they match no run interval and contribute nothing. Blocks made only of
+dead rows get zero active chunks from ``neighbors.block_span_plan``.
 
 Output lanes (C, 16):
   0: neighbor count              (valid & radius & alive)
@@ -52,13 +52,14 @@ def _bio_kernel(
     span_starts_ref,  # (4, nblocks) int32, 128-aligned
     chunk_needs_ref,  # (4, nblocks) int32 per-run active chunk counts
     rows_ref,  # (B, 8) f32 sorted pack rows
-    bounds_ref,  # (B, 8) i32 absolute run bounds (sentineled for dead rows)
     hbm_packT_ref,  # (8, C) f32 field-major sorted pack
     out_ref,  # (B, 16) f32 moments (accumulated across the run/chunk grid dims)
     span_ref,  # (8, CS) f32
     sems,
     *,
     CS: int,
+    ny: int,
+    num_bins: int,
     radius: float,
 ):
     # grid = (nblocks, 3, nchunks): the stencil runs and span chunks ride the
@@ -90,7 +91,8 @@ def _bio_kernel(
         y0 = rows_ref[:, 1:2]
         x1 = rows_ref[:, 2:3]
         y1 = rows_ref[:, 3:4]
-        row_alive = rows_ref[:, 7:8] > 0.0
+        row_flat = rows_ref[:, 7:8]  # build-time flat bin id; sentinel = dead
+        row_alive = row_flat < jnp.float32(num_bins)
         own_pos = i * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
         r2 = jnp.float32(radius * radius)
@@ -102,19 +104,18 @@ def _bio_kernel(
         cf0 = span[4:5, :]
         cf1 = span[5:6, :]
         cf2 = span[6:7, :]
-        calive = span[7:8, :] > 0.0
+        cand_flat = span[7:8, :]
+        calive = cand_flat < jnp.float32(num_bins)
 
         abs_pos = (
             span_starts_ref[r, i]
             + c * CS
             + jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
         )
-        # run bounds live in lane pairs (2r, 2r+1); select by run id
-        lo = jnp.where(r == 0, bounds_ref[:, 0:1],
-                       jnp.where(r == 1, bounds_ref[:, 2:3], bounds_ref[:, 4:5]))
-        hi = jnp.where(r == 0, bounds_ref[:, 1:2],
-                       jnp.where(r == 1, bounds_ref[:, 3:4], bounds_ref[:, 5:6]))
-        in_run = (abs_pos >= lo) & (abs_pos < hi)
+        # run membership by flat-bin-id interval (see pallas_contact): the
+        # run for x-offset (r - 1) covers bins [row_flat + (r-1)*ny - 1, +3)
+        run_lo = row_flat + jnp.float32((r - 1) * ny - 1)
+        in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)
 
         dx0 = x0 - cx0
         dy0 = y0 - cy0
@@ -148,15 +149,16 @@ def _bio_kernel(
 
 
 def bio_reduce_pallas(
-    srt_pack: jnp.ndarray,  # (C, 8) sorted pack rows
-    bounds: jnp.ndarray,  # (C, 8) int32 (dead-at-build rows sentineled)
+    srt_pack: jnp.ndarray,  # (C, 8) sorted pack rows (lane 7 = flat bin id)
     span_starts: jnp.ndarray,  # (4, nblocks) int32 128-aligned
+    chunk_needs: jnp.ndarray,  # (4, nblocks) int32
     *,
     block: int,
     span: int,
+    ny: int,
+    num_bins: int,
     radius: float,
     chunk: int = 256,
-    chunk_needs: Optional[jnp.ndarray] = None,  # (4, nblocks) int32
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-sorted-row biology neighborhood moments, (C, 16)."""
@@ -168,16 +170,15 @@ def bio_reduce_pallas(
     assert chunk % _ALIGN == 0 or chunk == C, (chunk, C)
     assert span <= C, f"DMA span {span} exceeds capacity {C}"
     nchunks = span // chunk
-    if chunk_needs is None:
-        chunk_needs = jnp.full((4, nblocks), nchunks, jnp.int32)
 
-    kernel = functools.partial(_bio_kernel, CS=chunk, radius=radius)
+    kernel = functools.partial(
+        _bio_kernel, CS=chunk, ny=ny, num_bins=num_bins, radius=radius
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblocks, 3, nchunks),
         in_specs=[
             pl.BlockSpec((block, FIELDS), lambda i, r, c, *s: (i, 0)),
-            pl.BlockSpec((block, 8), lambda i, r, c, *s: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((block, OUT_LANES), lambda i, r, c, *s: (i, 0)),
@@ -191,4 +192,4 @@ def bio_reduce_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, OUT_LANES), jnp.float32),
         interpret=interpret,
-    )(span_starts, chunk_needs, srt_pack, bounds, srt_pack.T)
+    )(span_starts, chunk_needs, srt_pack, srt_pack.T)

@@ -79,7 +79,6 @@ def _contact_kernel(
     # block axis must be minor)
     # VMEM blocks
     rows_ref,  # (B, 8) f32 — this block's sorted pack rows
-    bounds_ref,  # (B, 8) i32 — per-row absolute run bounds [s0,e0,s1,e1,s2,e2,..]
     bonds_ref,  # (B, K) f32 — partner slot ids, NO_BOND empty
     # HBM
     hbm_packT_ref,  # (8, C) f32 — field-major sorted pack (span DMA source)
@@ -92,6 +91,7 @@ def _contact_kernel(
     *,
     CS: int,
     K: int,
+    ny: int,
     radius: float,
     adhesion_const: float,
     poisson: float,
@@ -132,6 +132,7 @@ def _contact_kernel(
     rad = rows_ref[:, 3:4]
     slot = rows_ref[:, 4:5]
     row_alive = rows_ref[:, 5:6] > 0.0
+    row_flat = rows_ref[:, 6:7]  # flat bin id at window-build time (f32-exact)
 
     e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
     r2 = jnp.float32(radius * radius)
@@ -155,15 +156,15 @@ def _contact_kernel(
             cand_z = span[2:3, :]
             cand_rad = span[3:4, :]
             cand_slot = span[4:5, :]
+            cand_flat = span[6:7, :]
 
-            abs_pos = (
-                span_starts_ref[r, i]
-                + c * CS
-                + jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
-            )
-            lo = bounds_ref[:, 2 * r : 2 * r + 1]
-            hi = bounds_ref[:, 2 * r + 1 : 2 * r + 2]
-            in_run = (abs_pos >= lo) & (abs_pos < hi)  # (B, CS)
+            # candidate membership in this row's 3-bin stencil run: a pure
+            # flat-bin-id interval test against the build-time bin ids (the
+            # per-row table-gathered run bounds this replaces cost ~40 ms at
+            # 500k agents). Dead rows/candidates carry the sentinel flat id
+            # (or garbage) and are rejected by the alive lanes below.
+            run_lo = row_flat + jnp.float32((r - 1) * ny - 1)
+            in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)  # (B, CS)
 
             dx = x - cand_x
             dy = y - cand_y
@@ -230,20 +231,20 @@ def _contact_kernel(
 
 
 def contact_substep_pallas(
-    srt_pack: jnp.ndarray,  # (C, 8) f32 sorted pack rows
-    bounds: jnp.ndarray,  # (C, 8) int32 absolute run bounds per sorted row
+    srt_pack: jnp.ndarray,  # (C, 8) f32 sorted pack rows (lane 6 = flat bin id)
     srt_bonds: jnp.ndarray,  # (C, K) f32 partner slot ids (NO_BOND empty)
     span_starts: jnp.ndarray,  # (4, nblocks) int32, 128-aligned
+    chunk_needs: jnp.ndarray,  # (4, nblocks) int32
     *,
     block: int,
     span: int,
+    ny: int,
     radius: float,
     adhesion_const: float,
     poisson: float,
     youngs: float,
     break_d: float,
     chunk: int = 256,
-    chunk_needs: Optional[jnp.ndarray] = None,  # (4, nblocks) int32
     uniform_radius: Optional[float] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -251,8 +252,11 @@ def contact_substep_pallas(
     (C, K))`` in sorted-row order; lane 3 of the force output is the per-row
     kept-bond degree (overflow probe).
 
-    ``chunk_needs`` (from ``block_span_starts``) gates which CHUNK-wide span
-    slices each block processes; without it every block runs the full span.
+    ``span_starts``/``chunk_needs`` come from ``neighbors.block_span_plan``;
+    the needs gate which CHUNK-wide span slices each block processes. Run
+    membership is tested in-kernel against the flat bin ids in pack lane 6
+    (build-time binning), so no per-row run-bound table is needed; ``ny`` is
+    the lattice's minor-axis bin count (the flat-id stride of the x stencil).
     """
     C = srt_pack.shape[0]
     K = srt_bonds.shape[1]
@@ -263,13 +267,12 @@ def contact_substep_pallas(
     assert chunk % _ALIGN == 0 or chunk == C, (chunk, C)
     assert span <= C, f"DMA span {span} exceeds capacity {C}"
     nchunks = span // chunk
-    if chunk_needs is None:
-        chunk_needs = jnp.full((4, nblocks), nchunks, jnp.int32)
 
     kernel = functools.partial(
         _contact_kernel,
         CS=chunk,
         K=K,
+        ny=ny,
         radius=radius,
         adhesion_const=adhesion_const,
         poisson=poisson,
@@ -282,7 +285,6 @@ def contact_substep_pallas(
         grid=(nblocks, nchunks),
         in_specs=[
             pl.BlockSpec((block, FIELDS), lambda i, c, *s: (i, 0)),
-            pl.BlockSpec((block, 8), lambda i, c, *s: (i, 0)),
             pl.BlockSpec((block, K), lambda i, c, *s: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),  # field-major pack
         ],
@@ -303,44 +305,9 @@ def contact_substep_pallas(
             jax.ShapeDtypeStruct((C, K), jnp.float32),
         ],
         interpret=interpret,
-    )(span_starts, chunk_needs, srt_pack, bounds, srt_bonds, srt_pack.T)
+    )(span_starts, chunk_needs, srt_pack, srt_bonds, srt_pack.T)
     return force_deg, new_bonds
 
 
-def block_span_starts(
-    bounds: jnp.ndarray, block: int, span: int, capacity: int, chunk: int = 256
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-block 128-aligned span starts (min over the block's rows of each
-    run start, rounded down to the lane tile), clipped so spans stay
-    in-array, plus the per-run active chunk counts and the required-span
-    probe (grow ``span`` and re-execute when it exceeds the static cap).
-
-    Returns ``(starts (4, nblocks) int32, chunk_needs (4, nblocks) int32,
-    span_needed scalar)``. Blocks of dead slots get zero active chunks (their
-    sentinel bounds are lo=capacity / hi=0), so capacity slack costs no
-    kernel work.
-    """
-    chunk = effective_chunk(span, chunk)
-    nblocks = bounds.shape[0] // block
-    b = bounds.reshape(nblocks, block, 8)
-    max_start = max(capacity - span, 0) // _ALIGN * _ALIGN
-    nchunks = -(-span // chunk)
-    starts = []
-    needs = []
-    need_max = []
-    for r in range(3):
-        lo = (jnp.min(b[:, :, 2 * r], axis=1) // _ALIGN) * _ALIGN
-        lo = jnp.clip(lo, 0, max_start)
-        hi = jnp.max(b[:, :, 2 * r + 1], axis=1)
-        need = hi - lo
-        starts.append(lo)
-        need_max.append(need)
-        needs.append(jnp.clip(-(-need // chunk), 0, nchunks))
-    starts.append(jnp.zeros_like(starts[0]))
-    needs.append(jnp.zeros_like(needs[0]))
-    span_needed = jnp.max(jnp.stack(need_max))
-    return (
-        jnp.stack(starts, axis=0).astype(jnp.int32),
-        jnp.stack(needs, axis=0).astype(jnp.int32),
-        span_needed,
-    )
+# (per-block span planning lives in ``neighbors.block_span_plan``, computed
+# from block-edge table lookups — per-row run bounds are never materialized)

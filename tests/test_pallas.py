@@ -10,7 +10,6 @@ from hipsc_abm_tpu.ops import neighbors as nbr
 from hipsc_abm_tpu.ops.jkr import BondState, jkr_substep, pack_physics
 from hipsc_abm_tpu.ops.pallas_contact import (
     NO_BOND,
-    block_span_starts,
     contact_substep_pallas,
 )
 
@@ -60,24 +59,26 @@ def run_pallas(spec, grid, packed, bonds, block=64, chunk=128,
                uniform_radius=None):
     C = packed.shape[0]
     order = grid.order
-    srt_pack = packed[order]
-    bounds = nbr.sorted_run_bounds(spec, grid)
+    # pack lane 6 carries the build-time flat bin ids in sorted order
+    srt_pack = packed[order].at[:, 6].set(grid.sorted_flat.astype(jnp.float32))
     # bonds in sorted-row order, NO_BOND padding
     partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
     srt_bonds = partners_f[order]
 
-    starts, _, span_needed = block_span_starts(bounds, block, span=C, capacity=C)
+    _, _, span_needed, _ = nbr.block_span_plan(
+        spec, grid.sorted_flat, block, span=C, capacity=C, chunk=C
+    )
     span = min(int(((int(span_needed) + 127) // 128) * 128), C)
-    starts, chunk_needs, _ = block_span_starts(
-        bounds, block, span=span, capacity=C, chunk=chunk
+    starts, chunk_needs, _, _ = nbr.block_span_plan(
+        spec, grid.sorted_flat, block, span=span, capacity=C, chunk=chunk
     )
 
     force_deg, new_bonds_srt = contact_substep_pallas(
-        srt_pack, bounds, srt_bonds, starts,
-        block=block, span=span, radius=BIO.jkr_radius,
+        srt_pack, srt_bonds, starts, chunk_needs,
+        block=block, span=span, ny=spec.ny, radius=BIO.jkr_radius,
         adhesion_const=BIO.adhesion_const, poisson=BIO.poisson,
         youngs=BIO.youngs, break_d=BIO.jkr_break_d,
-        chunk=chunk, chunk_needs=chunk_needs,
+        chunk=chunk,
         uniform_radius=uniform_radius, interpret=True,
     )
     # unsort to slot rows

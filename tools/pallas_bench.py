@@ -16,7 +16,6 @@ from hipsc_abm_tpu.ops import neighbors as nbr
 from hipsc_abm_tpu.ops.jkr import jkr_substep, pack_physics
 from hipsc_abm_tpu.ops.pallas_contact import (
     NO_BOND,
-    block_span_starts,
     contact_substep_pallas,
 )
 
@@ -34,7 +33,7 @@ float(jnp.sum(s.arrays["locations"]))
 C = eng.cfg.capacity
 spec = eng.cfg.jkr_spec
 locs, radii, alive = s.arrays["locations"], s.arrays["radii"], s.alive
-    ids = s.arrays["ids"]
+ids = s.arrays["ids"]
 bonds = s.bonds
 BLOCK = 128
 
@@ -42,25 +41,26 @@ BLOCK = 128
 @functools.partial(jax.jit, static_argnums=(4,))
 def pallas_path(locs, radii, alive, bonds, span):
     grid = nbr.build_grid(spec, locs, ids, alive)
-    packed = pack_physics(locs, radii, ids, alive)
+    flat_slot = nbr.flat_bin_ids(spec, locs, alive)
+    packed = pack_physics(locs, radii, ids, alive, flat_slot)
     srt_pack = packed[grid.order]
-    bounds = nbr.sorted_run_bounds(spec, grid)
     partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
     srt_bonds = partners_f[grid.order]
-    starts, chunk_needs, need = block_span_starts(bounds, BLOCK, span=span, capacity=C)
+    starts, chunk_needs, need, _ = nbr.block_span_plan(
+        spec, grid.sorted_flat, BLOCK, span=span, capacity=C, chunk=256)
     fd, nb = contact_substep_pallas(
-        srt_pack, bounds, srt_bonds, starts,
-        block=BLOCK, span=span, radius=BIO.jkr_radius,
+        srt_pack, srt_bonds, starts, chunk_needs,
+        block=BLOCK, span=span, ny=spec.ny, radius=BIO.jkr_radius,
         adhesion_const=BIO.adhesion_const, poisson=BIO.poisson,
-        youngs=BIO.youngs, break_d=BIO.jkr_break_d, chunk_needs=chunk_needs,
+        youngs=BIO.youngs, break_d=BIO.jkr_break_d,
     )
     inv = jnp.zeros((C,), jnp.int32).at[grid.order].set(jnp.arange(C, dtype=jnp.int32))
     return fd[inv], nb[inv], need
 
 
 grid = nbr.build_grid(spec, locs, ids, alive)
-bounds = nbr.sorted_run_bounds(spec, grid)
-_, _, need = block_span_starts(bounds, BLOCK, span=min(C, 4096), capacity=C)
+
+_, _, need, _ = nbr.block_span_plan(spec, grid.sorted_flat, BLOCK, span=min(C, 4096), capacity=C, chunk=min(C, 4096))
 SPAN = int((int(need) + 127) // 128 * 128)
 print("span needed:", int(need), "-> S =", SPAN)
 

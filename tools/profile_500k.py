@@ -16,7 +16,7 @@ from hipsc_abm_tpu.engine import HipscEngine, hipsc_step
 from hipsc_abm_tpu.models.params import ExperimentalParams, GeneralParams
 from hipsc_abm_tpu.ops import neighbors as nbr_ops
 from hipsc_abm_tpu.ops.jkr import pack_physics
-from hipsc_abm_tpu.ops.pallas_contact import block_span_starts, contact_substep_pallas, NO_BOND
+from hipsc_abm_tpu.ops.pallas_contact import contact_substep_pallas, NO_BOND
 from hipsc_abm_tpu.ops.pallas_bio import bio_reduce_pallas
 from hipsc_abm_tpu.ops.integrate import stokes_integrate
 
@@ -55,46 +55,47 @@ def main(n=500_000):
 
     spec = cfg.jkr_spec
     grid = timeit("build_grid(jkr) [argsort]", jax.jit(functools.partial(nbr_ops.build_grid, spec)), locs, ids, alive)
-    bounds = timeit("sorted_run_bounds", jax.jit(functools.partial(nbr_ops.sorted_run_bounds, spec)), grid)
-    starts, cneeds, _ = timeit("block_span_starts", jax.jit(functools.partial(
-        block_span_starts, block=cfg.pallas_block, span=cfg.jkr_span, capacity=C,
-        chunk=cfg.pallas_chunk)), bounds)
+    starts, cneeds, _, _ = timeit("block_span_plan", jax.jit(functools.partial(
+        nbr_ops.block_span_plan, spec, block=cfg.pallas_block, span=cfg.jkr_span,
+        capacity=C, chunk=cfg.pallas_chunk)), grid.sorted_flat)
 
-    packed = jax.jit(pack_physics)(locs, radii, ids, alive)
-    timeit("pack_physics (elementwise)", jax.jit(pack_physics), locs, radii, ids, alive)
+    flat_slot = nbr_ops.flat_bin_ids(spec, locs, alive)
+    packed = jax.jit(pack_physics)(locs, radii, ids, alive, flat_slot)
+    timeit("pack_physics (elementwise)", jax.jit(pack_physics), locs, radii, ids, alive, flat_slot)
     timeit("packed[order] row gather (C,8)", jax.jit(lambda p, o: p[o]), packed, grid.order)
     srt_pack = packed[grid.order]
     srt_bonds = jnp.full((C, cfg.bond_cap), NO_BOND, jnp.float32)
-    def run_contact(sp, bd, sb, st, cn):
+    def run_contact(sp, sb, st, cn):
         return contact_substep_pallas(
-            sp, bd, sb, st, block=cfg.pallas_block, span=cfg.jkr_span,
-            radius=bio.jkr_radius, adhesion_const=bio.adhesion_const,
+            sp, sb, st, cn, block=cfg.pallas_block, span=cfg.jkr_span,
+            ny=spec.ny, radius=bio.jkr_radius, adhesion_const=bio.adhesion_const,
             poisson=bio.poisson, youngs=bio.youngs, break_d=bio.jkr_break_d,
-            chunk=cfg.pallas_chunk, chunk_needs=cn,
+            chunk=cfg.pallas_chunk,
             uniform_radius=cfg.uniform_radius)
     timeit("contact_substep_pallas", jax.jit(run_contact),
-           srt_pack, bounds, srt_bonds, starts, cneeds)
+           srt_pack, srt_bonds, starts, cneeds)
     timeit("stokes_integrate (elementwise)", jax.jit(functools.partial(
         stokes_integrate, stokes=bio.stokes, size=jnp.asarray(gen.size), dt=180.0)),
         locs, radii, s.arrays["jkr_forces"], s.arrays["motility_forces"], alive)
 
     nspec = cfg.nbr_spec
     ngrid = timeit("build_grid(nbr) [argsort]", jax.jit(functools.partial(nbr_ops.build_grid, nspec)), locs, ids, alive)
-    nbounds = jax.jit(functools.partial(nbr_ops.sorted_run_bounds, nspec))(ngrid)
-    nstarts, nneeds, _ = jax.jit(functools.partial(
-        block_span_starts, block=cfg.pallas_block, span=cfg.nbr_span, capacity=C,
-        chunk=cfg.pallas_chunk))(nbounds)
+    nstarts, nneeds, _, _ = jax.jit(functools.partial(
+        nbr_ops.block_span_plan, nspec, block=cfg.pallas_block, span=cfg.nbr_span,
+        capacity=C, chunk=cfg.pallas_chunk))(ngrid.sorted_flat)
+    nflat = nbr_ops.flat_bin_ids(nspec, locs, alive).astype(jnp.float32)
     bio_pack = jnp.concatenate([locs[:, :2], locs[:, :2],
                                 jnp.zeros((C, 3), jnp.float32),
-                                alive.astype(jnp.float32)[:, None]], axis=1)
+                                nflat[:, None]], axis=1)
     timeit("bio pack[order] gather (C,8)", jax.jit(lambda p, o: p[o]), bio_pack, ngrid.order)
     srt_bio = bio_pack[ngrid.order]
-    def run_bio(sp, bd, st, cn):
+    def run_bio(sp, st, cn):
         return bio_reduce_pallas(
-            sp, bd, st, block=cfg.pallas_block, span=cfg.nbr_span,
-            radius=bio.neighbor_radius, chunk=cfg.pallas_chunk, chunk_needs=cn)
+            sp, st, cn, block=cfg.pallas_block, span=cfg.nbr_span,
+            ny=nspec.ny, num_bins=nspec.num_bins,
+            radius=bio.neighbor_radius, chunk=cfg.pallas_chunk)
     out = timeit("bio_reduce_pallas", jax.jit(run_bio),
-                 srt_bio, nbounds, nstarts, nneeds)
+                 srt_bio, nstarts, nneeds)
     inv = jnp.zeros((C,), jnp.int32).at[ngrid.order].set(jnp.arange(C, dtype=jnp.int32))
     timeit("moments out[inv] gather (C,16)", jax.jit(lambda o, i: o[i]), out, inv)
 
