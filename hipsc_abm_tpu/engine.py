@@ -101,6 +101,9 @@ class EngineConfig:
     jkr_spec: GridSpec  # contact graph, bin = 2 * max_radius + verlet_skin
     bond_cap: int
     two_d: bool
+    # static cap on divisions per step (sizes the rank-compressed daughter
+    # tables in biology.cell_division; grown on the num_dividing probe)
+    div_cap: int = 0  # 0 -> derived from capacity in create()
     # Verlet skin (um): the contact window is built over bins of
     # (search radius + skin) from reference positions and reused across
     # physics substeps until any agent drifts more than skin/2 — then a
@@ -160,6 +163,11 @@ class EngineConfig:
                     f"lattice of {spec.num_bins} bins exceeds the f32-exact "
                     "flat-id range (2^24); use a coarser bin size"
                 )
+        # expected dividers/step ~ capacity/72 (randomized clocks); 1/32 is
+        # >2x headroom and keeps the per-array daughter gathers small (the
+        # num_dividing probe grows it on overflow)
+        flags.setdefault("div_cap", max(128, _round_up(int(capacity) // 32, 128)))
+        flags["div_cap"] = min(int(flags["div_cap"]), int(capacity))
         return cls(
             capacity=int(capacity),
             nbr_spec=nbr_spec,
@@ -179,6 +187,7 @@ class StepInfo(NamedTuple):
     num_added: jnp.ndarray
     num_removed: jnp.ndarray
     num_deferred: jnp.ndarray  # divisions deferred for lack of free slots
+    num_dividing: jnp.ndarray  # division attempts (div_cap growth probe)
     nbr_max_in_bin: jnp.ndarray
     jkr_max_in_bin: jnp.ndarray
     jkr_max_degree: jnp.ndarray
@@ -333,9 +342,12 @@ def hipsc_step(
     # --- cell_division ---
     # daughter ids are assigned by the mothers' canonical (bin, id) rank —
     # layout-independent, so the domain-decomposed engine assigns identically
-    arrays, alive, daughter_mask, num_added, num_deferred = biology.cell_division(
+    (
+        arrays, alive, daughter_mask, num_added, num_deferred, num_dividing,
+    ) = biology.cell_division(
         arrays, alive, nbr_count, k_div, bio, cfg.two_d,
         canon_order=nbr_grid.order, next_id=state.next_id,
+        div_cap=cfg.div_cap or cfg.capacity,
     )
     bonds = clear_bond_rows(bonds, daughter_mask)  # fresh graph vertices, no edges
     # daughters have no edges in the pre-division graph; their slots were dead
@@ -447,6 +459,7 @@ def hipsc_step(
         num_added=num_added,
         num_removed=num_removed,
         num_deferred=num_deferred,
+        num_dividing=num_dividing,
         nbr_max_in_bin=nbr_max_in_bin,
         jkr_max_in_bin=jnp.max(j_bins),
         jkr_max_degree=jnp.max(j_degs),
@@ -512,8 +525,21 @@ def _physics_scan_xla(cfg, bio, arrays, alive, bonds, size, dts):
 def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
     """Physics substeps on the Pallas path: the fused contact kernel
     (``ops.pallas_contact``) replaces window gather + pair math + bond
-    bookkeeping; the scan carries the bond partner lists in sorted-row order
-    so only window rebuilds permute them."""
+    bookkeeping.
+
+    The scan state is **sorted-resident**: positions, the static pack lanes
+    (radius/id/alive/flat), the motility forces, and the bond partner lists
+    all live in grid order across substeps — in ONE (C, 16 + K) matrix
+    ``phys`` — so a substep is just lane slices + the kernel + elementwise
+    integration, with zero capacity-sized gathers. A Verlet window rebuild
+    permutes with a single row gather of ``phys`` (per-array permutes cost
+    ~12-14 ms each at 500k agents, and rebuilds run ~3x per step), and only
+    the scan entry/exit converts to/from slot space.
+
+    ``phys`` lanes: [0:3] location, [3] radius, [4] agent id, [5] alive,
+    [6] build-time flat bin id, [7] pad, [8:11] motility force, [11:16] pad,
+    [16:16+K] bond partner ids (NO_BOND empty).
+    """
     from hipsc_abm_tpu.ops.pallas_contact import (
         NO_BOND,
         contact_substep_pallas,
@@ -521,52 +547,85 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
 
     capacity = alive.shape[0]
     block = cfg.pallas_block
-    radii = arrays["radii"]
-    ids = arrays["ids"]
-    motility = arrays["motility_forces"]
+    spec = cfg.jkr_spec
+    K = bonds.partners.shape[1]
 
-    def build_window(args):
-        locations, srt_bonds_old, inv_old = args
-        grid = nbr_ops.build_grid(cfg.jkr_spec, locations, ids, alive)
+    def plan(sorted_flat):
         starts, chunk_needs, span_needed, max_run = nbr_ops.block_span_plan(
-            cfg.jkr_spec, grid.sorted_flat, block, cfg.jkr_span, capacity,
-            cfg.pallas_chunk,
+            spec, sorted_flat, block, cfg.jkr_span, capacity, cfg.pallas_chunk,
         )
-        # build-time flat bin ids (slot order): the kernel's run-membership
-        # test; rides pack lane 6 so per-substep packs need no extra gather
-        flat_slot = nbr_ops.flat_bin_ids(cfg.jkr_spec, locations, alive)
-        inv = jnp.zeros((capacity,), jnp.int32).at[grid.order].set(
-            jnp.arange(capacity, dtype=jnp.int32)
-        )
-        # re-permute the bond lists: new sorted row -> slot -> old sorted row
-        srt_bonds = srt_bonds_old[inv_old[grid.order]]
-        win = (grid.order, inv, flat_slot, starts, chunk_needs, locations,
-               max_run, span_needed)
-        return win, srt_bonds
+        return starts, chunk_needs, span_needed, max_run
 
-    # initial window + bonds in sorted order
+    def set_flat(phys, sorted_flat):
+        return jnp.concatenate(
+            [
+                phys[:, :6],
+                sorted_flat.astype(jnp.float32)[:, None],
+                phys[:, 7:],
+            ],
+            axis=1,
+        )
+
+    def rebuild(args):
+        """Re-sort the sorted-resident state by the current positions.
+
+        The (flat bin, id) sort keys are layout-independent, so sorting the
+        *old-sorted* arrays yields the same agent sequence as sorting from
+        slot space; composing the relative order onto the carried slot order
+        keeps exit conversion a single gather."""
+        phys, order = args
+        grid_rel = nbr_ops.build_grid(
+            spec, phys[:, :3], phys[:, 4].astype(jnp.int32), phys[:, 5] > 0.0
+        )
+        rel = grid_rel.order
+        phys = set_flat(phys[rel], grid_rel.sorted_flat)
+        order = order[rel]
+        starts, chunk_needs, span_needed, max_run = plan(grid_rel.sorted_flat)
+        win = (starts, chunk_needs, phys[:, :3], max_run, span_needed)
+        return phys, order, win
+
+    # --- scan entry: one sort + one row gather ---
+    ids = arrays["ids"]
+    grid0 = nbr_ops.build_grid(spec, arrays["locations"], ids, alive)
+    order0 = grid0.order
     partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
-    identity = jnp.arange(capacity, dtype=jnp.int32)
-    init_win, init_srt_bonds = build_window(
-        (arrays["locations"], partners_f, identity)
+    phys_slot = jnp.concatenate(
+        [
+            arrays["locations"].astype(jnp.float32),
+            arrays["radii"].astype(jnp.float32)[:, None],
+            ids.astype(jnp.float32)[:, None],
+            alive.astype(jnp.float32)[:, None],
+            jnp.zeros((capacity, 2), jnp.float32),
+            arrays["motility_forces"].astype(jnp.float32),
+            jnp.zeros((capacity, 5), jnp.float32),
+            partners_f,
+        ],
+        axis=1,
     )
+    phys = set_flat(phys_slot[order0], grid0.sorted_flat)
+    starts0, needs0, span_needed0, max_run0 = plan(grid0.sorted_flat)
+    init_win = (starts0, needs0, phys[:, :3], max_run0, span_needed0)
 
     def substep(carry, dt):
-        locations, srt_bonds, win = carry
+        phys, order, win = carry
+        alive_rows = phys[:, 5] > 0.0
         drift2 = jnp.max(
-            jnp.where(alive, jnp.sum((locations - win[5]) ** 2, axis=-1), 0.0)
+            jnp.where(
+                alive_rows,
+                jnp.sum((phys[:, :3] - win[2]) ** 2, axis=-1),
+                0.0,
+            )
         )
-        win, srt_bonds = jax.lax.cond(
+        phys, order, win = jax.lax.cond(
             drift2 > (cfg.verlet_skin * 0.5) ** 2,
-            build_window,
-            lambda args: (win, args[1]),
-            (locations, srt_bonds, win[1]),
+            rebuild,
+            lambda args: args + (win,),
+            (phys, order),
         )
-        order, inv, flat_slot, starts, chunk_needs, _, max_run, span_needed = win
-        packed = pack_physics(locations, radii, ids, alive, flat=flat_slot)
+        starts, chunk_needs, _, max_run, span_needed = win
         force_deg, srt_bonds = contact_substep_pallas(
-            packed[order], srt_bonds, starts, chunk_needs,
-            block=block, span=cfg.jkr_span, ny=cfg.jkr_spec.ny,
+            phys[:, :8], phys[:, 16:], starts, chunk_needs,
+            block=block, span=cfg.jkr_span, ny=spec.ny,
             radius=bio.jkr_radius,
             adhesion_const=bio.adhesion_const, poisson=bio.poisson,
             youngs=bio.youngs, break_d=bio.jkr_break_d,
@@ -574,19 +633,24 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
             uniform_radius=cfg.uniform_radius,
             interpret=cfg.pallas_interpret,
         )
-        force_deg_slot = force_deg[inv]
-        jkr_forces = force_deg_slot[:, :3]
-        max_degree = jnp.max(force_deg_slot[:, 3]).astype(jnp.int32)
-        locations = stokes_integrate(
-            locations, radii, jkr_forces, motility, alive, bio.stokes, size, dt,
+        max_degree = jnp.max(force_deg[:, 3]).astype(jnp.int32)
+        new_loc = stokes_integrate(
+            phys[:, :3], phys[:, 3], force_deg[:, :3], phys[:, 8:11],
+            phys[:, 5] > 0.0, bio.stokes, size, dt,
         )
-        return (locations, srt_bonds, win), (max_run, max_degree, span_needed)
+        phys = jnp.concatenate([new_loc, phys[:, 3:16], srt_bonds], axis=1)
+        return (phys, order, win), (max_run, max_degree, span_needed)
 
-    (locations, srt_bonds, final_win), (j_bins, j_degs, j_spans) = jax.lax.scan(
-        substep, (arrays["locations"], init_srt_bonds, init_win), dts
+    (phys, order, _), (j_bins, j_degs, j_spans) = jax.lax.scan(
+        substep, (phys, order0, init_win), dts
     )
-    # bonds back to slot space
-    partners_slot = srt_bonds[final_win[1]]
+    # --- scan exit: back to slot space (one inverse permutation) ---
+    inv = jnp.zeros((capacity,), jnp.int32).at[order].set(
+        jnp.arange(capacity, dtype=jnp.int32)
+    )
+    phys_out = phys[inv]
+    locations = phys_out[:, :3]
+    partners_slot = phys_out[:, 16:]
     bonds = BondState(
         partners=jnp.maximum(partners_slot, 0).astype(jnp.int32),
         mask=partners_slot >= 0,
@@ -850,7 +914,13 @@ class HipscEngine:
                 # bond loops; extreme contact degrees (heavily overlapping
                 # packings) fall back to the XLA path, which handles any K
                 use_pallas = False
-        if int(info.num_deferred) > 0:
+        div_cap = cfg.div_cap
+        if div_cap and int(info.num_dividing) > div_cap:
+            # daughter-table overflow: grow the rank-compressed tables; the
+            # re-execution reveals any true free-slot shortage separately
+            div_cap = min(_round_up(int(info.num_dividing) * 2, 128), capacity)
+            changed = True
+        elif int(info.num_deferred) > 0:
             capacity = _round_up(capacity * 2, 128)
             changed = True
         jkr_span = cfg.jkr_span
@@ -874,6 +944,7 @@ class HipscEngine:
             cfg, nbr_spec=nbr_spec, jkr_spec=jkr_spec, bond_cap=bond_cap,
             capacity=capacity, jkr_span=min(jkr_span, capacity),
             nbr_span=min(nbr_span, capacity), use_pallas=use_pallas,
+            div_cap=min(div_cap, capacity) if div_cap else div_cap,
         )
 
     @staticmethod

@@ -85,35 +85,49 @@ def cell_death(
 
 
 def allocate_daughter_slots(
-    dividing: jnp.ndarray, alive: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Map each dividing mother to a free slot.
+    dividing: jnp.ndarray,
+    alive: jnp.ndarray,
+    canon_order: jnp.ndarray,
+    div_cap: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Rank-compressed daughter-slot allocation.
 
-    Replaces the reference's array-append growth (``cell_methods.py:86-94``)
-    with cumsum-based slot allocation: the k-th dividing mother (slot order)
-    claims the k-th free slot. Mothers beyond the free-slot supply are
-    deferred (their counters stay >= threshold, so they divide next step once
-    the host grows capacity). Returns (can_divide, daughter_slot with
-    out-of-range sentinel for non-dividers, num_deferred).
+    Replaces the reference's array-append growth (``cell_methods.py:86-94``).
+    Mothers are ranked in the canonical (bin, id) order (layout-independent);
+    the r-th mother claims the r-th free slot (slot order — slot choice is
+    layout-local, identity is carried by ids). The mapping is materialized as
+    two small ``(div_cap,)`` tables built with ONE capacity-sized scatter
+    each, so the per-array daughter writes in ``cell_division`` touch only
+    ``div_cap`` rows — a full-capacity ``.at[...].set`` per array costed
+    ~16 ms x 15 arrays at 500k agents.
+
+    Mothers beyond the free-slot supply or the static ``div_cap`` are
+    deferred (their counters stay >= threshold; the host grows the
+    overflowed capacity and re-executes). Returns ``(can_divide, rank,
+    mother_of_rank, free_slot_of_rank, num_deferred)``; unused table rows
+    hold the out-of-range sentinel ``capacity``.
     """
     capacity = alive.shape[0]
+    rank = canonical_rank(dividing, canon_order)
     free = ~alive
-    # slot id of the r-th free slot
-    free_rank = jnp.cumsum(free) - 1
-    slot_of_rank = jnp.full((capacity,), capacity, dtype=jnp.int32)
-    scatter_pos = jnp.where(free, free_rank, capacity)
-    slot_of_rank = slot_of_rank.at[scatter_pos].set(
-        jnp.arange(capacity, dtype=jnp.int32), mode="drop"
-    )
-
-    div_rank = jnp.cumsum(dividing) - 1
     num_free = jnp.sum(free)
-    can_divide = dividing & (div_rank < num_free)
-    daughter_slot = jnp.where(
-        can_divide, slot_of_rank[jnp.clip(div_rank, 0, capacity - 1)], capacity
-    ).astype(jnp.int32)
-    num_deferred = jnp.sum(dividing) - jnp.sum(can_divide)
-    return can_divide, daughter_slot, num_deferred
+    limit = jnp.minimum(num_free, div_cap)
+    can_divide = dividing & (rank < limit)
+
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    mother_of_rank = jnp.full((div_cap,), capacity, dtype=jnp.int32).at[
+        jnp.where(can_divide, rank, div_cap)
+    ].set(slots, mode="drop")
+    free_rank = jnp.cumsum(free) - 1
+    free_slot_of_rank = jnp.full((div_cap,), capacity, dtype=jnp.int32).at[
+        jnp.where(free & (free_rank < div_cap), free_rank, div_cap)
+    ].set(slots, mode="drop")
+    # free slots beyond the mother count must stay untouched
+    num_can = jnp.sum(can_divide)
+    r = jnp.arange(div_cap, dtype=jnp.int32)
+    free_slot_of_rank = jnp.where(r < num_can, free_slot_of_rank, capacity)
+    num_deferred = jnp.sum(dividing) - num_can
+    return can_divide, rank, mother_of_rank, free_slot_of_rank, num_deferred
 
 
 def canonical_rank(mask: jnp.ndarray, canon_order: jnp.ndarray) -> jnp.ndarray:
@@ -136,7 +150,8 @@ def cell_division(
     two_d: bool,
     canon_order: Optional[jnp.ndarray] = None,
     next_id: Optional[jnp.ndarray] = None,
-) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    div_cap: Optional[int] = None,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``cell_division`` (``cell_methods.py:54-117``).
 
     Stochastic division clocks; pluripotent cells divide at
@@ -145,9 +160,13 @@ def cell_division(
     into a free slot; the pair is displaced +/- a random vector scaled by
     (max_radius - min_radius); both division counters reset. Daughters get
     fresh stable ids ``next_id + canonical rank of their mother`` — slot
-    choice is layout-local, the id is not.
+    choice is layout-local, the id is not. Per-array daughter writes go
+    through the rank-compressed ``(div_cap,)`` tables of
+    ``allocate_daughter_slots`` (mothers past ``div_cap`` defer; the host
+    grows it on the ``num_dividing`` probe).
 
-    Returns (arrays, alive, daughter_mask, num_added, num_deferred).
+    Returns (arrays, alive, daughter_mask, num_added, num_deferred,
+    num_dividing).
     """
     capacity = alive.shape[0]
     ids = arrays["ids"]
@@ -155,6 +174,8 @@ def cell_division(
         canon_order = jnp.arange(capacity, dtype=jnp.int32)
     if next_id is None:
         next_id = jnp.max(jnp.where(alive, ids, -1)) + 1
+    if div_cap is None:
+        div_cap = capacity
 
     div_counters = arrays["div_counters"] + jnp.where(
         alive, rng.coin_flips(key, ids, salt=0), 0
@@ -168,8 +189,9 @@ def cell_division(
     )
     dividing = alive & (pluri_div | diff_div)
 
-    can_divide, daughter_slot, num_deferred = allocate_daughter_slots(dividing, alive)
-    daughter_ids = next_id + canonical_rank(can_divide, canon_order)
+    can_divide, _, mother_of_rank, write_slot, num_deferred = (
+        allocate_daughter_slots(dividing, alive, canon_order, div_cap)
+    )
 
     # mother/daughter displacement (cell_methods.py:103-105): daughter copies
     # the mother's pre-displacement location, then moves -disp; mother +disp.
@@ -177,24 +199,30 @@ def cell_division(
         arrays["locations"].dtype
     ) * (p.max_radius - p.min_radius)
 
+    # out-of-range mother rows (unused ranks) gather clamped garbage, but
+    # their write_slot is the capacity sentinel, so the write drops them
     new_arrays = {}
     for name, arr in arrays.items():
         if name == "locations":
-            daughter_val = arr - disp
-            arr = arr.at[daughter_slot].set(daughter_val, mode="drop")
+            daughter_val = (arr - disp)[mother_of_rank]
+            arr = arr.at[write_slot].set(daughter_val, mode="drop")
             arr = jnp.where(can_divide[:, None], arr + disp, arr)
         elif name == "div_counters":
-            arr = div_counters.at[daughter_slot].set(0, mode="drop")
+            arr = div_counters.at[write_slot].set(0, mode="drop")
             arr = jnp.where(can_divide, 0, arr)
         elif name == "ids":
-            arr = arr.at[daughter_slot].set(daughter_ids, mode="drop")
+            daughter_ids = next_id + jnp.arange(div_cap, dtype=jnp.int32)
+            arr = arr.at[write_slot].set(daughter_ids, mode="drop")
         else:
-            arr = arr.at[daughter_slot].set(arr, mode="drop")
+            arr = arr.at[write_slot].set(arr[mother_of_rank], mode="drop")
         new_arrays[name] = arr
 
-    daughter_mask = jnp.zeros((capacity,), dtype=bool).at[daughter_slot].set(True, mode="drop")
+    daughter_mask = jnp.zeros((capacity,), dtype=bool).at[write_slot].set(True, mode="drop")
     new_alive = alive | daughter_mask
-    return new_arrays, new_alive, daughter_mask, jnp.sum(can_divide), num_deferred
+    return (
+        new_arrays, new_alive, daughter_mask, jnp.sum(can_divide),
+        num_deferred, jnp.sum(dividing),
+    )
 
 
 # ---------------------------------------------------------------------------

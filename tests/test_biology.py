@@ -90,7 +90,7 @@ def test_division_mother_daughter_placement():
     alive = jnp.array([True, True, True, False, False, False, False, False])
     nbr_count = jnp.zeros(C, int)
 
-    new_arrays, new_alive, daughters, num_added, deferred = division_j(
+    new_arrays, new_alive, daughters, num_added, deferred, _ = division_j(
         arrays, alive, nbr_count, KEY, BIO, two_d=True
     )
     assert int(num_added) == 1 and int(deferred) == 0
@@ -119,7 +119,7 @@ def test_division_contact_inhibition_and_thresholds():
     alive = jnp.array([True] * 5 + [False] * 3)
     nbr_count = jnp.array([0, 0, 2, 6, 0, 0, 0, 0])  # slot 3 inhibited
 
-    _, new_alive, daughters, num_added, _ = division_j(
+    _, new_alive, daughters, num_added, _, _ = division_j(
         arrays, alive, nbr_count, KEY, BIO, two_d=True
     )
     # slots 0,1 (pluri >= 36) and 2 (diff >= 72, uncrowded) divide; 3 inhibited
@@ -131,7 +131,7 @@ def test_division_deferred_when_full():
     C = 4
     arrays = make_arrays(C, div_counters=np.array([40, 40, 40, 40]))
     alive = jnp.ones(C, bool)
-    _, new_alive, _, num_added, deferred = division_j(
+    _, new_alive, _, num_added, deferred, _ = division_j(
         arrays, alive, jnp.zeros(C, int), KEY, BIO, two_d=True
     )
     assert int(num_added) == 0 and int(deferred) == 4
@@ -142,7 +142,7 @@ def test_division_counter_stochastic_increment():
     C = 512
     arrays = make_arrays(C)
     alive = jnp.ones(C, bool)
-    new_arrays, _, _, _, _ = division_j(
+    new_arrays, _, _, _, _, _ = division_j(
         arrays, alive, jnp.zeros(C, int), KEY, BIO, two_d=True
     )
     frac = float(jnp.mean(new_arrays["div_counters"]))
