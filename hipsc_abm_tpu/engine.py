@@ -196,6 +196,83 @@ class StepInfo(NamedTuple):
     max_id: jnp.ndarray  # id high-water mark (ids must stay f32-exact < 2^24)
 
 
+def make_bio_moments_xla(
+    nbr_grid: nbr_ops.Grid,
+    nbr_pos: jnp.ndarray,
+    nbr_valid: jnp.ndarray,
+    loc0: jnp.ndarray,
+    ids0: jnp.ndarray,
+    alive: jnp.ndarray,
+    radius: float,
+) -> "callable":
+    """Windowed-gather neighborhood-moment reducer (the XLA fallback for the
+    fused Pallas reduction kernel).
+
+    Builds the step's neighbor graph ONCE from the build-time window (the
+    reference builds ``neighbor_graph`` once at the top of the step,
+    ``cell_simulation.py:90``) and returns ``bio_moments(curr_loc, f0, f1,
+    f2, alive_now) -> (C, 16)`` computing, over the build-time neighborhood
+    re-masked by current liveness: count, sum f0, sum f0^2, count/disp-sum of
+    (f1 > f0) candidates, count/disp-sum of (f2 != 0) candidates (layout in
+    ops/pallas_bio.py).
+
+    Shared by the single-device engine and the domain-decomposed engine —
+    the domain engine calls it on its local (own + halo) rows, where the
+    identical window content makes the moment floats bit-equal."""
+    capacity = loc0.shape[0]
+    ids_f = ids0.astype(jnp.float32)
+    base_pack = jnp.concatenate(
+        [loc0, ids_f[:, None], alive.astype(jnp.float32)[:, None],
+         jnp.zeros((capacity, 3), jnp.float32)],
+        axis=1,
+    )
+    base_cand = base_pack[nbr_grid.order][nbr_pos]
+    delta0 = base_cand[..., :3] - loc0[:, None, :]
+    r15 = jnp.float32(radius)
+    base_mask = (
+        nbr_valid
+        & (base_cand[..., 3] != ids_f[:, None])
+        & (jnp.sum(delta0 * delta0, axis=-1) <= r15 * r15)
+        & (base_cand[..., 4] > 0)
+        & alive[:, None]
+    )
+
+    def bio_moments(curr_loc, f0, f1, f2, alive_now):
+        pack = jnp.concatenate(
+            [
+                curr_loc,
+                f0.astype(jnp.float32)[:, None],
+                f1.astype(jnp.float32)[:, None],
+                f2.astype(jnp.float32)[:, None],
+                alive_now.astype(jnp.float32)[:, None],
+                jnp.zeros((capacity, 1), jnp.float32),
+            ],
+            axis=1,
+        )
+        cand = pack[nbr_grid.order][nbr_pos]  # (C, W, 8)
+        m = base_mask & (cand[..., 6] > 0)
+        mf = m.astype(jnp.float32)
+        cf0 = cand[..., 3]
+        disp = cand[..., :3] - curr_loc[:, None, :]
+        a = mf * (cand[..., 4] > cand[..., 3]).astype(jnp.float32)
+        b = mf * (cand[..., 5] != 0).astype(jnp.float32)
+        return jnp.concatenate(
+            [
+                jnp.sum(mf, axis=1, keepdims=True),
+                jnp.sum(mf * cf0, axis=1, keepdims=True),
+                jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True),
+                jnp.sum(a, axis=1, keepdims=True),
+                jnp.sum(a[..., None] * disp, axis=1),  # (C, 3)
+                jnp.sum(b, axis=1, keepdims=True),
+                jnp.sum(b[..., None] * disp, axis=1),  # (C, 3)
+                jnp.zeros((capacity, 5), jnp.float32),
+            ],
+            axis=1,
+        )
+
+    return bio_moments
+
+
 def _physics_dts(bio: BiologyParams) -> np.ndarray:
     """Substep schedule: divmod(step_dt, move_dt) full substeps + remainder
     substep, which runs even when the remainder is zero and still updates the
@@ -285,55 +362,9 @@ def hipsc_step(
         nbr_grid, nbr_pos, nbr_valid, nbr_max_in_bin = nbr_ops.sorted_window(
             cfg.nbr_spec, loc0, ids0, alive
         )
-        ids_f = ids0.astype(jnp.float32)
-        base_pack = jnp.concatenate(
-            [loc0, ids_f[:, None], alive.astype(jnp.float32)[:, None],
-             jnp.zeros((capacity, 3), jnp.float32)],
-            axis=1,
+        bio_moments = make_bio_moments_xla(
+            nbr_grid, nbr_pos, nbr_valid, loc0, ids0, alive, bio.neighbor_radius
         )
-        base_cand = base_pack[nbr_grid.order][nbr_pos]
-        delta0 = base_cand[..., :3] - loc0[:, None, :]
-        r15 = jnp.float32(bio.neighbor_radius)
-        base_mask = (
-            nbr_valid
-            & (base_cand[..., 3] != ids_f[:, None])
-            & (jnp.sum(delta0 * delta0, axis=-1) <= r15 * r15)
-            & (base_cand[..., 4] > 0)
-            & alive[:, None]
-        )
-
-        def bio_moments(curr_loc, f0, f1, f2, alive_now):
-            pack = jnp.concatenate(
-                [
-                    curr_loc,
-                    f0.astype(jnp.float32)[:, None],
-                    f1.astype(jnp.float32)[:, None],
-                    f2.astype(jnp.float32)[:, None],
-                    alive_now.astype(jnp.float32)[:, None],
-                    jnp.zeros((capacity, 1), jnp.float32),
-                ],
-                axis=1,
-            )
-            cand = pack[nbr_grid.order][nbr_pos]  # (C, W, 8)
-            m = base_mask & (cand[..., 6] > 0)
-            mf = m.astype(jnp.float32)
-            cf0 = cand[..., 3]
-            disp = cand[..., :3] - curr_loc[:, None, :]
-            a = mf * (cand[..., 4] > cand[..., 3]).astype(jnp.float32)
-            b = mf * (cand[..., 5] != 0).astype(jnp.float32)
-            return jnp.concatenate(
-                [
-                    jnp.sum(mf, axis=1, keepdims=True),
-                    jnp.sum(mf * cf0, axis=1, keepdims=True),
-                    jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True),
-                    jnp.sum(a, axis=1, keepdims=True),
-                    jnp.sum(a[..., None] * disp, axis=1),  # (C, 3)
-                    jnp.sum(b, axis=1, keepdims=True),
-                    jnp.sum(b[..., None] * disp, axis=1),  # (C, 3)
-                    jnp.zeros((capacity, 5), jnp.float32),
-                ],
-                axis=1,
-            )
 
     zero_i = jnp.zeros((capacity,), jnp.int32)
     m1 = bio_moments(loc0, zero_i, zero_i, zero_i, alive)

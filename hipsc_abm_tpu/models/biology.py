@@ -89,6 +89,7 @@ def allocate_daughter_slots(
     alive: jnp.ndarray,
     canon_order: jnp.ndarray,
     div_cap: int,
+    allocatable: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Rank-compressed daughter-slot allocation.
 
@@ -106,10 +107,15 @@ def allocate_daughter_slots(
     overflowed capacity and re-executes). Returns ``(can_divide, rank,
     mother_of_rank, free_slot_of_rank, num_deferred)``; unused table rows
     hold the out-of-range sentinel ``capacity``.
+
+    ``allocatable`` restricts which dead slots may receive daughters (the
+    domain-decomposed engine excludes its halo rows); default: every slot.
     """
     capacity = alive.shape[0]
     rank = canonical_rank(dividing, canon_order)
     free = ~alive
+    if allocatable is not None:
+        free = free & allocatable
     num_free = jnp.sum(free)
     limit = jnp.minimum(num_free, div_cap)
     can_divide = dividing & (rank < limit)
@@ -141,6 +147,91 @@ def canonical_rank(mask: jnp.ndarray, canon_order: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros_like(rank_srt).at[canon_order].set(rank_srt)
 
 
+def division_clock(
+    arrays: Dict[str, jnp.ndarray],
+    alive: jnp.ndarray,
+    nbr_count: jnp.ndarray,
+    key: jax.Array,
+    p: BiologyParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Division-decision half of ``cell_division`` (``cell_methods.py:54-83``):
+    advance the stochastic clocks and decide who divides this step. Split from
+    ``division_apply`` so the domain-decomposed engine can all-gather the
+    per-stripe dividing counts (for globally consistent daughter ids) between
+    the two. Returns ``(div_counters, dividing)``."""
+    div_counters = arrays["div_counters"] + jnp.where(
+        alive, rng.coin_flips(key, arrays["ids"], salt=0), 0
+    )
+    states = arrays["states"]
+    pluri_div = (states == 0) & (div_counters >= p.pluri_div_thresh)
+    diff_div = (
+        (states != 0)
+        & (div_counters >= p.diff_div_thresh)
+        & (nbr_count < p.div_inhibit_neighbors)
+    )
+    dividing = alive & (pluri_div | diff_div)
+    return div_counters, dividing
+
+
+def division_apply(
+    arrays: Dict[str, jnp.ndarray],
+    alive: jnp.ndarray,
+    div_counters: jnp.ndarray,
+    dividing: jnp.ndarray,
+    key: jax.Array,
+    p: BiologyParams,
+    two_d: bool,
+    canon_order: jnp.ndarray,
+    next_id: jnp.ndarray,
+    div_cap: int,
+    allocatable: Optional[jnp.ndarray] = None,
+    rank_offset: jnp.ndarray | int = 0,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Daughter-creation half of ``cell_division`` (``cell_methods.py:86-117``).
+
+    ``rank_offset`` shifts daughter ids: a daughter gets id ``next_id +
+    rank_offset + local canonical rank``. The single-device engine passes 0;
+    the domain engine passes the summed dividing counts of lower stripes, so
+    ids equal the single-device assignment (global canonical rank) exactly.
+    Returns (arrays, alive, daughter_mask, num_added, num_deferred).
+    """
+    capacity = alive.shape[0]
+    ids = arrays["ids"]
+    can_divide, _, mother_of_rank, write_slot, num_deferred = (
+        allocate_daughter_slots(dividing, alive, canon_order, div_cap, allocatable)
+    )
+
+    # mother/daughter displacement (cell_methods.py:103-105): daughter copies
+    # the mother's pre-displacement location, then moves -disp; mother +disp.
+    disp = rng.unit_vectors(key, ids, two_d, salt=1).astype(
+        arrays["locations"].dtype
+    ) * (p.max_radius - p.min_radius)
+
+    # out-of-range mother rows (unused ranks) gather clamped garbage, but
+    # their write_slot is the capacity sentinel, so the write drops them
+    new_arrays = {}
+    for name, arr in arrays.items():
+        if name == "locations":
+            daughter_val = (arr - disp)[mother_of_rank]
+            arr = arr.at[write_slot].set(daughter_val, mode="drop")
+            arr = jnp.where(can_divide[:, None], arr + disp, arr)
+        elif name == "div_counters":
+            arr = div_counters.at[write_slot].set(0, mode="drop")
+            arr = jnp.where(can_divide, 0, arr)
+        elif name == "ids":
+            daughter_ids = (
+                next_id + rank_offset + jnp.arange(div_cap, dtype=jnp.int32)
+            )
+            arr = arr.at[write_slot].set(daughter_ids, mode="drop")
+        else:
+            arr = arr.at[write_slot].set(arr[mother_of_rank], mode="drop")
+        new_arrays[name] = arr
+
+    daughter_mask = jnp.zeros((capacity,), dtype=bool).at[write_slot].set(True, mode="drop")
+    new_alive = alive | daughter_mask
+    return new_arrays, new_alive, daughter_mask, jnp.sum(can_divide), num_deferred
+
+
 def cell_division(
     arrays: Dict[str, jnp.ndarray],
     alive: jnp.ndarray,
@@ -169,58 +260,20 @@ def cell_division(
     num_dividing).
     """
     capacity = alive.shape[0]
-    ids = arrays["ids"]
     if canon_order is None:
         canon_order = jnp.arange(capacity, dtype=jnp.int32)
     if next_id is None:
-        next_id = jnp.max(jnp.where(alive, ids, -1)) + 1
+        next_id = jnp.max(jnp.where(alive, arrays["ids"], -1)) + 1
     if div_cap is None:
         div_cap = capacity
 
-    div_counters = arrays["div_counters"] + jnp.where(
-        alive, rng.coin_flips(key, ids, salt=0), 0
+    div_counters, dividing = division_clock(arrays, alive, nbr_count, key, p)
+    new_arrays, new_alive, daughter_mask, num_added, num_deferred = division_apply(
+        arrays, alive, div_counters, dividing, key, p, two_d,
+        canon_order, next_id, div_cap,
     )
-    states = arrays["states"]
-    pluri_div = (states == 0) & (div_counters >= p.pluri_div_thresh)
-    diff_div = (
-        (states != 0)
-        & (div_counters >= p.diff_div_thresh)
-        & (nbr_count < p.div_inhibit_neighbors)
-    )
-    dividing = alive & (pluri_div | diff_div)
-
-    can_divide, _, mother_of_rank, write_slot, num_deferred = (
-        allocate_daughter_slots(dividing, alive, canon_order, div_cap)
-    )
-
-    # mother/daughter displacement (cell_methods.py:103-105): daughter copies
-    # the mother's pre-displacement location, then moves -disp; mother +disp.
-    disp = rng.unit_vectors(key, ids, two_d, salt=1).astype(
-        arrays["locations"].dtype
-    ) * (p.max_radius - p.min_radius)
-
-    # out-of-range mother rows (unused ranks) gather clamped garbage, but
-    # their write_slot is the capacity sentinel, so the write drops them
-    new_arrays = {}
-    for name, arr in arrays.items():
-        if name == "locations":
-            daughter_val = (arr - disp)[mother_of_rank]
-            arr = arr.at[write_slot].set(daughter_val, mode="drop")
-            arr = jnp.where(can_divide[:, None], arr + disp, arr)
-        elif name == "div_counters":
-            arr = div_counters.at[write_slot].set(0, mode="drop")
-            arr = jnp.where(can_divide, 0, arr)
-        elif name == "ids":
-            daughter_ids = next_id + jnp.arange(div_cap, dtype=jnp.int32)
-            arr = arr.at[write_slot].set(daughter_ids, mode="drop")
-        else:
-            arr = arr.at[write_slot].set(arr[mother_of_rank], mode="drop")
-        new_arrays[name] = arr
-
-    daughter_mask = jnp.zeros((capacity,), dtype=bool).at[write_slot].set(True, mode="drop")
-    new_alive = alive | daughter_mask
     return (
-        new_arrays, new_alive, daughter_mask, jnp.sum(can_divide),
+        new_arrays, new_alive, daughter_mask, num_added,
         num_deferred, jnp.sum(dividing),
     )
 

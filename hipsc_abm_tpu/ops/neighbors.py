@@ -153,6 +153,34 @@ def build_grid(
     )
 
 
+def grid_from_flat_coords(
+    flat: jnp.ndarray,
+    coords: jnp.ndarray,
+    ids: jnp.ndarray,
+) -> Grid:
+    """Canonical (flat, id) sort from precomputed flat ids / bin coords.
+
+    The domain-decomposed engine bins agents on the *global* lattice (exact
+    integer coords) and then shifts the x-column by its stripe's static
+    offset to index a small per-device local lattice — float re-binning
+    against a shifted origin could disagree with the global binning by one
+    ulp at bin edges, integer shifting cannot. Dead/out-of-range rows must
+    already carry a sentinel flat id larger than every live probe."""
+    capacity = flat.shape[0]
+    _, _, order = jax.lax.sort(
+        (flat, ids.astype(jnp.int32), jnp.arange(capacity, dtype=jnp.int32)),
+        num_keys=2,
+    )
+    return Grid(order=order.astype(jnp.int32), sorted_flat=flat[order], coords=coords)
+
+
+def window_from_grid(spec: GridSpec, grid: Grid):
+    """Public candidate-window builder over an existing Grid: returns
+    ``(pos, valid, max_run_count)`` of sorted positions (see
+    ``sorted_window``)."""
+    return _run_windows(spec, grid)
+
+
 def _bin_table(spec: GridSpec, sorted_flat: jnp.ndarray) -> jnp.ndarray:
     """Bin-start table by histogram + exclusive cumsum: ``table[b]`` = number
     of live agents in bins < b = the sorted position where bin b starts. Two
