@@ -30,12 +30,10 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_tpu")
 
 N_CELLS = 100_000
-DENSITY_SIDE = 2000.0 * (N_CELLS / 5000.0) ** 0.5  # reference default density
 PROXY_CELLS = 12_500
-STEPS_TIMED = 8
 
 
-def bench_tpu():
+def bench_tpu(n_cells: int, steps_timed: int = 8):
     from hipsc_abm_tpu.engine import HipscEngine
     from hipsc_abm_tpu.models.params import (
         DiffusionParams,
@@ -43,10 +41,11 @@ def bench_tpu():
         GeneralParams,
     )
 
+    side = 2000.0 * (n_cells / 5000.0) ** 0.5  # reference default density
     gen = GeneralParams(
-        num_to_start=N_CELLS, end_step=200, size=(DENSITY_SIDE, DENSITY_SIDE, 0.0)
+        num_to_start=n_cells, end_step=200, size=(side, side, 0.0)
     )
-    xp = ExperimentalParams(num_gata6=N_CELLS // 10, dox_step=5)
+    xp = ExperimentalParams(num_gata6=n_cells // 10, dox_step=5)
     diff = DiffusionParams(spat_res=20.0, diffuse_dt=6.0, diffuse_const=2.0,
                            max_concentration=2.0, degradation=0.1,
                            release_amount=0.01)
@@ -60,10 +59,10 @@ def bench_tpu():
     # unreliable through tunneled TPU backends — always fetch a scalar)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS_TIMED):
+    for _ in range(steps_timed):
         state, info = eng.step(state)
     float(jnp.sum(state.arrays["locations"]))
-    dt = (time.perf_counter() - t0) / STEPS_TIMED
+    dt = (time.perf_counter() - t0) / steps_timed
     return 1.0 / dt
 
 
@@ -154,11 +153,14 @@ def bench_numpy_proxy():
 
 
 if __name__ == "__main__":
-    tpu_sps = bench_tpu()
+    tpu_sps = bench_tpu(N_CELLS)
+    tpu_500k = bench_tpu(500_000, steps_timed=4)
     proxy_sps = bench_numpy_proxy()
     print(json.dumps({
         "metric": f"steps_per_sec_{N_CELLS // 1000}k_cells_forces_diffusion_fate",
         "value": round(tpu_sps, 3),
         "unit": "steps/sec",
         "vs_baseline": round(tpu_sps / proxy_sps, 2),
+        "steps_per_sec_500k_cells": round(tpu_500k, 3),
+        "vs_baseline_500k": round(tpu_500k / (proxy_sps * N_CELLS / 500_000.0), 2),
     }))

@@ -116,8 +116,9 @@ class EngineConfig:
     enable_diff_surround: bool = False  # config-enabled here
     enable_diffusion: bool = False
     # Pallas fused contact kernel (ops.pallas_contact): replaces the window
-    # gathers of the physics substeps with per-block span DMA. 2D only;
-    # enabled automatically on TPU backends by HipscEngine.
+    # gathers of the physics substeps with per-block span DMA (3 stencil
+    # runs in 2D, 9 in 3D); enabled automatically on TPU backends by
+    # HipscEngine.
     use_pallas: bool = False
     pallas_block: int = 128
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
@@ -332,28 +333,44 @@ def hipsc_step(
         )
 
         def bio_moments(curr_loc, f0, f1, f2, alive_now):
-            # lane 7 carries the build-time flat bin id re-sentineled by the
-            # CURRENT liveness: membership stays the build window, but agents
-            # killed earlier in the step stop contributing (the reference
-            # removes dead vertices from the graph, cell_methods.py:47)
+            # the flat lane carries the build-time flat bin id re-sentineled
+            # by the CURRENT liveness: membership stays the build window, but
+            # agents killed earlier in the step stop contributing (the
+            # reference removes dead vertices from the graph,
+            # cell_methods.py:47)
             flat_lane = jnp.where(
                 alive_now, nbr_flat0.astype(jnp.float32), nbr_sentinel
             )
-            pack = jnp.concatenate(
-                [
-                    loc0[:, :2],
-                    curr_loc[:, :2],
-                    f0.astype(jnp.float32)[:, None],
-                    f1.astype(jnp.float32)[:, None],
-                    f2.astype(jnp.float32)[:, None],
-                    flat_lane[:, None],
-                ],
-                axis=1,
-            )
+            if cfg.two_d:
+                pack = jnp.concatenate(
+                    [
+                        loc0[:, :2],
+                        curr_loc[:, :2],
+                        f0.astype(jnp.float32)[:, None],
+                        f1.astype(jnp.float32)[:, None],
+                        f2.astype(jnp.float32)[:, None],
+                        flat_lane[:, None],
+                    ],
+                    axis=1,
+                )
+            else:
+                pack = jnp.concatenate(
+                    [
+                        loc0,
+                        curr_loc,
+                        f0.astype(jnp.float32)[:, None],
+                        f1.astype(jnp.float32)[:, None],
+                        f2.astype(jnp.float32)[:, None],
+                        flat_lane[:, None],
+                        jnp.zeros((capacity, 6), jnp.float32),
+                    ],
+                    axis=1,
+                )
             out = bio_reduce_pallas(
                 pack[nbr_grid.order], nbr_starts, nbr_needs,
                 block=cfg.pallas_block, span=cfg.nbr_span,
-                ny=cfg.nbr_spec.ny, num_bins=cfg.nbr_spec.num_bins,
+                ny=cfg.nbr_spec.ny, nz=cfg.nbr_spec.nz,
+                num_bins=cfg.nbr_spec.num_bins,
                 radius=bio.neighbor_radius, chunk=cfg.pallas_chunk,
                 interpret=cfg.pallas_interpret,
             )
@@ -656,7 +673,7 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
         starts, chunk_needs, _, max_run, span_needed = win
         force_deg, srt_bonds = contact_substep_pallas(
             phys[:, :8], phys[:, 16:], starts, chunk_needs,
-            block=block, span=cfg.jkr_span, ny=spec.ny,
+            block=block, span=cfg.jkr_span, run_offs=spec.flat_run_offsets,
             radius=bio.jkr_radius,
             adhesion_const=bio.adhesion_const, poisson=bio.poisson,
             youngs=bio.youngs, break_d=bio.jkr_break_d,
@@ -762,8 +779,9 @@ class HipscEngine:
         if cfg is None:
             two_d = gen.size[2] == 0
             if use_pallas is None:
-                # the fused contact kernel is TPU-only (Mosaic) and 2D-only
-                use_pallas = two_d and jax.default_backend() == "tpu"
+                # the fused kernels are TPU-only (Mosaic); 2D uses 3 stencil
+                # runs, 3D uses 9 (reference backend.py:84-93's 3x3x3 loop)
+                use_pallas = jax.default_backend() == "tpu"
             n0 = gen.num_to_start + xp.num_gata6
             capacity = max(_round_up(int(n0 * 1.5), 128), 256)
             cfg = EngineConfig.create(
@@ -774,7 +792,7 @@ class HipscEngine:
                 enable_growth=enable_growth,
                 enable_stochastic=enable_stochastic,
                 enable_diff_surround=enable_diff_surround,
-                use_pallas=bool(use_pallas) and two_d,
+                use_pallas=bool(use_pallas),
                 jkr_span=min(512, capacity),
                 nbr_span=min(512, capacity),
                 # all radii are max_radius at init and only growth changes

@@ -240,7 +240,7 @@ class CellSimulation(Simulation):
             self.temp()
             self.data()
 
-        self.create_video()
+        self.create_video()  # flushes the async output queue first
 
     # ------------------------------------------------------------------
     # outputs (cell_outputs.py)
@@ -251,24 +251,27 @@ class CellSimulation(Simulation):
         if self.output_images:
             check_direct(self.images_path)
             n = self.number_agents
-            colors = io_utils.hipsc_cell_colors(
-                np.asarray(self.states[:n]),
-                np.asarray(self.GATA6[:n]),
-                np.asarray(self.NANOG[:n]),
-                self.field,
-                self.color_mode,
-            )
-            image = io_utils.render_step_image(
-                np.asarray(self.locations[:n]),
-                np.asarray(self.radii[:n]),
-                colors,
-                tuple(self.size),
-                self.image_quality,
-                background=background,
-                origin_bottom=origin_bottom,
-            )
-            file_name = f"{self.name}_image_{self.current_step}.png"
-            io_utils.save_image_png(self.images_path + file_name, image)
+            # snapshot references (the host arrays are rebound, never mutated
+            # in place); render + encode run on the background writer so the
+            # next device step overlaps the frame output
+            states, gata6, nanog = self.states[:n], self.GATA6[:n], self.NANOG[:n]
+            locations, radii = self.locations[:n], self.radii[:n]
+            field, color_mode = self.field, self.color_mode
+            size, quality = tuple(self.size), self.image_quality
+            path = self.images_path + f"{self.name}_image_{self.current_step}.png"
+
+            def render_and_save():
+                colors = io_utils.hipsc_cell_colors(
+                    np.asarray(states), np.asarray(gata6), np.asarray(nanog),
+                    field, color_mode,
+                )
+                image = io_utils.render_step_image(
+                    np.asarray(locations), np.asarray(radii), colors, size,
+                    quality, background=background, origin_bottom=origin_bottom,
+                )
+                io_utils.save_image_png(path, image)
+
+            io_utils.submit_output(render_and_save)
 
     @record_time
     def step_gradients(self):

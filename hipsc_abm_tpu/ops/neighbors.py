@@ -87,6 +87,18 @@ class GridSpec:
         return tuple((dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
 
     @property
+    def flat_run_offsets(self) -> Tuple[int, ...]:
+        """Flat-bin-id offset of each stencil run's center: a run covers
+        ``[flat + off - 1, flat + off + 2)``. 3 runs in 2D (``dx * ny``),
+        9 in 3D (``(dx * ny + dy) * nz``) — the Pallas kernels' compile-time
+        run-membership strides."""
+        if self.two_d:
+            return tuple(dx * self.ny for (dx,) in self.run_offsets)
+        return tuple(
+            (dx * self.ny + dy) * self.nz for (dx, dy) in self.run_offsets
+        )
+
+    @property
     def window(self) -> int:
         """Static candidate-window width W = n_runs * run_cap."""
         return len(self.run_offsets) * self.run_cap
@@ -108,10 +120,10 @@ def _bin_coords(spec: GridSpec, locations: jnp.ndarray) -> jnp.ndarray:
 
 def dead_sentinel(spec: GridSpec) -> int:
     """Flat id assigned to dead slots: beyond every live id AND beyond every
-    stencil probe a live row can make (max live probe = num_bins - 1 + ny + 2
-    in 2D), so flat-id interval tests never match dead candidates."""
-    minor = spec.ny if spec.two_d else spec.ny * spec.nz
-    return spec.num_bins + minor + 3
+    stencil probe a live row can make (max probe = num_bins - 1 + max run
+    offset + 2), so flat-id interval tests never match dead candidates."""
+    reach = spec.ny if spec.two_d else (spec.ny + 1) * spec.nz
+    return spec.num_bins + reach + 3
 
 
 def flat_bin_ids(spec: GridSpec, locations: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
@@ -237,24 +249,23 @@ def block_span_plan(
     align: int = 128,
 ):
     """Per-block DMA span plan for the Pallas kernels, from block *edge* rows
-    only (2D).
+    only.
 
     Within a block, rows are sorted by flat bin id, so each run's start
-    (``table[f + dx*ny - 1]``) and end (``table[f + dx*ny + 2]``) are
-    monotone over rows: the block's span per run is exactly
-    ``[table[f_first + off - 1], table[f_lastlive + off + 2])``. That needs
-    only 6 table lookups per block — per-*row* run bounds (the 6 (C,) table
-    gathers of ``sorted_run_bounds``, ~40 ms at 500k agents) are not needed
-    at all: the kernels test candidate membership by comparing flat bin ids
-    directly.
+    (``table[f + off - 1]``) and end (``table[f + off + 2]``) are monotone
+    over rows: the block's span per run is exactly ``[table[f_first + off -
+    1], table[f_lastlive + off + 2])``. That needs only 2 table lookups per
+    (run, block) — per-*row* run bounds (the 6 (C,) table gathers of
+    ``sorted_run_bounds``, ~40 ms at 500k agents) are not needed at all: the
+    kernels test candidate membership by comparing flat bin ids directly.
 
-    Returns ``(starts (4, nblocks) i32, chunk_needs (4, nblocks) i32,
-    span_needed scalar, max_run_occupancy scalar)``. Blocks with no live
-    rows get zero active chunks; ``max_run_occupancy`` is the exact max live
-    count over any contiguous 3-bin run (the ``run_cap`` growth probe for
-    the XLA fallback windows), computed from the bin table in O(num_bins).
+    Returns ``(starts (n_runs+1, nblocks) i32, chunk_needs (n_runs+1,
+    nblocks) i32, span_needed scalar, max_run_occupancy scalar)`` — 3 runs
+    in 2D, 9 in 3D, plus a zero pad row. Blocks with no live rows get zero
+    active chunks; ``max_run_occupancy`` is the exact max live count over
+    any contiguous 3-bin run (the ``run_cap`` growth probe for the XLA
+    fallback windows), computed from the bin table in O(num_bins).
     """
-    assert spec.two_d, "block_span_plan currently supports 2D lattices"
     if span % chunk:
         chunk = span
     nblocks = sorted_flat.shape[0] // block
@@ -274,8 +285,7 @@ def block_span_plan(
     starts = []
     needs = []
     need_max = []
-    for (dx,) in spec.run_offsets:
-        off = dx * spec.ny
+    for off in spec.flat_run_offsets:
         lo = table[jnp.clip(f_lo + off - 1, 0, spec.num_bins)]
         hi = table[jnp.clip(f_hi + off + 2, 0, spec.num_bins)]
         lo_aligned = jnp.clip((lo // align) * align, 0, max_start)

@@ -11,24 +11,30 @@ gathers (sort + unsort) per invocation. Like the contact kernel, the span is
 processed in CHUNK-wide gated slices, so compute scales with each block's
 true candidate count rather than the static worst-case span.
 
-Pack lanes (2D path): ``[x0, y0, x1, y1, f0, f1, f2, flat]`` where (x0, y0)
-are the positions the neighbor graph was built from (pre-division — the
-reference builds its graph once at the top of the step), (x1, y1) are the
-current positions used for displacement vectors (the reference's motility
-loop reads post-division locations), and ``flat`` is the build-time flat bin
-id, which doubles as the aliveness encoding: rows/candidates that are dead
-(at build, or killed mid-step — the caller re-sentinels them per invocation)
-carry ``neighbors.dead_sentinel``, which exceeds every live stencil probe,
-so they match no run interval and contribute nothing. Blocks made only of
-dead rows get zero active chunks from ``neighbors.block_span_plan``.
+Pack lanes, 2D (8 lanes): ``[x0, y0, x1, y1, f0, f1, f2, flat]``;
+3D (16 lanes): ``[x0, y0, z0, x1, y1, z1, f0, f1, f2, flat, 0 x 6]``.
+(x0, y0[, z0]) are the positions the neighbor graph was built from
+(pre-division — the reference builds its graph once at the top of the step),
+(x1, y1[, z1]) are the current positions used for displacement vectors (the
+reference's motility loop reads post-division locations), and ``flat`` is
+the build-time flat bin id, which doubles as the aliveness encoding:
+rows/candidates that are dead (at build, or killed mid-step — the caller
+re-sentinels them per invocation) carry ``neighbors.dead_sentinel``, which
+exceeds every live stencil probe, so they match no run interval and
+contribute nothing. Blocks made only of dead rows get zero active chunks
+from ``neighbors.block_span_plan``.
+
+The stencil runs ride grid dimension 1 (3 in 2D, 9 in 3D); each run's
+flat-id offset is computed arithmetically from the run index (row-major
+lattice: ``off = (dx*ny + dy)*nz``).
 
 Output lanes (C, 16):
   0: neighbor count              (valid & radius & alive)
   1: sum f0                      2: sum f0^2         (pathway FGF4 moments)
   3: count (f1 > f0)             (NANOG-high when f0=GATA6, f1=NANOG)
-  4-6: sum (dx1, dy1, dz1=0) | f1 > f0
+  4-6: sum (dx1, dy1, dz1)  | f1 > f0
   7: count (f2 != 0)             (differentiated neighbors)
-  8-10: sum (dx1, dy1, dz1=0) | f2 != 0
+  8-10: sum (dx1, dy1, dz1) | f2 != 0
   11-15: zero
 """
 
@@ -44,26 +50,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hipsc_abm_tpu.ops.pallas_contact import _ALIGN, effective_chunk
 
-FIELDS = 8
+FIELDS_2D = 8
+FIELDS_3D = 16
 OUT_LANES = 16
 
 
 def _bio_kernel(
-    span_starts_ref,  # (4, nblocks) int32, 128-aligned
-    chunk_needs_ref,  # (4, nblocks) int32 per-run active chunk counts
-    rows_ref,  # (B, 8) f32 sorted pack rows
-    hbm_packT_ref,  # (8, C) f32 field-major sorted pack
+    span_starts_ref,  # (n_runs+1, nblocks) int32, 128-aligned
+    chunk_needs_ref,  # (n_runs+1, nblocks) int32 per-run active chunk counts
+    rows_ref,  # (B, F) f32 sorted pack rows
+    hbm_packT_ref,  # (F, C) f32 field-major sorted pack
     out_ref,  # (B, 16) f32 moments (accumulated across the run/chunk grid dims)
-    span_ref,  # (8, CS) f32
+    span_ref,  # (F, CS) f32
     sems,
     *,
     CS: int,
     ny: int,
+    nz: int,
     num_bins: int,
     radius: float,
+    three_d: bool,
 ):
-    # grid = (nblocks, 3, nchunks): the stencil runs and span chunks ride the
-    # inner grid dimensions so each program's VMEM frame holds one chunk's
+    # grid = (nblocks, n_runs, nchunks): the stencil runs and span chunks ride
+    # the inner grid dimensions so each program's VMEM frame holds one chunk's
     # temporaries; TPU grids execute sequentially, so the revisited output
     # block accumulates across the run and chunk steps. Chunks past a
     # (run, block)'s need are skipped entirely (no DMA, no compute).
@@ -87,39 +96,47 @@ def _bio_kernel(
         dma().start()
         dma().wait()
 
-        x0 = rows_ref[:, 0:1]
-        y0 = rows_ref[:, 1:2]
-        x1 = rows_ref[:, 2:3]
-        y1 = rows_ref[:, 3:4]
-        row_flat = rows_ref[:, 7:8]  # build-time flat bin id; sentinel = dead
+        span = span_ref[:]  # (F, CS)
+        if three_d:
+            x0, y0, z0 = rows_ref[:, 0:1], rows_ref[:, 1:2], rows_ref[:, 2:3]
+            x1, y1, z1 = rows_ref[:, 3:4], rows_ref[:, 4:5], rows_ref[:, 5:6]
+            row_flat = rows_ref[:, 9:10]
+            cx0, cy0, cz0 = span[0:1, :], span[1:2, :], span[2:3, :]
+            cx1, cy1, cz1 = span[3:4, :], span[4:5, :], span[5:6, :]
+            cf0, cf1, cf2 = span[6:7, :], span[7:8, :], span[8:9, :]
+            cand_flat = span[9:10, :]
+            # run index -> (dx, dy) in row-major order over the 3x3 stencil
+            run_off = ((r // 3 - 1) * ny + (r % 3 - 1)) * nz
+        else:
+            x0, y0 = rows_ref[:, 0:1], rows_ref[:, 1:2]
+            x1, y1 = rows_ref[:, 2:3], rows_ref[:, 3:4]
+            row_flat = rows_ref[:, 7:8]
+            cx0, cy0 = span[0:1, :], span[1:2, :]
+            cx1, cy1 = span[2:3, :], span[3:4, :]
+            cf0, cf1, cf2 = span[4:5, :], span[5:6, :], span[6:7, :]
+            cand_flat = span[7:8, :]
+            run_off = (r - 1) * ny
         row_alive = row_flat < jnp.float32(num_bins)
+        calive = cand_flat < jnp.float32(num_bins)
         own_pos = i * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
         r2 = jnp.float32(radius * radius)
-        span = span_ref[:]  # (8, CS)
-        cx0 = span[0:1, :]
-        cy0 = span[1:2, :]
-        cx1 = span[2:3, :]
-        cy1 = span[3:4, :]
-        cf0 = span[4:5, :]
-        cf1 = span[5:6, :]
-        cf2 = span[6:7, :]
-        cand_flat = span[7:8, :]
-        calive = cand_flat < jnp.float32(num_bins)
-
         abs_pos = (
             span_starts_ref[r, i]
             + c * CS
             + jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
         )
-        # run membership by flat-bin-id interval (see pallas_contact): the
-        # run for x-offset (r - 1) covers bins [row_flat + (r-1)*ny - 1, +3)
-        run_lo = row_flat + jnp.float32((r - 1) * ny - 1)
+        # run membership by flat-bin-id interval (see pallas_contact): run r
+        # covers bins [row_flat + run_off - 1, +3)
+        run_lo = row_flat + (run_off - 1).astype(jnp.float32)
         in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)
 
         dx0 = x0 - cx0
         dy0 = y0 - cy0
         dist2 = dx0 * dx0 + dy0 * dy0
+        if three_d:
+            dz0 = z0 - cz0
+            dist2 = dist2 + dz0 * dz0
         m = in_run & (abs_pos != own_pos) & (dist2 <= r2) & calive & row_alive
         mf = m.astype(jnp.float32)
 
@@ -138,31 +155,44 @@ def _bio_kernel(
         cnt_b = jnp.sum(b, axis=1, keepdims=True)
         sum_bdx = jnp.sum(b * ddx, axis=1, keepdims=True)
         sum_bdy = jnp.sum(b * ddy, axis=1, keepdims=True)
+        if three_d:
+            ddz = cz1 - z1
+            sum_adz = jnp.sum(a * ddz, axis=1, keepdims=True)
+            sum_bdz = jnp.sum(b * ddz, axis=1, keepdims=True)
+        else:
+            sum_adz = jnp.zeros((B, 1), jnp.float32)
+            sum_bdz = jnp.zeros((B, 1), jnp.float32)
 
-        zero = jnp.zeros((B, 1), jnp.float32)
         partial = jnp.concatenate(
-            [count, sum_f0, sum_f0sq, cnt_a, sum_adx, sum_ady, zero, cnt_b,
-             sum_bdx, sum_bdy, zero, jnp.zeros((B, OUT_LANES - 11), jnp.float32)],
+            [count, sum_f0, sum_f0sq, cnt_a, sum_adx, sum_ady, sum_adz, cnt_b,
+             sum_bdx, sum_bdy, sum_bdz,
+             jnp.zeros((B, OUT_LANES - 11), jnp.float32)],
             axis=1,
         )
         out_ref[:] = out_ref[:] + partial
 
 
 def bio_reduce_pallas(
-    srt_pack: jnp.ndarray,  # (C, 8) sorted pack rows (lane 7 = flat bin id)
-    span_starts: jnp.ndarray,  # (4, nblocks) int32 128-aligned
-    chunk_needs: jnp.ndarray,  # (4, nblocks) int32
+    srt_pack: jnp.ndarray,  # (C, 8|16) sorted pack rows (see module docstring)
+    span_starts: jnp.ndarray,  # (n_runs+1, nblocks) int32 128-aligned
+    chunk_needs: jnp.ndarray,  # (n_runs+1, nblocks) int32
     *,
     block: int,
     span: int,
     ny: int,
     num_bins: int,
     radius: float,
+    nz: int = 1,
     chunk: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Per-sorted-row biology neighborhood moments, (C, 16)."""
-    C = srt_pack.shape[0]
+    """Per-sorted-row biology neighborhood moments, (C, 16). The pack width
+    selects the dimensionality: 8 lanes = 2D (3 runs), 16 lanes = 3D
+    (9 runs, ``nz`` required)."""
+    C, F = srt_pack.shape
+    three_d = F == FIELDS_3D
+    assert F in (FIELDS_2D, FIELDS_3D), F
+    n_runs = 9 if three_d else 3
     nblocks = C // block
     chunk = effective_chunk(span, chunk)
     assert C % block == 0, (C, block)
@@ -172,18 +202,19 @@ def bio_reduce_pallas(
     nchunks = span // chunk
 
     kernel = functools.partial(
-        _bio_kernel, CS=chunk, ny=ny, num_bins=num_bins, radius=radius
+        _bio_kernel, CS=chunk, ny=ny, nz=nz, num_bins=num_bins, radius=radius,
+        three_d=three_d,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nblocks, 3, nchunks),
+        grid=(nblocks, n_runs, nchunks),
         in_specs=[
-            pl.BlockSpec((block, FIELDS), lambda i, r, c, *s: (i, 0)),
+            pl.BlockSpec((block, F), lambda i, r, c, *s: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((block, OUT_LANES), lambda i, r, c, *s: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((FIELDS, chunk), jnp.float32),
+            pltpu.VMEM((F, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -86,12 +86,12 @@ def _contact_kernel(
     out_force_ref,  # (B, 8) f32 — [fx, fy, fz, degree, 0...]
     out_bonds_ref,  # (B, K) f32 — new partner slot ids, NO_BOND empty
     # scratch
-    span_ref,  # (3, 8, CS) f32 — one chunk slot per stencil run
-    sems,  # DMA semaphores (3,)
+    span_ref,  # (n_runs, 8, CS) f32 — one chunk slot per stencil run
+    sems,  # DMA semaphores (n_runs,)
     *,
     CS: int,
     K: int,
-    ny: int,
+    run_offs: Tuple[int, ...],
     radius: float,
     adhesion_const: float,
     poisson: float,
@@ -117,11 +117,12 @@ def _contact_kernel(
             sems.at[r],
         )
 
-    for r in range(3):
+    n_runs = len(run_offs)
+    for r in range(n_runs):
         @pl.when(c < chunk_needs_ref[r, i])
         def _(r=r):
             dma(r).start()
-    for r in range(3):
+    for r in range(n_runs):
         @pl.when(c < chunk_needs_ref[r, i])
         def _(r=r):
             dma(r).wait()
@@ -147,7 +148,7 @@ def _contact_kernel(
         u_inv_scale = 1.0 / (1e6 * u_scale)  # folds the um -> m conversion
         u_fpre = math.pi * adhesion_const * u_r_hat
 
-    for r in range(3):
+    for r in range(n_runs):
         @pl.when(c < chunk_needs_ref[r, i])
         def _(r=r):
             span = span_ref[r]  # (8, CS)
@@ -163,7 +164,7 @@ def _contact_kernel(
             # per-row table-gathered run bounds this replaces cost ~40 ms at
             # 500k agents). Dead rows/candidates carry the sentinel flat id
             # (or garbage) and are rejected by the alive lanes below.
-            run_lo = row_flat + jnp.float32((r - 1) * ny - 1)
+            run_lo = row_flat + jnp.float32(run_offs[r] - 1)
             in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)  # (B, CS)
 
             dx = x - cand_x
@@ -233,12 +234,12 @@ def _contact_kernel(
 def contact_substep_pallas(
     srt_pack: jnp.ndarray,  # (C, 8) f32 sorted pack rows (lane 6 = flat bin id)
     srt_bonds: jnp.ndarray,  # (C, K) f32 partner slot ids (NO_BOND empty)
-    span_starts: jnp.ndarray,  # (4, nblocks) int32, 128-aligned
-    chunk_needs: jnp.ndarray,  # (4, nblocks) int32
+    span_starts: jnp.ndarray,  # (n_runs+1, nblocks) int32, 128-aligned
+    chunk_needs: jnp.ndarray,  # (n_runs+1, nblocks) int32
     *,
     block: int,
     span: int,
-    ny: int,
+    run_offs: Tuple[int, ...],
     radius: float,
     adhesion_const: float,
     poisson: float,
@@ -272,7 +273,7 @@ def contact_substep_pallas(
         _contact_kernel,
         CS=chunk,
         K=K,
-        ny=ny,
+        run_offs=tuple(run_offs),
         radius=radius,
         adhesion_const=adhesion_const,
         poisson=poisson,
@@ -293,8 +294,8 @@ def contact_substep_pallas(
             pl.BlockSpec((block, K), lambda i, c, *s: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, FIELDS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((len(run_offs), FIELDS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((len(run_offs),)),
         ],
     )
     force_deg, new_bonds = pl.pallas_call(

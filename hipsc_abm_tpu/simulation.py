@@ -355,6 +355,7 @@ class Simulation:
         )
 
     def create_video(self):
+        io_utils.flush_outputs()  # async frames must exist before assembly
         out = io_utils.create_video_from_images(
             self.images_path,
             self.main_path + f"{self.name}_video.mp4",

@@ -141,8 +141,9 @@ def write_gradient_csvs(
 
 
 def _numpy_draw_circles(image, xs, ys, rads, colors):
-    """Fallback rasterizer: filled circles with 1px black outline, drawn in
-    agent order (later agents overdraw earlier ones, like cv2.ellipse)."""
+    """Per-agent reference rasterizer: filled circles with 1px black outline,
+    drawn in agent order (later agents overdraw earlier ones, like
+    cv2.ellipse). Kept as the semantic oracle for the vectorized path."""
     h, w, _ = image.shape
     for x, y, rad, color in zip(xs, ys, rads, colors):
         r_out = rad + 1
@@ -158,6 +159,43 @@ def _numpy_draw_circles(image, xs, ys, rads, colors):
     return image
 
 
+def _stamp_circles(image, xs, ys, rads, colors):
+    """Vectorized circle rasterizer: one scatter per radius class.
+
+    Replaces the per-agent cv2.ellipse loop (the reference's
+    ``simulation.py:380-385``), which dominated production wall time
+    (~75% of a 0.9 s step at scale, BENCHMARKS.md). Each agent stamps a
+    precomputed disk template (black 1px outline ring + colored fill) into
+    the flat image with one fancy assignment; NumPy processes scattered
+    writes in order, so agent-major ordering reproduces the reference's
+    later-agents-overdraw-earlier semantics exactly (validated against
+    ``_numpy_draw_circles`` in tests). With heterogeneous radii (growth
+    enabled) the per-radius-class passes reorder overdraw BETWEEN classes —
+    the drawn pixel sets are identical, only the z-order of overlapping
+    different-size cells can differ, which the reference never specifies."""
+    h, w, _ = image.shape
+    flat = image.reshape(-1, 3)
+    for rad in np.unique(rads):
+        sel = rads == rad
+        x, y, col = xs[sel], ys[sel], colors[sel]
+        r_out = int(rad) + 1
+        span = np.arange(-r_out, r_out + 1)
+        dyy, dxx = np.meshgrid(span, span, indexing="ij")
+        d2 = dxx * dxx + dyy * dyy
+        keep = d2 <= r_out * r_out
+        dy, dx = dyy[keep], dxx[keep]  # (T,) template offsets
+        is_fill = (d2[keep] <= int(rad) * int(rad))[None, :, None]  # (1, T, 1)
+
+        py = y[:, None] + dy[None, :]  # (n, T)
+        px = x[:, None] + dx[None, :]
+        ok = (py >= 0) & (py < h) & (px >= 0) & (px < w)
+        idx = py * w + px
+        vals = np.where(is_fill, col[:, None, :], np.uint8(0))  # (n, T, 3)
+        # flatten agent-major: later agents' writes land later -> overdraw
+        flat[idx[ok]] = vals[ok]
+    return image
+
+
 def render_step_image(
     locations: np.ndarray,  # (n, >=2) um
     radii: np.ndarray,  # (n,) um
@@ -166,11 +204,13 @@ def render_step_image(
     image_quality: int,
     background: Tuple[int, int, int] = (0, 0, 0),
     origin_bottom: bool = True,
+    method: str = "stamp",
 ) -> np.ndarray:
     """Render the simulation space (``step_image``, ``simulation.py:349-390``
     / ``cell_outputs.py:12-74``): scale factor from image width, filled
-    ellipse + black outline per cell, optional vertical flip for bottom-left
-    origin."""
+    circle + black outline per cell, optional vertical flip for bottom-left
+    origin. ``method``: "stamp" (vectorized, default), "loop" (per-agent
+    numpy oracle), or "cv2" (the reference's ellipse loop)."""
     x_size = image_quality
     scale = x_size / size[0]
     y_size = math.ceil(scale * size[1])
@@ -181,13 +221,15 @@ def render_step_image(
     ys = (scale * locations[:, 1]).astype(int)
     rads = (scale * radii).astype(int)
 
-    if HAVE_CV2:
+    if method == "cv2" and HAVE_CV2:
         for x, y, rad, color in zip(xs, ys, rads, colors):
             image = cv2.ellipse(image, (x, y), (rad, rad), 0, 0, 360,
                                 tuple(int(c) for c in color), -1)
             image = cv2.ellipse(image, (x, y), (rad, rad), 0, 0, 360, (0, 0, 0), 1)
-    else:  # pragma: no cover
+    elif method == "loop":
         image = _numpy_draw_circles(image, xs, ys, rads, colors)
+    else:
+        image = _stamp_circles(image, xs, ys, rads, colors)
 
     if origin_bottom:
         image = image[::-1]
@@ -225,6 +267,43 @@ def save_image_png(path: str, image: np.ndarray, compression: int = 4) -> None:
         from PIL import Image
 
         Image.fromarray(image[:, :, ::-1]).save(path)
+
+
+# ---------------------------------------------------------------------------
+# async output pipeline
+# ---------------------------------------------------------------------------
+#
+# Image rendering + PNG encode dominated production wall time (BENCHMARKS.md:
+# ~75% of a 0.9 s step). The device step needs no host data, so outputs run
+# on a single background worker against snapshot arrays while the NEXT device
+# step executes — the ABM analog of overlapping host I/O with compute. One
+# worker keeps frames strictly ordered; callers flush before reading frames
+# back (video assembly) and at loop exit.
+
+_IO_POOL = None
+_IO_PENDING: List = []
+
+
+def submit_output(fn, *args, **kwargs):
+    """Run an output task on the background writer thread. Falls back to
+    synchronous execution when threads are unavailable."""
+    global _IO_POOL
+    if _IO_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _IO_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="hipsc-io")
+    fut = _IO_POOL.submit(fn, *args, **kwargs)
+    _IO_PENDING.append(fut)
+    return fut
+
+
+def flush_outputs() -> None:
+    """Block until every submitted output task finished; re-raise the first
+    worker exception (output errors must not be silently dropped)."""
+    global _IO_PENDING
+    pending, _IO_PENDING = _IO_PENDING, []
+    for fut in pending:
+        fut.result()
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from hipsc_abm_tpu.ops.pallas_contact import (
 
 BIO = BiologyParams()
 BOX = (300.0, 300.0, 0.0)
+BOX3D = (120.0, 120.0, 120.0)
 CELL = BIO.jkr_radius + 2 * BIO.jkr_break_band + 2.0  # engine's jkr bin size
 
 
@@ -22,15 +23,14 @@ def ids_of(C):
     return jnp.arange(C, dtype=jnp.int32)  # slot == id in these unit tests
 
 
-def build_inputs(rng, C=256, n=230, bond_cap=8, seed_bonds=False):
+def build_inputs(rng, C=256, n=230, bond_cap=8, seed_bonds=False, box=BOX):
     locs = np.zeros((C, 3), np.float32)
-    locs[:n] = rng.random((n, 3)).astype(np.float32) * np.asarray(BOX, np.float32)
-    locs[:, 2] = 0.0
+    locs[:n] = rng.random((n, 3)).astype(np.float32) * np.asarray(box, np.float32)
     radii = np.full(C, 5.0, np.float32)
     alive = np.zeros(C, bool)
     alive[:n] = True
 
-    spec = nbr.GridSpec.from_box(BOX, CELL, run_cap=64)
+    spec = nbr.GridSpec.from_box(box, CELL, run_cap=64)
     grid = nbr.build_grid(spec, jnp.asarray(locs), ids_of(C), jnp.asarray(alive))
     packed = pack_physics(jnp.asarray(locs), jnp.asarray(radii), ids_of(C), jnp.asarray(alive))
 
@@ -75,7 +75,7 @@ def run_pallas(spec, grid, packed, bonds, block=64, chunk=128,
 
     force_deg, new_bonds_srt = contact_substep_pallas(
         srt_pack, srt_bonds, starts, chunk_needs,
-        block=block, span=span, ny=spec.ny, radius=BIO.jkr_radius,
+        block=block, span=span, run_offs=spec.flat_run_offsets, radius=BIO.jkr_radius,
         adhesion_const=BIO.adhesion_const, poisson=BIO.poisson,
         youngs=BIO.youngs, break_d=BIO.jkr_break_d,
         chunk=chunk,
@@ -109,6 +109,25 @@ def test_kernel_matches_xla_substep(rng, seed_bonds):
         np.minimum(np.asarray(fd_pal[:, 3]).astype(int), K),
         np.asarray(jnp.sum(b_xla.mask, axis=1)).astype(int),
     )
+
+
+@pytest.mark.parametrize("seed_bonds", [False, True])
+def test_kernel_matches_xla_substep_3d(rng, seed_bonds):
+    """3D: 9-run span DMA (the reference's 3x3x3 stencil,
+    backend.py:84-93) equals the XLA window path."""
+    locs, radii, alive, spec, grid, packed, bonds = build_inputs(
+        rng, seed_bonds=seed_bonds, box=BOX3D
+    )
+    assert len(spec.flat_run_offsets) == 9
+    f_xla, b_xla, deg_xla = run_xla(spec, locs, alive, packed, bonds)
+    fd_pal, b_pal = run_pallas(spec, grid, packed, bonds)
+    np.testing.assert_allclose(
+        np.asarray(fd_pal[:, :3]), np.asarray(f_xla), rtol=1e-4, atol=1e-13
+    )
+    exp = np.where(np.asarray(b_xla.mask), np.asarray(b_xla.partners), -1)
+    got = np.asarray(b_pal).astype(np.int64)
+    for i in range(got.shape[0]):
+        assert set(got[i][got[i] >= 0].tolist()) == set(exp[i][exp[i] >= 0].tolist()), i
 
 
 def test_kernel_uniform_radius_matches_general(rng):
@@ -167,13 +186,15 @@ def test_bond_persistence_through_kernel(rng):
     assert int(b1[0, 0]) == 1 and int(b1[1, 0]) == 0  # bond survives
 
 
-def test_engine_pallas_matches_xla(rng):
-    """Full fused steps: Pallas engine (interpret mode) == XLA engine."""
+@pytest.mark.parametrize("size", [(300.0, 300.0, 0.0), (150.0, 150.0, 150.0)])
+def test_engine_pallas_matches_xla(rng, size):
+    """Full fused steps: Pallas engine (interpret mode) == XLA engine, in 2D
+    (3-run kernels) and 3D (9-run kernels, 16-lane bio pack)."""
     from hipsc_abm_tpu.engine import HipscEngine
     from hipsc_abm_tpu.models.params import ExperimentalParams, GeneralParams
     import dataclasses
 
-    gen = GeneralParams(num_to_start=150, end_step=3, size=(300.0, 300.0, 0.0))
+    gen = GeneralParams(num_to_start=150, end_step=3, size=size)
     xp = ExperimentalParams(num_gata6=16, dox_step=2)
     eng_x = HipscEngine(gen, xp, use_pallas=False)
     eng_p = HipscEngine(gen, xp, use_pallas=True)

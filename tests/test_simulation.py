@@ -176,3 +176,42 @@ def test_natural_step_sort():
     assert io_utils.natural_step_sort(files) == [
         "x_image_1.png", "x_image_2.png", "x_image_3.png", "x_image_20.png",
     ]
+
+
+def test_stamp_rasterizer_matches_loop_oracle():
+    """The vectorized circle stamper reproduces the per-agent overdraw
+    rasterizer byte-for-byte (uniform radii, the model default)."""
+    from hipsc_abm_tpu.utils import io as io_utils
+
+    rng = np.random.default_rng(9)
+    n = 300
+    locs = rng.random((n, 3)) * np.array([200.0, 200.0, 0.0])
+    radii = np.full(n, 5.0)
+    colors = rng.integers(0, 255, (n, 3)).astype(np.uint8)
+    kw = dict(size=(200.0, 200.0, 0.0), image_quality=400)
+    img_stamp = io_utils.render_step_image(locs, radii, colors, method="stamp", **kw)
+    img_loop = io_utils.render_step_image(locs, radii, colors, method="loop", **kw)
+    np.testing.assert_array_equal(img_stamp, img_loop)
+    if io_utils.HAVE_CV2:
+        # cv2's ellipse edge rasterization differs by boundary pixels only
+        img_cv2 = io_utils.render_step_image(locs, radii, colors, method="cv2", **kw)
+        frac_diff = np.mean(np.any(img_stamp != img_cv2, axis=-1))
+        assert frac_diff < 0.05, frac_diff
+
+
+def test_async_output_pipeline_flush():
+    """Submitted output tasks complete at flush; worker errors surface."""
+    from hipsc_abm_tpu.utils import io as io_utils
+
+    hits = []
+    io_utils.submit_output(hits.append, 1)
+    io_utils.submit_output(hits.append, 2)
+    io_utils.flush_outputs()
+    assert hits == [1, 2]
+
+    def boom():
+        raise RuntimeError("worker failure")
+
+    io_utils.submit_output(boom)
+    with pytest.raises(RuntimeError, match="worker failure"):
+        io_utils.flush_outputs()

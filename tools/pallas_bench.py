@@ -50,7 +50,7 @@ def pallas_path(locs, radii, alive, bonds, span):
         spec, grid.sorted_flat, BLOCK, span=span, capacity=C, chunk=256)
     fd, nb = contact_substep_pallas(
         srt_pack, srt_bonds, starts, chunk_needs,
-        block=BLOCK, span=span, ny=spec.ny, radius=BIO.jkr_radius,
+        block=BLOCK, span=span, run_offs=spec.flat_run_offsets, radius=BIO.jkr_radius,
         adhesion_const=BIO.adhesion_const, poisson=BIO.poisson,
         youngs=BIO.youngs, break_d=BIO.jkr_break_d,
     )

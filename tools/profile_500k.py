@@ -68,7 +68,7 @@ def main(n=500_000):
     def run_contact(sp, sb, st, cn):
         return contact_substep_pallas(
             sp, sb, st, cn, block=cfg.pallas_block, span=cfg.jkr_span,
-            ny=spec.ny, radius=bio.jkr_radius, adhesion_const=bio.adhesion_const,
+            run_offs=spec.flat_run_offsets, radius=bio.jkr_radius, adhesion_const=bio.adhesion_const,
             poisson=bio.poisson, youngs=bio.youngs, break_d=bio.jkr_break_d,
             chunk=cfg.pallas_chunk,
             uniform_radius=cfg.uniform_radius)
