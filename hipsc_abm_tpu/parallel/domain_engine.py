@@ -160,6 +160,7 @@ class DomainStepInfo(NamedTuple):
     mig_too_far: jnp.ndarray  # emigrants skipping a stripe (drift pathology)
     halo_miss: jnp.ndarray  # frozen halo members absent from a fresh band pack
     drift_exceed: jnp.ndarray  # max um outside own stripe (drift_allowance probe)
+    jkr_span_needed: jnp.ndarray  # Pallas DMA span probe (0 on the XLA path)
 
 
 # ---------------------------------------------------------------------------
@@ -468,7 +469,7 @@ def _domain_step_body(
     # exchange and Verlet rebuilds on the psum'd global drift ----------------
     (
         locations, bonds, jkr_max_in_bin, jkr_max_degree,
-        phys_band_max, halo_miss, drift_exceed,
+        phys_band_max, halo_miss, drift_exceed, jkr_span_needed,
     ) = _domain_physics(
         cfg, bio, arrays, alive, bonds, size,
         sl_fresh, sr_fresh, recv_l_col, recv_r_col, col_off_jkr, x_lo, x_hi,
@@ -504,6 +505,7 @@ def _domain_step_body(
         mig_too_far=jax.lax.psum(mig_too_far, AXIS),
         halo_miss=jax.lax.psum(halo_miss, AXIS),
         drift_exceed=jax.lax.pmax(drift_exceed, AXIS),
+        jkr_span_needed=jax.lax.pmax(jkr_span_needed, AXIS),
     )
     new_next_id = next_id + info.num_added.astype(jnp.int32)
     return (
@@ -571,9 +573,14 @@ def _domain_physics(
         from_left, from_right = _ring_exchange(packL, packR, cfg.n_stripes)
         return from_left, from_right, jnp.maximum(cntL, cntR)
 
+    use_pallas = base.use_pallas
+    span = min(base.jkr_span, C)
+    inv_base = jnp.arange(C, dtype=jnp.int32)
+
     def rebuild(pk, from_left, from_right):
         """Freeze new halo membership (fresh-pack rows inside the receive
-        columns) and rebuild the local grid + candidate windows."""
+        columns) and rebuild the local grid + candidate windows (or, on the
+        Pallas path, the per-block span plan)."""
         keep_l = jcol(from_left[:, 0]) >= recv_l_col
         keep_r = jcol(from_right[:, 0]) <= recv_r_col
         from_left = jnp.where(keep_l[:, None], from_left, 0.0)
@@ -587,9 +594,23 @@ def _domain_physics(
         gc = nbr_ops._bin_coords(gspec, pk[:, :3])
         flat, coords_l = _local_flat(spec_l, gc, col_off_jkr, alive_now)
         grid = nbr_ops.grid_from_flat_coords(flat, coords_l, pk[:, 4].astype(jnp.int32))
-        pos, valid, max_run = nbr_ops.window_from_grid(spec_l, grid)
-        win = (grid.order, pos, valid, pk[:, :3])
-        return pk, win, max_run
+        if use_pallas:
+            # per-shard Pallas: block span plan over the LOCAL sorted layout;
+            # the inverse permutation unsorts kernel outputs each substep
+            starts, chunk_needs, span_needed, max_run = nbr_ops.block_span_plan(
+                spec_l, grid.sorted_flat, base.pallas_block, span, C,
+                base.pallas_chunk,
+            )
+            inv = jnp.zeros((C,), jnp.int32).at[grid.order].set(inv_base)
+            win = (grid.order, inv, starts, chunk_needs,
+                   grid.sorted_flat.astype(jnp.float32), pk[:, :3])
+        else:
+            pos, valid, max_run = nbr_ops.window_from_grid(spec_l, grid)
+            span_needed = jax.lax.pcast(
+                jnp.zeros((), jnp.int32), (AXIS,), to="varying"
+            )
+            win = (grid.order, pos, valid, pk[:, :3])
+        return pk, win, max_run, span_needed
 
     def join_positions(pk, from_left, from_right):
         """Refresh frozen halo rows' positions from the fresh packs by agent
@@ -614,7 +635,39 @@ def _domain_physics(
     # --- scan entry: unconditional build -------------------------------------
     pk0 = pack_physics(arrays["locations"], arrays["radii"], arrays["ids"], alive)
     fl0, fr0, band0 = fresh_packs(pk0)
-    pk0, win0, max_run0 = rebuild(pk0, fl0, fr0)
+    pk0, win0, max_run0, span0 = rebuild(pk0, fl0, fr0)
+
+    def contact_xla(pk, bonds, win):
+        order, pos, valid, _ = win
+        return jkr_ops.jkr_substep(
+            bonds, pk, order, pos, valid, bio.jkr_radius,
+            bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
+        )
+
+    def contact_pallas(pk, bonds, win):
+        """The per-shard fused Mosaic kernel: local sorted rows + span plan
+        are device-local, so the single-chip kernel drops in unchanged —
+        multi-chip keeps the kernel win (VERDICT round-1 item 5a)."""
+        from hipsc_abm_tpu.ops.pallas_contact import NO_BOND, contact_substep_pallas
+
+        order, inv, starts, chunk_needs, sflat, _ = win
+        srt = pk[order].at[:, 6].set(sflat)
+        bond_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
+        force_deg, new_bonds_srt = contact_substep_pallas(
+            srt, bond_f[order], starts, chunk_needs,
+            block=base.pallas_block, span=span,
+            run_offs=spec_l.flat_run_offsets, radius=bio.jkr_radius,
+            adhesion_const=bio.adhesion_const, poisson=bio.poisson,
+            youngs=bio.youngs, break_d=bio.jkr_break_d,
+            chunk=base.pallas_chunk, uniform_radius=base.uniform_radius,
+            interpret=base.pallas_interpret,
+        )
+        forces = force_deg[inv][:, :3]
+        bs = new_bonds_srt[inv]
+        new_bonds = BondState(
+            partners=jnp.maximum(bs, 0).astype(jnp.int32), mask=bs >= 0
+        )
+        return forces, new_bonds, jnp.max(force_deg[:, 3]).astype(jnp.int32)
 
     def substep(carry, dt):
         pk, bonds, win = carry
@@ -624,7 +677,7 @@ def _domain_physics(
         drift2 = jnp.max(
             jnp.where(
                 own_alive,
-                jnp.sum((pk[:P_own, :3] - win[3][:P_own]) ** 2, axis=-1),
+                jnp.sum((pk[:P_own, :3] - win[-1][:P_own]) ** 2, axis=-1),
                 0.0,
             )
         )
@@ -641,28 +694,31 @@ def _domain_physics(
 
         def do_re(args):
             pk, win = args
-            pk, win, max_run = rebuild(pk, from_left, from_right)
-            return pk, win, max_run, zero_v
+            pk, win, max_run, span_needed = rebuild(pk, from_left, from_right)
+            return pk, win, max_run, span_needed, zero_v
 
         def no_re(args):
             pk, win = args
             pk, miss = join_positions(pk, from_left, from_right)
-            return pk, win, zero_v, miss
+            return pk, win, zero_v, zero_v, miss
 
-        pk, win, max_run, miss = jax.lax.cond(do_rebuild, do_re, no_re, (pk, win))
-
-        order, pos, valid, _ = win
-        forces, bonds, max_degree = jkr_ops.jkr_substep(
-            bonds, pk, order, pos, valid, bio.jkr_radius,
-            bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
+        pk, win, max_run, span_needed, miss = jax.lax.cond(
+            do_rebuild, do_re, no_re, (pk, win)
         )
+
+        if use_pallas:
+            forces, bonds, max_degree = contact_pallas(pk, bonds, win)
+        else:
+            forces, bonds, max_degree = contact_xla(pk, bonds, win)
         new_loc = stokes_integrate(
             pk[:, :3], pk[:, 3], forces, mot, pk[:, 5] > 0.0, bio.stokes, size, dt,
         )
         pk = pk.at[:, :3].set(new_loc)
-        return (pk, bonds, win), (max_run, max_degree, band_cnt, miss, exceed)
+        return (pk, bonds, win), (
+            max_run, max_degree, band_cnt, miss, exceed, span_needed,
+        )
 
-    (pk, bonds, _), (runs, degs, bands, misses, exceeds) = jax.lax.scan(
+    (pk, bonds, _), (runs, degs, bands, misses, exceeds, spans) = jax.lax.scan(
         substep, (pk0, bonds, win0), dts
     )
     return (
@@ -673,6 +729,7 @@ def _domain_physics(
         jnp.maximum(jnp.max(bands), band0),
         jnp.sum(misses),
         jnp.max(exceeds),
+        jnp.maximum(jnp.max(spans), span0),
     )
 
 
@@ -785,6 +842,8 @@ class DomainHipscEngine:
         enable_growth: bool = False,
         enable_stochastic: bool = False,
         enable_diff_surround: bool = False,
+        use_pallas: Optional[bool] = None,
+        pallas_interpret: bool = False,
     ):
         if gen.size[2] != 0:
             raise NotImplementedError("domain decomposition is 2D-only for now")
@@ -797,6 +856,8 @@ class DomainHipscEngine:
             mesh = Mesh(np.array(jax.devices()[:n]), (AXIS,))
         self.mesh = mesh
         S = mesh.devices.size
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
 
         n0 = gen.num_to_start + xp.num_gata6
         capacity = max(_round_up(int(n0 * 1.5), 128), 256)
@@ -808,7 +869,9 @@ class DomainHipscEngine:
             enable_growth=enable_growth,
             enable_stochastic=enable_stochastic,
             enable_diff_surround=enable_diff_surround,
-            use_pallas=False,
+            use_pallas=bool(use_pallas),
+            pallas_interpret=pallas_interpret,
+            uniform_radius=None if enable_growth else self.bio.max_radius,
         )
         if per_stripe is None:
             # worst-case imbalance headroom; the deferral/migration probes
@@ -854,7 +917,9 @@ class DomainHipscEngine:
             base=base,
             n_stripes=S,
             per_stripe=int(per_stripe),
-            halo_cap=int(halo_cap),
+            # 2*halo_cap must keep the local capacity block-aligned for the
+            # per-shard Pallas kernels (pallas_block = 128)
+            halo_cap=_round_up(int(halo_cap), 64),
             mig_cap=int(mig_cap),
             div_cap=max(128, _round_up(int(per_stripe) // 32, 128)),
             drift_allowance=float(drift),
@@ -1015,8 +1080,12 @@ class DomainHipscEngine:
                     repl, repl, repl,
                     DomainStepInfo(*([repl] * len(DomainStepInfo._fields))),
                 )
+                # check_vma off: pallas_call outputs can't declare their
+                # varying-axes metadata yet, which trips the checker when the
+                # per-shard Mosaic kernel runs inside the body
                 return shard_map(
                     body, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+                    check_vma=False,
                 )(arrays, alive, partners, bmask, gradients, key, step, next_id,
                   sci, scf)
 
@@ -1114,6 +1183,12 @@ class DomainHipscEngine:
         drift = cfg.drift_allowance
         if float(info.drift_exceed) > drift or int(info.halo_miss) > 0:
             drift = drift * 2.0
+            changed = True
+        if base.use_pallas and int(info.jkr_span_needed) > base.jkr_span:
+            base = dataclasses.replace(
+                base,
+                jkr_span=_round_up(int(info.jkr_span_needed) * 1.25, 128),
+            )
             changed = True
         if not changed:
             return None

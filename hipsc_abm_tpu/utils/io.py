@@ -174,12 +174,17 @@ def _stamp_circles(image, xs, ys, rads, colors):
     the drawn pixel sets are identical, only the z-order of overlapping
     different-size cells can differ, which the reference never specifies."""
     h, w, _ = image.shape
-    flat = image.reshape(-1, 3)
+    # one sentinel row absorbs out-of-bounds template pixels: cheaper than
+    # boolean compaction (no (n, T) mask gathers) and keeps writes agent-major
+    flat = np.empty((h * w + 1, 3), np.uint8)
+    flat[:-1] = image.reshape(-1, 3)
     for rad in np.unique(rads):
         sel = rads == rad
-        x, y, col = xs[sel], ys[sel], colors[sel]
+        x = xs[sel].astype(np.int32)
+        y = ys[sel].astype(np.int32)
+        col = colors[sel]
         r_out = int(rad) + 1
-        span = np.arange(-r_out, r_out + 1)
+        span = np.arange(-r_out, r_out + 1, dtype=np.int32)
         dyy, dxx = np.meshgrid(span, span, indexing="ij")
         d2 = dxx * dxx + dyy * dyy
         keep = d2 <= r_out * r_out
@@ -189,10 +194,11 @@ def _stamp_circles(image, xs, ys, rads, colors):
         py = y[:, None] + dy[None, :]  # (n, T)
         px = x[:, None] + dx[None, :]
         ok = (py >= 0) & (py < h) & (px >= 0) & (px < w)
-        idx = py * w + px
+        idx = np.where(ok, py * np.int32(w) + px, np.int32(h * w))
         vals = np.where(is_fill, col[:, None, :], np.uint8(0))  # (n, T, 3)
         # flatten agent-major: later agents' writes land later -> overdraw
-        flat[idx[ok]] = vals[ok]
+        flat[idx.ravel()] = vals.reshape(-1, 3)
+    image[:] = flat[:-1].reshape(h, w, 3)
     return image
 
 

@@ -189,3 +189,33 @@ def test_domain_collectives_are_boundary_sized():
     big = collective_bytes(dom2, state2)
     # 4x the slots per stripe, identical communication volume
     assert big == small, (small, big)
+
+
+@requires_multi
+def test_domain_pallas_matches_domain_xla():
+    """Per-shard Pallas contact kernel (interpret mode) under shard_map
+    agrees with the domain XLA window path (VERDICT round-1 item 5a:
+    multi-chip keeps the fused-kernel win)."""
+    dom_x, _ = make_engines(n=900, gata6=90, box=1400.0)
+    dom_p, _ = make_engines(
+        n=900, gata6=90, box=1400.0, use_pallas=True, pallas_interpret=True
+    )
+    assert dom_p.cfg.base.use_pallas
+    sx = dom_x.init_state(seed=5)
+    sp = dom_p.init_state(seed=5)
+    for _ in range(3):
+        sx, ix = dom_x.safe_step(sx)
+        sp, ip = dom_p.safe_step(sp)
+        assert int(ix.num_added) == int(ip.num_added)
+
+    a = by_id(dom_x.to_cell_state(sx))
+    b = by_id(dom_p.to_cell_state(sp))
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for k in ("GATA6", "NANOG", "states", "div_counters", "death_counters"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # chunked span accumulation reorders f32 force sums; tolerance covers
+    # a few ulps at the ~1e3-um coordinate scale
+    np.testing.assert_allclose(a["locations"], b["locations"], atol=1e-3)
+    bs_x = bond_sets(dom_x.to_cell_state(sx))
+    bs_p = bond_sets(dom_p.to_cell_state(sp))
+    assert bs_x == bs_p
