@@ -132,6 +132,15 @@ class EngineConfig:
     # disabled and all radii are known equal — the reference default); None
     # selects the general per-pair path
     uniform_radius: Optional[float] = None
+    # bond band margin (um): only pairs beyond (search radius - margin) are
+    # stored in the persistent bond matrix — deeper pairs are re-eligible by
+    # the fresh-contact distance test before they can cross the radius, so
+    # their bond entry is redundant (ops.jkr.jkr_substep_aligned). Must
+    # exceed one substep's max pair separation change plus one division
+    # displacement; probed via StepInfo.max_substep_move and grown on
+    # violation. Cuts the bond matrix from contact degree (~6) to band
+    # degree (<2), halving the fused kernel's bond bookkeeping.
+    bond_band_margin: float = 6.0
 
     @classmethod
     def create(
@@ -141,7 +150,7 @@ class EngineConfig:
         bio: BiologyParams,
         nbr_run_cap: int = 16,
         jkr_run_cap: int = 16,
-        bond_cap: int = 8,
+        bond_cap: int = 4,
         verlet_skin: float = 6.0,
         **flags,
     ) -> "EngineConfig":
@@ -195,6 +204,9 @@ class StepInfo(NamedTuple):
     jkr_span_needed: jnp.ndarray  # Pallas DMA span probe (0 on the XLA path)
     nbr_span_needed: jnp.ndarray  # biology-kernel span probe (0 on XLA path)
     max_id: jnp.ndarray  # id high-water mark (ids must stay f32-exact < 2^24)
+    max_substep_move: jnp.ndarray  # max per-agent move per physics substep (um)
+    # (bond_band_margin probe: 2*move + division displacement must stay
+    # inside the margin, else band storage could forget a live bond)
 
 
 def make_bio_moments_xla(
@@ -493,7 +505,7 @@ def hipsc_step(
         scan_fn = _physics_scan_pallas
     else:
         scan_fn = _physics_scan_xla
-    locations, bonds, j_bins, j_degs, j_span = scan_fn(
+    locations, bonds, j_bins, j_degs, j_span, max_move = scan_fn(
         cfg, bio, arrays, alive, bonds, size, dts
     )
     arrays["locations"] = locations
@@ -514,6 +526,7 @@ def hipsc_step(
         jkr_span_needed=jnp.max(j_span),
         nbr_span_needed=nbr_span_needed,
         max_id=jnp.max(jnp.where(alive, arrays["ids"], 0)),
+        max_substep_move=max_move,
     )
     new_state = CellState(
         arrays=arrays,
@@ -557,17 +570,22 @@ def _physics_scan_xla(cfg, bio, arrays, alive, bonds, size, dts):
         jkr_forces, bonds, max_degree = jkr_ops.jkr_substep(
             bonds, packed, order, pos, valid, bio.jkr_radius,
             bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
+            store_radius=bio.jkr_radius - cfg.bond_band_margin,
         )
-        locations = stokes_integrate(
+        new_loc = stokes_integrate(
             locations, arrays["radii"], jkr_forces, arrays["motility_forces"],
             alive, bio.stokes, size, dt,
         )
-        return (locations, bonds, win), (j_max_in_bin, max_degree)
+        move2 = jnp.max(
+            jnp.where(alive, jnp.sum((new_loc - locations) ** 2, axis=-1), 0.0)
+        )
+        return (new_loc, bonds, win), (j_max_in_bin, max_degree, move2)
 
-    (locations, bonds, _), (j_bins, j_degs) = jax.lax.scan(
+    (locations, bonds, _), (j_bins, j_degs, moves2) = jax.lax.scan(
         substep, (arrays["locations"], bonds, init_win), dts
     )
-    return locations, bonds, j_bins, j_degs, jnp.zeros((1,), jnp.int32)
+    return (locations, bonds, j_bins, j_degs, jnp.zeros((1,), jnp.int32),
+            jnp.sqrt(jnp.max(moves2)))
 
 
 def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
@@ -675,6 +693,7 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
             phys[:, :8], phys[:, 16:], starts, chunk_needs,
             block=block, span=cfg.jkr_span, run_offs=spec.flat_run_offsets,
             radius=bio.jkr_radius,
+            store_radius=bio.jkr_radius - cfg.bond_band_margin,
             adhesion_const=bio.adhesion_const, poisson=bio.poisson,
             youngs=bio.youngs, break_d=bio.jkr_break_d,
             chunk=cfg.pallas_chunk,
@@ -686,10 +705,17 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
             phys[:, :3], phys[:, 3], force_deg[:, :3], phys[:, 8:11],
             phys[:, 5] > 0.0, bio.stokes, size, dt,
         )
+        move2 = jnp.max(
+            jnp.where(
+                phys[:, 5] > 0.0,
+                jnp.sum((new_loc - phys[:, :3]) ** 2, axis=-1),
+                0.0,
+            )
+        )
         phys = jnp.concatenate([new_loc, phys[:, 3:16], srt_bonds], axis=1)
-        return (phys, order, win), (max_run, max_degree, span_needed)
+        return (phys, order, win), (max_run, max_degree, span_needed, move2)
 
-    (phys, order, _), (j_bins, j_degs, j_spans) = jax.lax.scan(
+    (phys, order, _), (j_bins, j_degs, j_spans, moves2) = jax.lax.scan(
         substep, (phys, order0, init_win), dts
     )
     # --- scan exit: back to slot space (one inverse permutation) ---
@@ -703,7 +729,7 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
         partners=jnp.maximum(partners_slot, 0).astype(jnp.int32),
         mask=partners_slot >= 0,
     )
-    return locations, bonds, j_bins, j_degs, j_spans
+    return locations, bonds, j_bins, j_degs, j_spans, jnp.sqrt(jnp.max(moves2))
 
 
 @functools.lru_cache(maxsize=32)
@@ -935,8 +961,7 @@ class HipscEngine:
             state = self.repad_state(state, grown_cfg)
         raise RuntimeError("capacity growth failed to converge")
 
-    @staticmethod
-    def _grown_cfg(cfg: EngineConfig, info: StepInfo) -> Optional[EngineConfig]:
+    def _grown_cfg(self, cfg: EngineConfig, info: StepInfo) -> Optional[EngineConfig]:
         """Pure growth policy: the (new) config demanded by the step's
         overflow probes, or None if nothing overflowed. Never mutates shared
         state — ``safe_step`` decides what to commit."""
@@ -980,6 +1005,18 @@ class HipscEngine:
         if cfg.use_pallas and int(info.nbr_span_needed) > nbr_span:
             nbr_span = min(_round_up(int(info.nbr_span_needed) * 1.25, 128), capacity)
             changed = True
+        margin = cfg.bond_band_margin
+        # band-storage safety: a stored-band pair must not be able to cross
+        # the search radius between force evaluations (substep motion twice,
+        # plus one division displacement per endpoint at step boundaries)
+        bio_disp = 2.0 * (self.bio.max_radius - self.bio.min_radius)
+        required = 2.0 * float(info.max_substep_move) + bio_disp
+        if required > margin:
+            # margin == search radius degrades to full-edge-set storage
+            new_margin = min(required * 1.5, self.bio.jkr_radius)
+            if new_margin > margin:
+                margin = new_margin
+                changed = True
         if use_pallas and max(jkr_span, nbr_span) > 8192:
             # span chunking makes wide caps cheap (VMEM scales with the chunk,
             # not the span; inactive chunks are skipped), but a span this wide
@@ -994,6 +1031,7 @@ class HipscEngine:
             capacity=capacity, jkr_span=min(jkr_span, capacity),
             nbr_span=min(nbr_span, capacity), use_pallas=use_pallas,
             div_cap=min(div_cap, capacity) if div_cap else div_cap,
+            bond_band_margin=margin,
         )
 
     @staticmethod

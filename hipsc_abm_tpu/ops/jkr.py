@@ -209,6 +209,7 @@ def jkr_substep_aligned(
     poisson: float,
     youngs: float,
     break_d: float,
+    store_radius: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One physics substep with the bond set held window-aligned.
 
@@ -219,10 +220,21 @@ def jkr_substep_aligned(
     (C, K) matrix happen only at window rebuilds and scan boundaries
     (``bonds_to_window_mask`` / ``window_mask_to_bonds``).
 
-    Returns ``(jkr_forces (C,3), new_bond_mask, max_degree)``; equivalent to
-    the reference sequence [``get_neighbors(jkr_graph, 2*max_radius,
-    clear=False)`` -> ``calculate_jkr`` -> edge deletion] at
-    ``cell_methods.py:399-404``.
+    **Band storage** (``store_radius``): a stored bond only changes behavior
+    for pairs beyond the search radius — inside it, fresh contact makes the
+    pair eligible regardless. Pairs deeper than ``store_radius = radius -
+    band_margin`` cannot drift past the search radius before the next force
+    evaluation (band_margin bounds one substep's pair separation change plus
+    one division displacement; the engine probes the bound), so only the
+    outer band needs remembering. This shrinks the live bond matrix from
+    mean contact degree (~6) to mean band degree (<2), halving the bond
+    bookkeeping in the fused kernel. ``None`` stores the full edge set (the
+    reference's literal graph).
+
+    Returns ``(jkr_forces (C,3), new_bond_mask (stored set), max_degree
+    (stored count probe))``; force-equivalent to the reference sequence
+    [``get_neighbors(jkr_graph, 2*max_radius, clear=False)`` ->
+    ``calculate_jkr`` -> edge deletion] at ``cell_methods.py:399-404``.
     """
     self_xyz = packed[:, :3]
     self_rad = packed[:, 3]
@@ -256,8 +268,13 @@ def jkr_substep_aligned(
     )
     keep = eligible & survive
     forces = jnp.sum(jnp.where(keep[..., None], force, 0.0), axis=1)
-    max_degree = jnp.max(jnp.sum(keep, axis=1))
-    return forces, keep, max_degree
+    if store_radius is not None:
+        sr = jnp.float32(store_radius)
+        stored = keep & (dist2 > sr * sr)
+    else:
+        stored = keep
+    max_degree = jnp.max(jnp.sum(stored, axis=1))
+    return forces, stored, max_degree
 
 
 def jkr_substep(
@@ -271,17 +288,20 @@ def jkr_substep(
     poisson: float,
     youngs: float,
     break_d: float,
+    store_radius: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, BondState, jnp.ndarray]:
     """Slot-space wrapper over ``jkr_substep_aligned``: converts the (C, K)
     bond matrix to a window mask, runs the substep, compacts back. Used by
     tests and one-shot callers; the engine's scan keeps the mask form."""
     cand_id = window_cand_ids(packed, order, pos)
     bond_mask = bonds_to_window_mask(bonds, cand_id)
-    forces, keep, _ = jkr_substep_aligned(
+    forces, stored, _ = jkr_substep_aligned(
         bond_mask, packed, order, pos, valid, radius,
-        adhesion_const, poisson, youngs, break_d,
+        adhesion_const, poisson, youngs, break_d, store_radius,
     )
-    new_bonds, max_degree = window_mask_to_bonds(cand_id, keep, bonds.partners.shape[1])
+    new_bonds, max_degree = window_mask_to_bonds(
+        cand_id, stored, bonds.partners.shape[1]
+    )
     return forces, new_bonds, max_degree
 
 

@@ -93,6 +93,7 @@ def _contact_kernel(
     K: int,
     run_offs: Tuple[int, ...],
     radius: float,
+    store_radius: Optional[float],
     adhesion_const: float,
     poisson: float,
     youngs: float,
@@ -137,6 +138,8 @@ def _contact_kernel(
 
     e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
     r2 = jnp.float32(radius * radius)
+    if store_radius is not None:
+        sr2 = jnp.float32(max(store_radius, 0.0) ** 2)
     if uniform_radius is not None:
         # scalar-radius fast path: the JKR overlap scale and prefactor are
         # compile-time constants (reference default: growth disabled, all
@@ -203,16 +206,21 @@ def _contact_kernel(
             fx = jnp.sum(w * dx, axis=1, keepdims=True)
             fy = jnp.sum(w * dy, axis=1, keepdims=True)
             fz = jnp.sum(w * dz, axis=1, keepdims=True)
-            nkeep = jnp.sum(keep.astype(jnp.float32), axis=1, keepdims=True)
+            # band storage: only pairs past store_radius need remembering
+            # (deeper pairs stay fresh-contact-eligible until they re-enter
+            # the band; see ops.jkr.jkr_substep_aligned). Shrinks K and the
+            # compaction passes below from contact degree to band degree.
+            stored = keep & (dist2 > sr2) if store_radius is not None else keep
+            nstored = jnp.sum(stored.astype(jnp.float32), axis=1, keepdims=True)
 
-            # first-K compaction, continuing the per-row bond count carried
+            # first-K compaction, continuing the per-row stored count carried
             # in the degree lane of the (revisited) force output
             count_so_far = out_force_ref[:, 3:4].astype(jnp.int32)
-            dest = _prefix_sum_lanes(keep.astype(jnp.int32)) - 1 + count_so_far
+            dest = _prefix_sum_lanes(stored.astype(jnp.int32)) - 1 + count_so_far
             prev = out_bonds_ref[:]
             cols = []
             for k in range(K):
-                sel = keep & (dest == k)
+                sel = stored & (dest == k)
                 val = jnp.sum(jnp.where(sel, cand_slot, 0.0), axis=1, keepdims=True)
                 present = jnp.sum(sel.astype(jnp.float32), axis=1, keepdims=True)
                 cols.append(jnp.where(present > 0, val, prev[:, k : k + 1]))
@@ -224,7 +232,7 @@ def _contact_kernel(
                     acc[:, 0:1] + fx,
                     acc[:, 1:2] + fy,
                     acc[:, 2:3] + fz,
-                    acc[:, 3:4] + nkeep,
+                    acc[:, 3:4] + nstored,
                     acc[:, 4:8],
                 ],
                 axis=1,
@@ -245,13 +253,16 @@ def contact_substep_pallas(
     poisson: float,
     youngs: float,
     break_d: float,
+    store_radius: Optional[float] = None,
     chunk: int = 256,
     uniform_radius: Optional[float] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused contact kernel. Returns ``(force_deg (C, 8), new_bonds
     (C, K))`` in sorted-row order; lane 3 of the force output is the per-row
-    kept-bond degree (overflow probe).
+    stored-bond count (the bond-capacity overflow probe). ``store_radius``
+    selects band bond storage (see ``ops.jkr.jkr_substep_aligned``); None
+    stores the full edge set.
 
     ``span_starts``/``chunk_needs`` come from ``neighbors.block_span_plan``;
     the needs gate which CHUNK-wide span slices each block processes. Run
@@ -275,6 +286,7 @@ def contact_substep_pallas(
         K=K,
         run_offs=tuple(run_offs),
         radius=radius,
+        store_radius=store_radius,
         adhesion_const=adhesion_const,
         poisson=poisson,
         youngs=youngs,

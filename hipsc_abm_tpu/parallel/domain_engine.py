@@ -161,6 +161,7 @@ class DomainStepInfo(NamedTuple):
     halo_miss: jnp.ndarray  # frozen halo members absent from a fresh band pack
     drift_exceed: jnp.ndarray  # max um outside own stripe (drift_allowance probe)
     jkr_span_needed: jnp.ndarray  # Pallas DMA span probe (0 on the XLA path)
+    max_substep_move: jnp.ndarray  # bond-band-margin probe (see engine.StepInfo)
 
 
 # ---------------------------------------------------------------------------
@@ -470,6 +471,7 @@ def _domain_step_body(
     (
         locations, bonds, jkr_max_in_bin, jkr_max_degree,
         phys_band_max, halo_miss, drift_exceed, jkr_span_needed,
+        max_substep_move,
     ) = _domain_physics(
         cfg, bio, arrays, alive, bonds, size,
         sl_fresh, sr_fresh, recv_l_col, recv_r_col, col_off_jkr, x_lo, x_hi,
@@ -506,6 +508,7 @@ def _domain_step_body(
         halo_miss=jax.lax.psum(halo_miss, AXIS),
         drift_exceed=jax.lax.pmax(drift_exceed, AXIS),
         jkr_span_needed=jax.lax.pmax(jkr_span_needed, AXIS),
+        max_substep_move=jax.lax.pmax(max_substep_move, AXIS),
     )
     new_next_id = next_id + info.num_added.astype(jnp.int32)
     return (
@@ -637,11 +640,14 @@ def _domain_physics(
     fl0, fr0, band0 = fresh_packs(pk0)
     pk0, win0, max_run0, span0 = rebuild(pk0, fl0, fr0)
 
+    store_radius = bio.jkr_radius - base.bond_band_margin
+
     def contact_xla(pk, bonds, win):
         order, pos, valid, _ = win
         return jkr_ops.jkr_substep(
             bonds, pk, order, pos, valid, bio.jkr_radius,
             bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
+            store_radius=store_radius,
         )
 
     def contact_pallas(pk, bonds, win):
@@ -659,6 +665,7 @@ def _domain_physics(
             run_offs=spec_l.flat_run_offsets, radius=bio.jkr_radius,
             adhesion_const=bio.adhesion_const, poisson=bio.poisson,
             youngs=bio.youngs, break_d=bio.jkr_break_d,
+            store_radius=store_radius,
             chunk=base.pallas_chunk, uniform_radius=base.uniform_radius,
             interpret=base.pallas_interpret,
         )
@@ -713,13 +720,20 @@ def _domain_physics(
         new_loc = stokes_integrate(
             pk[:, :3], pk[:, 3], forces, mot, pk[:, 5] > 0.0, bio.stokes, size, dt,
         )
+        move2 = jnp.max(
+            jnp.where(
+                pk[:P_own, 5] > 0.0,
+                jnp.sum((new_loc[:P_own] - pk[:P_own, :3]) ** 2, axis=-1),
+                0.0,
+            )
+        )
         pk = pk.at[:, :3].set(new_loc)
         return (pk, bonds, win), (
-            max_run, max_degree, band_cnt, miss, exceed, span_needed,
+            max_run, max_degree, band_cnt, miss, exceed, span_needed, move2,
         )
 
-    (pk, bonds, _), (runs, degs, bands, misses, exceeds, spans) = jax.lax.scan(
-        substep, (pk0, bonds, win0), dts
+    (pk, bonds, _), (runs, degs, bands, misses, exceeds, spans, moves2) = (
+        jax.lax.scan(substep, (pk0, bonds, win0), dts)
     )
     return (
         pk[:, :3],
@@ -730,6 +744,7 @@ def _domain_physics(
         jnp.sum(misses),
         jnp.max(exceeds),
         jnp.maximum(jnp.max(spans), span0),
+        jnp.sqrt(jnp.max(moves2)),
     )
 
 
@@ -1184,6 +1199,14 @@ class DomainHipscEngine:
         if float(info.drift_exceed) > drift or int(info.halo_miss) > 0:
             drift = drift * 2.0
             changed = True
+        margin = base.bond_band_margin
+        bio_disp = 2.0 * (self.bio.max_radius - self.bio.min_radius)
+        required = 2.0 * float(info.max_substep_move) + bio_disp
+        if required > margin:
+            new_margin = min(required * 1.5, self.bio.jkr_radius)
+            if new_margin > margin:
+                base = dataclasses.replace(base, bond_band_margin=new_margin)
+                changed = True
         if base.use_pallas and int(info.jkr_span_needed) > base.jkr_span:
             base = dataclasses.replace(
                 base,
