@@ -132,15 +132,19 @@ class EngineConfig:
     # disabled and all radii are known equal — the reference default); None
     # selects the general per-pair path
     uniform_radius: Optional[float] = None
-    # bond band margin (um): only pairs beyond (search radius - margin) are
-    # stored in the persistent bond matrix — deeper pairs are re-eligible by
-    # the fresh-contact distance test before they can cross the radius, so
-    # their bond entry is redundant (ops.jkr.jkr_substep_aligned). Must
-    # exceed one substep's max pair separation change plus one division
-    # displacement; probed via StepInfo.max_substep_move and grown on
-    # violation. Cuts the bond matrix from contact degree (~6) to band
-    # degree (<2), halving the fused kernel's bond bookkeeping.
-    bond_band_margin: float = 6.0
+    # bond band margin (um): when set, only pairs beyond (search radius -
+    # margin) are stored in the persistent bond matrix — deeper pairs are
+    # re-eligible by the fresh-contact distance test before they can cross
+    # the radius, so their bond entry is redundant
+    # (ops.jkr.jkr_substep_aligned). Must exceed one substep's max pair
+    # separation change plus one division displacement (probed via
+    # StepInfo.max_substep_move, grown on violation). MEASURED VERDICT: at
+    # reference colony densities the required safe margin (>= 2 division
+    # displacements ~ 3 um) makes the band most of the contact annulus, so
+    # banding does NOT shrink K in practice — default None = store the full
+    # edge set (the reference's literal graph). Kept as an option for
+    # low-density / no-division workloads where it halves bond bookkeeping.
+    bond_band_margin: Optional[float] = None
 
     @classmethod
     def create(
@@ -150,7 +154,7 @@ class EngineConfig:
         bio: BiologyParams,
         nbr_run_cap: int = 16,
         jkr_run_cap: int = 16,
-        bond_cap: int = 4,
+        bond_cap: int = 8,
         verlet_skin: float = 6.0,
         **flags,
     ) -> "EngineConfig":
@@ -344,7 +348,7 @@ def hipsc_step(
             jnp.arange(capacity, dtype=jnp.int32)
         )
 
-        def bio_moments(curr_loc, f0, f1, f2, alive_now):
+        def bio_moments(curr_loc, f0, f1, f2, alive_now, mode="full"):
             # the flat lane carries the build-time flat bin id re-sentineled
             # by the CURRENT liveness: membership stays the build window, but
             # agents killed earlier in the step stop contributing (the
@@ -384,19 +388,22 @@ def hipsc_step(
                 ny=cfg.nbr_spec.ny, nz=cfg.nbr_spec.nz,
                 num_bins=cfg.nbr_spec.num_bins,
                 radius=bio.neighbor_radius, chunk=cfg.pallas_chunk,
-                interpret=cfg.pallas_interpret,
+                mode=mode, interpret=cfg.pallas_interpret,
             )
             return out[nbr_inv]
     else:
         nbr_grid, nbr_pos, nbr_valid, nbr_max_in_bin = nbr_ops.sorted_window(
             cfg.nbr_spec, loc0, ids0, alive
         )
-        bio_moments = make_bio_moments_xla(
+        bio_moments_full = make_bio_moments_xla(
             nbr_grid, nbr_pos, nbr_valid, loc0, ids0, alive, bio.neighbor_radius
         )
 
+        def bio_moments(curr_loc, f0, f1, f2, alive_now, mode="full"):
+            return bio_moments_full(curr_loc, f0, f1, f2, alive_now)
+
     zero_i = jnp.zeros((capacity,), jnp.int32)
-    m1 = bio_moments(loc0, zero_i, zero_i, zero_i, alive)
+    m1 = bio_moments(loc0, zero_i, zero_i, zero_i, alive, mode="count")
     nbr_count = m1[:, 0].astype(jnp.int32)
 
     # --- cell_division ---
@@ -427,7 +434,10 @@ def hipsc_step(
     # neighborhood moments with post-death liveness and post-division
     # locations (deaths remove agents from everyone's neighborhood,
     # cell_methods.py:47; daughters have no edges in the step's graph)
-    m2 = bio_moments(arrays["locations"], arrays["FGF4"], zero_i, zero_i, alive)
+    m2 = bio_moments(
+        arrays["locations"], arrays["FGF4"], zero_i, zero_i, alive,
+        mode="pathway",
+    )
     count2 = m2[:, 0].astype(jnp.int32)
     (
         arrays["FGF4"], arrays["FGFR"], arrays["ERK"],
@@ -455,7 +465,8 @@ def hipsc_step(
         )
     if cfg.enable_diff_surround:
         m_ds = bio_moments(
-            arrays["locations"], zero_i, zero_i, arrays["states"], alive
+            arrays["locations"], zero_i, zero_i, arrays["states"], alive,
+            mode="motility",
         )
         arrays["GATA6"], arrays["NANOG"] = biology.cell_diff_surround(
             arrays["GATA6"], arrays["NANOG"], arrays["states"], alive,
@@ -484,7 +495,7 @@ def hipsc_step(
     # motility time)
     m3 = bio_moments(
         arrays["locations"], arrays["GATA6"], arrays["NANOG"], arrays["states"],
-        alive,
+        alive, mode="motility",
     )
     arrays["motility_forces"] = biology.cell_motility(
         arrays["locations"], arrays["GATA6"], arrays["NANOG"], arrays["states"],
@@ -570,7 +581,8 @@ def _physics_scan_xla(cfg, bio, arrays, alive, bonds, size, dts):
         jkr_forces, bonds, max_degree = jkr_ops.jkr_substep(
             bonds, packed, order, pos, valid, bio.jkr_radius,
             bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
-            store_radius=bio.jkr_radius - cfg.bond_band_margin,
+            store_radius=(None if cfg.bond_band_margin is None else
+                          bio.jkr_radius - cfg.bond_band_margin),
         )
         new_loc = stokes_integrate(
             locations, arrays["radii"], jkr_forces, arrays["motility_forces"],
@@ -693,7 +705,8 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
             phys[:, :8], phys[:, 16:], starts, chunk_needs,
             block=block, span=cfg.jkr_span, run_offs=spec.flat_run_offsets,
             radius=bio.jkr_radius,
-            store_radius=bio.jkr_radius - cfg.bond_band_margin,
+            store_radius=(None if cfg.bond_band_margin is None else
+                          bio.jkr_radius - cfg.bond_band_margin),
             adhesion_const=bio.adhesion_const, poisson=bio.poisson,
             youngs=bio.youngs, break_d=bio.jkr_break_d,
             chunk=cfg.pallas_chunk,
@@ -1006,17 +1019,19 @@ class HipscEngine:
             nbr_span = min(_round_up(int(info.nbr_span_needed) * 1.25, 128), capacity)
             changed = True
         margin = cfg.bond_band_margin
-        # band-storage safety: a stored-band pair must not be able to cross
-        # the search radius between force evaluations (substep motion twice,
-        # plus one division displacement per endpoint at step boundaries)
-        bio_disp = 2.0 * (self.bio.max_radius - self.bio.min_radius)
-        required = 2.0 * float(info.max_substep_move) + bio_disp
-        if required > margin:
-            # margin == search radius degrades to full-edge-set storage
-            new_margin = min(required * 1.5, self.bio.jkr_radius)
-            if new_margin > margin:
-                margin = new_margin
-                changed = True
+        if margin is not None:
+            # band-storage safety: a stored-band pair must not be able to
+            # cross the search radius between force evaluations (substep
+            # motion twice, plus one division displacement per endpoint at
+            # step boundaries)
+            bio_disp = 2.0 * (self.bio.max_radius - self.bio.min_radius)
+            required = 2.0 * float(info.max_substep_move) + bio_disp
+            if required > margin:
+                # margin == search radius degrades to full-edge-set storage
+                new_margin = min(required * 1.5, self.bio.jkr_radius)
+                if new_margin > margin:
+                    margin = new_margin
+                    changed = True
         if use_pallas and max(jkr_span, nbr_span) > 8192:
             # span chunking makes wide caps cheap (VMEM scales with the chunk,
             # not the span; inactive chunks are skipped), but a span this wide

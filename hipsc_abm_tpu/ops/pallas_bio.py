@@ -70,6 +70,7 @@ def _bio_kernel(
     num_bins: int,
     radius: float,
     three_d: bool,
+    mode: str,
 ):
     # grid = (nblocks, n_runs, nchunks): the stencil runs and span chunks ride
     # the inner grid dimensions so each program's VMEM frame holds one chunk's
@@ -140,28 +141,37 @@ def _bio_kernel(
         m = in_run & (abs_pos != own_pos) & (dist2 <= r2) & calive & row_alive
         mf = m.astype(jnp.float32)
 
+        zero = jnp.zeros((B, 1), jnp.float32)
         count = jnp.sum(mf, axis=1, keepdims=True)
-        sum_f0 = jnp.sum(mf * cf0, axis=1, keepdims=True)
-        sum_f0sq = jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True)
-
-        # displacement vectors use the *current* positions (x1 lanes)
-        ddx = cx1 - x1
-        ddy = cy1 - y1
-        a = mf * (cf1 > cf0).astype(jnp.float32)
-        cnt_a = jnp.sum(a, axis=1, keepdims=True)
-        sum_adx = jnp.sum(a * ddx, axis=1, keepdims=True)
-        sum_ady = jnp.sum(a * ddy, axis=1, keepdims=True)
-        b = mf * (cf2 != 0.0).astype(jnp.float32)
-        cnt_b = jnp.sum(b, axis=1, keepdims=True)
-        sum_bdx = jnp.sum(b * ddx, axis=1, keepdims=True)
-        sum_bdy = jnp.sum(b * ddy, axis=1, keepdims=True)
-        if three_d:
-            ddz = cz1 - z1
-            sum_adz = jnp.sum(a * ddz, axis=1, keepdims=True)
-            sum_bdz = jnp.sum(b * ddz, axis=1, keepdims=True)
+        if mode in ("full", "pathway"):
+            # masked sums are NaN-safe (mf is 0/1; cf0 garbage only where the
+            # run-interval mask already rejected the candidate... mask the
+            # products to be safe against uninitialized-VMEM NaN garbage)
+            sum_f0 = jnp.sum(jnp.where(m, cf0, 0.0), axis=1, keepdims=True)
+            sum_f0sq = jnp.sum(jnp.where(m, cf0 * cf0, 0.0), axis=1, keepdims=True)
         else:
-            sum_adz = jnp.zeros((B, 1), jnp.float32)
-            sum_bdz = jnp.zeros((B, 1), jnp.float32)
+            sum_f0 = sum_f0sq = zero
+        if mode in ("full", "motility"):
+            # displacement vectors use the *current* positions (x1 lanes)
+            ddx = cx1 - x1
+            ddy = cy1 - y1
+            a = m & (cf1 > cf0)
+            cnt_a = jnp.sum(a.astype(jnp.float32), axis=1, keepdims=True)
+            sum_adx = jnp.sum(jnp.where(a, ddx, 0.0), axis=1, keepdims=True)
+            sum_ady = jnp.sum(jnp.where(a, ddy, 0.0), axis=1, keepdims=True)
+            b = m & (cf2 != 0.0)
+            cnt_b = jnp.sum(b.astype(jnp.float32), axis=1, keepdims=True)
+            sum_bdx = jnp.sum(jnp.where(b, ddx, 0.0), axis=1, keepdims=True)
+            sum_bdy = jnp.sum(jnp.where(b, ddy, 0.0), axis=1, keepdims=True)
+            if three_d:
+                ddz = cz1 - z1
+                sum_adz = jnp.sum(jnp.where(a, ddz, 0.0), axis=1, keepdims=True)
+                sum_bdz = jnp.sum(jnp.where(b, ddz, 0.0), axis=1, keepdims=True)
+            else:
+                sum_adz = sum_bdz = zero
+        else:
+            cnt_a = sum_adx = sum_ady = sum_adz = zero
+            cnt_b = sum_bdx = sum_bdy = sum_bdz = zero
 
         partial = jnp.concatenate(
             [count, sum_f0, sum_f0sq, cnt_a, sum_adx, sum_ady, sum_adz, cnt_b,
@@ -184,11 +194,18 @@ def bio_reduce_pallas(
     radius: float,
     nz: int = 1,
     chunk: int = 256,
+    mode: str = "full",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-sorted-row biology neighborhood moments, (C, 16). The pack width
     selects the dimensionality: 8 lanes = 2D (3 runs), 16 lanes = 3D
-    (9 runs, ``nz`` required)."""
+    (9 runs, ``nz`` required).
+
+    ``mode`` trims the compute to the lanes a phase actually reads:
+    "count" (neighbor count only — division/death), "pathway" (count + FGF4
+    sum / sum-of-squares), "motility" (count + class counts and displacement
+    sums), "full" (everything). Unused output lanes are zero."""
+    assert mode in ("full", "count", "pathway", "motility"), mode
     C, F = srt_pack.shape
     three_d = F == FIELDS_3D
     assert F in (FIELDS_2D, FIELDS_3D), F
@@ -203,7 +220,7 @@ def bio_reduce_pallas(
 
     kernel = functools.partial(
         _bio_kernel, CS=chunk, ny=ny, nz=nz, num_bins=num_bins, radius=radius,
-        three_d=three_d,
+        three_d=three_d, mode=mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -5,33 +5,38 @@ gathered index on v5e — per-index overhead, not bandwidth). This kernel
 removes every gather from the substep hot loop:
 
 - agents are processed in **sorted (grid) order**, in blocks of B rows;
-- a block's stencil candidates live in 3 contiguous sorted spans (one per
-  3-bin run — see ``ops.neighbors``); each span is DMA'd from HBM into VMEM
-  as a lane-contiguous (8, S) tile of the field-major sorted pack, replacing
-  the (C, W, 8) gather. Span starts are rounded down to the 128-lane tile
-  boundary; the extra candidates are rejected by the per-row interval masks;
-- **chunked span gating**: the span is processed in CHUNK-wide slices riding
-  a second grid dimension, and a block only DMAs/computes the chunks its rows
-  actually reach (a scalar-prefetched per-(run, block) chunk count). The
-  static span cap is sized for the worst block, but most blocks need a
-  fraction of it — and blocks of dead slots need none — so compute scales
-  with the *true* candidate count, not the worst case. VMEM scratch scales
-  with CHUNK, not the span cap, so the cap can be generous;
-- per-row candidate masks come from absolute-position interval tests against
-  the row's run bounds (pure VPU compares);
+- a block's stencil candidates live in contiguous sorted spans (one per
+  3-bin run — 3 runs in 2D, 9 in 3D; see ``ops.neighbors``); each span is
+  DMA'd from HBM into VMEM as a lane-contiguous (8, S) tile of the
+  field-major sorted pack, replacing the (C, W, 8) gather. Span starts are
+  rounded down to the 128-lane tile boundary; the extra candidates are
+  rejected by the per-row interval masks;
+- **in-kernel chunked span loop**: each block program walks its spans in
+  CHUNK-wide slices with double-buffered DMA (next chunk in flight while the
+  current one computes), bounded by a scalar-prefetched per-(run, block)
+  chunk count. The static span cap is sized for the worst block, but most
+  blocks need a fraction of it — and blocks of dead slots need none — so
+  compute scales with the *true* candidate count, not the worst case, and
+  the grid stays one program per block (an earlier revision rode the chunk
+  index on a second grid dimension; that grid's per-program overhead was
+  ~25% of kernel time at 500k agents). VMEM scratch scales with CHUNK, not
+  the span cap, so the cap can be generous;
+- per-row candidate masks come from flat-bin-id interval tests against the
+  row's run (pure VPU compares);
 - bond membership (slot-id compare against the row's K partners) and
   first-K bond compaction (prefix-sum + select-reduce) run in-kernel,
   replacing the (C, W, K) broadcast and the one-hot MXU contraction;
 - when every agent has the same radius (the reference default — growth is
   disabled, ``cell_simulation.py:98``), the JKR overlap scale and force
   prefactor are compile-time scalars (``uniform_radius``), removing the
-  per-pair cube root / divide from the pair law.
+  per-pair cube root / divide from the pair law; the pair distance uses one
+  ``rsqrt`` (no sqrt + divide), and 2D lattices skip the z lanes entirely.
 
 The kernel computes exactly the same physics as ``ops.jkr.jkr_substep``
 (same eligibility rule: fresh contact within the search radius OR an existing
 bond, force while the nondimensional overlap stays above the break
 threshold); equivalence is tested in ``tests/test_pallas.py`` in interpreter
-mode and against the XLA path on real hardware (``tests/test_tpu_hw.py``).
+mode and against the XLA path on real hardware (``tests_tpu/test_tpu_hw.py``).
 """
 
 from __future__ import annotations
@@ -45,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-FIELDS = 8  # pack fields: [x, y, z, radius, slot, alive, 0, 0]
+FIELDS = 8  # pack fields: [x, y, z, radius, slot, alive, flat, 0]
 NO_BOND = -1.0
 _ALIGN = 128  # lane-tile alignment for span starts
 
@@ -54,7 +59,7 @@ def effective_chunk(span: int, chunk: int) -> int:
     """The chunk width actually used for a given span cap: never wider than
     the span, and falling back to one whole-span chunk when the span is not
     chunk-divisible (callers must use this same value for both
-    ``block_span_starts`` and the kernels)."""
+    ``block_span_plan`` and the kernels)."""
     chunk = min(chunk, span)
     if span % chunk:
         return span
@@ -73,8 +78,8 @@ def _prefix_sum_lanes(v: jnp.ndarray) -> jnp.ndarray:
 
 def _contact_kernel(
     # scalar prefetch
-    span_starts_ref,  # (4, nblocks) int32 — 128-aligned per-run span starts
-    chunk_needs_ref,  # (4, nblocks) int32 — per-run active chunk counts
+    span_starts_ref,  # (n_runs+1, nblocks) int32 — 128-aligned span starts
+    chunk_needs_ref,  # (n_runs+1, nblocks) int32 — per-run active chunk counts
     # (run-major layout: SMEM pads the minor dim to 128 lanes, so the long
     # block axis must be minor)
     # VMEM blocks
@@ -82,16 +87,17 @@ def _contact_kernel(
     bonds_ref,  # (B, K) f32 — partner slot ids, NO_BOND empty
     # HBM
     hbm_packT_ref,  # (8, C) f32 — field-major sorted pack (span DMA source)
-    # outputs (revisited across the chunk grid dim; accumulate)
+    # outputs (written once per block)
     out_force_ref,  # (B, 8) f32 — [fx, fy, fz, degree, 0...]
     out_bonds_ref,  # (B, K) f32 — new partner slot ids, NO_BOND empty
     # scratch
-    span_ref,  # (n_runs, 8, CS) f32 — one chunk slot per stencil run
-    sems,  # DMA semaphores (n_runs,)
+    span_ref,  # (n_runs, 2, 8, CS) f32 — double-buffered chunk slots
+    sems,  # DMA semaphores (n_runs, 2)
     *,
     CS: int,
     K: int,
     run_offs: Tuple[int, ...],
+    two_d: bool,
     radius: float,
     store_radius: Optional[float],
     adhesion_const: float,
@@ -101,38 +107,33 @@ def _contact_kernel(
     uniform_radius: Optional[float],
 ):
     i = pl.program_id(0)
-    c = pl.program_id(1)
     B = rows_ref.shape[0]
+    R = len(run_offs)
 
-    @pl.when(c == 0)
-    def _():
-        out_force_ref[:] = jnp.zeros_like(out_force_ref)
-        out_bonds_ref[:] = jnp.full_like(out_bonds_ref, NO_BOND)
+    needs = [chunk_needs_ref[r, i] for r in range(R)]
+    max_need = needs[0]
+    for r in range(1, R):
+        max_need = jnp.maximum(max_need, needs[r])
 
-    # --- DMA this chunk of each active run's candidate span ---
-    def dma(r):
+    def dma(r, c, slot):
         start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
         return pltpu.make_async_copy(
             hbm_packT_ref.at[:, pl.ds(start, CS)],
-            span_ref.at[r],
-            sems.at[r],
+            span_ref.at[r, slot],
+            sems.at[r, slot],
         )
 
-    n_runs = len(run_offs)
-    for r in range(n_runs):
-        @pl.when(c < chunk_needs_ref[r, i])
+    # warm up: chunk 0 into buffer slot 0
+    for r in range(R):
+        @pl.when(0 < needs[r])
         def _(r=r):
-            dma(r).start()
-    for r in range(n_runs):
-        @pl.when(c < chunk_needs_ref[r, i])
-        def _(r=r):
-            dma(r).wait()
+            dma(r, 0, 0).start()
 
     x = rows_ref[:, 0:1]
     y = rows_ref[:, 1:2]
     z = rows_ref[:, 2:3]
     rad = rows_ref[:, 3:4]
-    slot = rows_ref[:, 4:5]
+    slot_id = rows_ref[:, 4:5]
     row_alive = rows_ref[:, 5:6] > 0.0
     row_flat = rows_ref[:, 6:7]  # flat bin id at window-build time (f32-exact)
 
@@ -151,38 +152,54 @@ def _contact_kernel(
         u_inv_scale = 1.0 / (1e6 * u_scale)  # folds the um -> m conversion
         u_fpre = math.pi * adhesion_const * u_r_hat
 
-    for r in range(n_runs):
-        @pl.when(c < chunk_needs_ref[r, i])
-        def _(r=r):
-            span = span_ref[r]  # (8, CS)
+    def chunk_body(c, carry):
+        acc, bond_cols, count = carry
+        buf = jax.lax.rem(c, 2)
+
+        # prefetch the next chunk while this one computes
+        for r in range(R):
+            @pl.when(c + 1 < needs[r])
+            def _(r=r):
+                dma(r, c + 1, 1 - buf).start()
+        for r in range(R):
+            @pl.when(c < needs[r])
+            def _(r=r):
+                dma(r, c, buf).wait()
+
+        for r in range(R):
+            active = c < needs[r]
+            span = span_ref[r, buf]  # (8, CS)
             cand_x = span[0:1, :]
             cand_y = span[1:2, :]
-            cand_z = span[2:3, :]
             cand_rad = span[3:4, :]
             cand_slot = span[4:5, :]
             cand_flat = span[6:7, :]
 
             # candidate membership in this row's 3-bin stencil run: a pure
-            # flat-bin-id interval test against the build-time bin ids (the
-            # per-row table-gathered run bounds this replaces cost ~40 ms at
-            # 500k agents). Dead rows/candidates carry the sentinel flat id
-            # (or garbage) and are rejected by the alive lanes below.
+            # flat-bin-id interval test against the build-time bin ids. Dead
+            # rows/candidates carry the sentinel flat id (or garbage) and are
+            # rejected by the alive lanes below.
             run_lo = row_flat + jnp.float32(run_offs[r] - 1)
             in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)  # (B, CS)
 
             dx = x - cand_x
             dy = y - cand_y
-            dz = z - cand_z
-            dist2 = dx * dx + dy * dy + dz * dz
-            pair_ok = in_run & (cand_slot != slot) & row_alive
+            dist2 = dx * dx + dy * dy
+            if not two_d:
+                cand_z = span[2:3, :]
+                dz = z - cand_z
+                dist2 = dist2 + dz * dz
+            pair_ok = in_run & (cand_slot != slot_id) & row_alive & active
 
             bonded = jnp.zeros_like(pair_ok)
             for k in range(K):
                 bonded |= cand_slot == bonds_ref[:, k : k + 1]
             eligible = pair_ok & ((dist2 <= r2) | bonded)
 
-            # JKR pair law (cell_backend.py:73-113)
-            mag = jnp.sqrt(dist2)
+            # JKR pair law (cell_backend.py:73-113) via one rsqrt:
+            # mag = dist2 * inv and w = fmag * inv (no sqrt, no divide)
+            inv = jnp.where(dist2 > 0, jax.lax.rsqrt(dist2), 0.0)
+            mag = dist2 * inv
             if uniform_radius is not None:
                 d = (2.0 * uniform_radius - mag) * u_inv_scale
                 survive = d > break_d
@@ -200,34 +217,31 @@ def _contact_kernel(
                 fmag = f * (math.pi * adhesion_const) * r_hat
 
             keep = eligible & survive
-            safe_mag = jnp.where(mag > 0, mag, 1.0)
-            w = jnp.where(keep & (mag > 0), fmag / safe_mag, 0.0)
-
-            fx = jnp.sum(w * dx, axis=1, keepdims=True)
-            fy = jnp.sum(w * dy, axis=1, keepdims=True)
-            fz = jnp.sum(w * dz, axis=1, keepdims=True)
-            # band storage: only pairs past store_radius need remembering
-            # (deeper pairs stay fresh-contact-eligible until they re-enter
-            # the band; see ops.jkr.jkr_substep_aligned). Shrinks K and the
-            # compaction passes below from contact degree to band degree.
+            # mask AFTER the products: inactive runs read uninitialized VMEM
+            # whose garbage may be NaN, and 0 * NaN = NaN would leak through
+            # a pre-masked weight
+            w = fmag * inv
+            fx = jnp.sum(jnp.where(keep, w * dx, 0.0), axis=1, keepdims=True)
+            fy = jnp.sum(jnp.where(keep, w * dy, 0.0), axis=1, keepdims=True)
+            if two_d:
+                fz = jnp.zeros((B, 1), jnp.float32)
+            else:
+                fz = jnp.sum(jnp.where(keep, w * dz, 0.0), axis=1, keepdims=True)
+            # band storage option: see ops.jkr.jkr_substep_aligned
             stored = keep & (dist2 > sr2) if store_radius is not None else keep
             nstored = jnp.sum(stored.astype(jnp.float32), axis=1, keepdims=True)
 
-            # first-K compaction, continuing the per-row stored count carried
-            # in the degree lane of the (revisited) force output
-            count_so_far = out_force_ref[:, 3:4].astype(jnp.int32)
-            dest = _prefix_sum_lanes(stored.astype(jnp.int32)) - 1 + count_so_far
-            prev = out_bonds_ref[:]
+            # first-K compaction, continuing the per-row stored count
+            dest = _prefix_sum_lanes(stored.astype(jnp.int32)) - 1 + count
             cols = []
             for k in range(K):
                 sel = stored & (dest == k)
                 val = jnp.sum(jnp.where(sel, cand_slot, 0.0), axis=1, keepdims=True)
                 present = jnp.sum(sel.astype(jnp.float32), axis=1, keepdims=True)
-                cols.append(jnp.where(present > 0, val, prev[:, k : k + 1]))
-            out_bonds_ref[:] = jnp.concatenate(cols, axis=1)
+                cols.append(jnp.where(present > 0, val, bond_cols[:, k : k + 1]))
+            bond_cols = jnp.concatenate(cols, axis=1)
 
-            acc = out_force_ref[:]
-            out_force_ref[:] = jnp.concatenate(
+            acc = jnp.concatenate(
                 [
                     acc[:, 0:1] + fx,
                     acc[:, 1:2] + fy,
@@ -237,6 +251,17 @@ def _contact_kernel(
                 ],
                 axis=1,
             )
+            count = count + nstored.astype(jnp.int32)
+        return acc, bond_cols, count
+
+    acc0 = jnp.zeros((B, 8), jnp.float32)
+    bonds0 = jnp.full((B, K), NO_BOND, jnp.float32)
+    count0 = jnp.zeros((B, 1), jnp.int32)
+    acc, bond_cols, _ = jax.lax.fori_loop(
+        0, max_need, chunk_body, (acc0, bonds0, count0)
+    )
+    out_force_ref[:] = acc
+    out_bonds_ref[:] = bond_cols
 
 
 def contact_substep_pallas(
@@ -265,10 +290,11 @@ def contact_substep_pallas(
     stores the full edge set.
 
     ``span_starts``/``chunk_needs`` come from ``neighbors.block_span_plan``;
-    the needs gate which CHUNK-wide span slices each block processes. Run
-    membership is tested in-kernel against the flat bin ids in pack lane 6
-    (build-time binning), so no per-row run-bound table is needed; ``ny`` is
-    the lattice's minor-axis bin count (the flat-id stride of the x stencil).
+    the needs bound each block's in-kernel chunk loop. Run membership is
+    tested in-kernel against the flat bin ids in pack lane 6 (build-time
+    binning), so no per-row run-bound table is needed; ``run_offs`` is
+    ``GridSpec.flat_run_offsets`` — the static flat-id offset of each stencil
+    run (3 runs in 2D, 9 in 3D).
     """
     C = srt_pack.shape[0]
     K = srt_bonds.shape[1]
@@ -278,13 +304,14 @@ def contact_substep_pallas(
     assert span % chunk == 0, (span, chunk)
     assert chunk % _ALIGN == 0 or chunk == C, (chunk, C)
     assert span <= C, f"DMA span {span} exceeds capacity {C}"
-    nchunks = span // chunk
+    two_d = len(run_offs) == 3
 
     kernel = functools.partial(
         _contact_kernel,
         CS=chunk,
         K=K,
         run_offs=tuple(run_offs),
+        two_d=two_d,
         radius=radius,
         store_radius=store_radius,
         adhesion_const=adhesion_const,
@@ -295,19 +322,19 @@ def contact_substep_pallas(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nblocks, nchunks),
+        grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((block, FIELDS), lambda i, c, *s: (i, 0)),
-            pl.BlockSpec((block, K), lambda i, c, *s: (i, 0)),
+            pl.BlockSpec((block, FIELDS), lambda i, *s: (i, 0)),
+            pl.BlockSpec((block, K), lambda i, *s: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),  # field-major pack
         ],
         out_specs=[
-            pl.BlockSpec((block, 8), lambda i, c, *s: (i, 0)),
-            pl.BlockSpec((block, K), lambda i, c, *s: (i, 0)),
+            pl.BlockSpec((block, 8), lambda i, *s: (i, 0)),
+            pl.BlockSpec((block, K), lambda i, *s: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((len(run_offs), FIELDS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((len(run_offs),)),
+            pltpu.VMEM((len(run_offs), 2, FIELDS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((len(run_offs), 2)),
         ],
     )
     force_deg, new_bonds = pl.pallas_call(

@@ -640,7 +640,8 @@ def _domain_physics(
     fl0, fr0, band0 = fresh_packs(pk0)
     pk0, win0, max_run0, span0 = rebuild(pk0, fl0, fr0)
 
-    store_radius = bio.jkr_radius - base.bond_band_margin
+    store_radius = (None if base.bond_band_margin is None else
+                    bio.jkr_radius - base.bond_band_margin)
 
     def contact_xla(pk, bonds, win):
         order, pos, valid, _ = win
@@ -1200,13 +1201,14 @@ class DomainHipscEngine:
             drift = drift * 2.0
             changed = True
         margin = base.bond_band_margin
-        bio_disp = 2.0 * (self.bio.max_radius - self.bio.min_radius)
-        required = 2.0 * float(info.max_substep_move) + bio_disp
-        if required > margin:
-            new_margin = min(required * 1.5, self.bio.jkr_radius)
-            if new_margin > margin:
-                base = dataclasses.replace(base, bond_band_margin=new_margin)
-                changed = True
+        if margin is not None:
+            bio_disp = 2.0 * (self.bio.max_radius - self.bio.min_radius)
+            required = 2.0 * float(info.max_substep_move) + bio_disp
+            if required > margin:
+                new_margin = min(required * 1.5, self.bio.jkr_radius)
+                if new_margin > margin:
+                    base = dataclasses.replace(base, bond_band_margin=new_margin)
+                    changed = True
         if base.use_pallas and int(info.jkr_span_needed) > base.jkr_span:
             base = dataclasses.replace(
                 base,

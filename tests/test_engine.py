@@ -185,10 +185,6 @@ def test_interleaved_states_across_growth():
     produce the same result it would have before the growth — the grown
     config is a template, not a mutation of in-flight shapes."""
     eng = small_engine()
-    # pin full bond storage so the violent growth step below cannot widen
-    # bond_band_margin (that carry-forward is covered separately above) —
-    # this test isolates capacity growth
-    eng.cfg = dataclasses.replace(eng.cfg, bond_band_margin=eng.bio.jkr_radius)
     a = eng.init_state(seed=13)
     b = eng.init_state(seed=14)
     b_expected, _ = eng.step(b)  # pre-growth reference result
