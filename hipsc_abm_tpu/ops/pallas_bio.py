@@ -24,9 +24,9 @@ exceeds every live stencil probe, so they match no run interval and
 contribute nothing. Blocks made only of dead rows get zero active chunks
 from ``neighbors.block_span_plan``.
 
-The stencil runs ride grid dimension 1 (3 in 2D, 9 in 3D); each run's
-flat-id offset is computed arithmetically from the run index (row-major
-lattice: ``off = (dx*ny + dy)*nz``).
+Each block program walks its stencil runs (3 in 2D, 9 in 3D) in CHUNK-wide
+span slices with double-buffered DMA inside one kernel invocation (same
+structure as the contact kernel).
 
 Output lanes (C, 16):
   0: neighbor count              (valid & radius & alive)
@@ -60,126 +60,152 @@ def _bio_kernel(
     chunk_needs_ref,  # (n_runs+1, nblocks) int32 per-run active chunk counts
     rows_ref,  # (B, F) f32 sorted pack rows
     hbm_packT_ref,  # (F, C) f32 field-major sorted pack
-    out_ref,  # (B, 16) f32 moments (accumulated across the run/chunk grid dims)
-    span_ref,  # (F, CS) f32
-    sems,
+    out_ref,  # (B, 16) f32 moments (written once per block)
+    span_ref,  # (n_runs, 2, F, CS) f32 double-buffered chunk slots
+    sems,  # (n_runs, 2)
     *,
     CS: int,
-    ny: int,
-    nz: int,
+    run_offs: Tuple[int, ...],
     num_bins: int,
     radius: float,
     three_d: bool,
     mode: str,
 ):
-    # grid = (nblocks, n_runs, nchunks): the stencil runs and span chunks ride
-    # the inner grid dimensions so each program's VMEM frame holds one chunk's
-    # temporaries; TPU grids execute sequentially, so the revisited output
-    # block accumulates across the run and chunk steps. Chunks past a
-    # (run, block)'s need are skipped entirely (no DMA, no compute).
+    # grid = (nblocks,): each block program walks its runs' spans in
+    # CHUNK-wide slices with double-buffered DMA, bounded by the
+    # scalar-prefetched per-(run, block) chunk counts (same structure as
+    # ops.pallas_contact._contact_kernel — the chunk/run grid dimensions this
+    # replaces cost ~25% of kernel time in per-program overhead at 500k).
     i = pl.program_id(0)
-    r = pl.program_id(1)
-    c = pl.program_id(2)
     B = rows_ref.shape[0]
+    R = len(run_offs)
+    F = rows_ref.shape[1]
 
-    @pl.when((r == 0) & (c == 0))
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+    needs = [chunk_needs_ref[r, i] for r in range(R)]
+    max_need = needs[0]
+    for r in range(1, R):
+        max_need = jnp.maximum(max_need, needs[r])
 
-    @pl.when(c < chunk_needs_ref[r, i])
-    def _():
-        def dma():
-            start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
-            return pltpu.make_async_copy(
-                hbm_packT_ref.at[:, pl.ds(start, CS)], span_ref, sems
-            )
-
-        dma().start()
-        dma().wait()
-
-        span = span_ref[:]  # (F, CS)
-        if three_d:
-            x0, y0, z0 = rows_ref[:, 0:1], rows_ref[:, 1:2], rows_ref[:, 2:3]
-            x1, y1, z1 = rows_ref[:, 3:4], rows_ref[:, 4:5], rows_ref[:, 5:6]
-            row_flat = rows_ref[:, 9:10]
-            cx0, cy0, cz0 = span[0:1, :], span[1:2, :], span[2:3, :]
-            cx1, cy1, cz1 = span[3:4, :], span[4:5, :], span[5:6, :]
-            cf0, cf1, cf2 = span[6:7, :], span[7:8, :], span[8:9, :]
-            cand_flat = span[9:10, :]
-            # run index -> (dx, dy) in row-major order over the 3x3 stencil
-            run_off = ((r // 3 - 1) * ny + (r % 3 - 1)) * nz
-        else:
-            x0, y0 = rows_ref[:, 0:1], rows_ref[:, 1:2]
-            x1, y1 = rows_ref[:, 2:3], rows_ref[:, 3:4]
-            row_flat = rows_ref[:, 7:8]
-            cx0, cy0 = span[0:1, :], span[1:2, :]
-            cx1, cy1 = span[2:3, :], span[3:4, :]
-            cf0, cf1, cf2 = span[4:5, :], span[5:6, :], span[6:7, :]
-            cand_flat = span[7:8, :]
-            run_off = (r - 1) * ny
-        row_alive = row_flat < jnp.float32(num_bins)
-        calive = cand_flat < jnp.float32(num_bins)
-        own_pos = i * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-
-        r2 = jnp.float32(radius * radius)
-        abs_pos = (
-            span_starts_ref[r, i]
-            + c * CS
-            + jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
+    def dma(r, c, slot):
+        start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
+        return pltpu.make_async_copy(
+            hbm_packT_ref.at[:, pl.ds(start, CS)],
+            span_ref.at[r, slot],
+            sems.at[r, slot],
         )
-        # run membership by flat-bin-id interval (see pallas_contact): run r
-        # covers bins [row_flat + run_off - 1, +3)
-        run_lo = row_flat + (run_off - 1).astype(jnp.float32)
-        in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)
 
-        dx0 = x0 - cx0
-        dy0 = y0 - cy0
-        dist2 = dx0 * dx0 + dy0 * dy0
-        if three_d:
-            dz0 = z0 - cz0
-            dist2 = dist2 + dz0 * dz0
-        m = in_run & (abs_pos != own_pos) & (dist2 <= r2) & calive & row_alive
-        mf = m.astype(jnp.float32)
+    for r in range(R):
+        @pl.when(0 < needs[r])
+        def _(r=r):
+            dma(r, 0, 0).start()
 
-        zero = jnp.zeros((B, 1), jnp.float32)
-        count = jnp.sum(mf, axis=1, keepdims=True)
-        if mode in ("full", "pathway"):
-            # masked sums are NaN-safe (mf is 0/1; cf0 garbage only where the
-            # run-interval mask already rejected the candidate... mask the
-            # products to be safe against uninitialized-VMEM NaN garbage)
-            sum_f0 = jnp.sum(jnp.where(m, cf0, 0.0), axis=1, keepdims=True)
-            sum_f0sq = jnp.sum(jnp.where(m, cf0 * cf0, 0.0), axis=1, keepdims=True)
-        else:
-            sum_f0 = sum_f0sq = zero
-        if mode in ("full", "motility"):
-            # displacement vectors use the *current* positions (x1 lanes)
-            ddx = cx1 - x1
-            ddy = cy1 - y1
-            a = m & (cf1 > cf0)
-            cnt_a = jnp.sum(a.astype(jnp.float32), axis=1, keepdims=True)
-            sum_adx = jnp.sum(jnp.where(a, ddx, 0.0), axis=1, keepdims=True)
-            sum_ady = jnp.sum(jnp.where(a, ddy, 0.0), axis=1, keepdims=True)
-            b = m & (cf2 != 0.0)
-            cnt_b = jnp.sum(b.astype(jnp.float32), axis=1, keepdims=True)
-            sum_bdx = jnp.sum(jnp.where(b, ddx, 0.0), axis=1, keepdims=True)
-            sum_bdy = jnp.sum(jnp.where(b, ddy, 0.0), axis=1, keepdims=True)
+    if three_d:
+        x0, y0, z0 = rows_ref[:, 0:1], rows_ref[:, 1:2], rows_ref[:, 2:3]
+        x1, y1, z1 = rows_ref[:, 3:4], rows_ref[:, 4:5], rows_ref[:, 5:6]
+        row_flat = rows_ref[:, 9:10]
+    else:
+        x0, y0 = rows_ref[:, 0:1], rows_ref[:, 1:2]
+        x1, y1 = rows_ref[:, 2:3], rows_ref[:, 3:4]
+        row_flat = rows_ref[:, 7:8]
+    row_alive = row_flat < jnp.float32(num_bins)
+    own_pos = i * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    r2 = jnp.float32(radius * radius)
+
+    def chunk_body(c, acc):
+        buf = jax.lax.rem(c, 2)
+        for r in range(R):
+            @pl.when(c + 1 < needs[r])
+            def _(r=r):
+                dma(r, c + 1, 1 - buf).start()
+        for r in range(R):
+            @pl.when(c < needs[r])
+            def _(r=r):
+                dma(r, c, buf).wait()
+
+        for r in range(R):
+            active = c < needs[r]
+            span = span_ref[r, buf]  # (F, CS)
             if three_d:
-                ddz = cz1 - z1
-                sum_adz = jnp.sum(jnp.where(a, ddz, 0.0), axis=1, keepdims=True)
-                sum_bdz = jnp.sum(jnp.where(b, ddz, 0.0), axis=1, keepdims=True)
+                cx0, cy0, cz0 = span[0:1, :], span[1:2, :], span[2:3, :]
+                cx1, cy1, cz1 = span[3:4, :], span[4:5, :], span[5:6, :]
+                cf0, cf1, cf2 = span[6:7, :], span[7:8, :], span[8:9, :]
+                cand_flat = span[9:10, :]
             else:
-                sum_adz = sum_bdz = zero
-        else:
-            cnt_a = sum_adx = sum_ady = sum_adz = zero
-            cnt_b = sum_bdx = sum_bdy = sum_bdz = zero
+                cx0, cy0 = span[0:1, :], span[1:2, :]
+                cx1, cy1 = span[2:3, :], span[3:4, :]
+                cf0, cf1, cf2 = span[4:5, :], span[5:6, :], span[6:7, :]
+                cand_flat = span[7:8, :]
+            calive = cand_flat < jnp.float32(num_bins)
 
-        partial = jnp.concatenate(
-            [count, sum_f0, sum_f0sq, cnt_a, sum_adx, sum_ady, sum_adz, cnt_b,
-             sum_bdx, sum_bdy, sum_bdz,
-             jnp.zeros((B, OUT_LANES - 11), jnp.float32)],
-            axis=1,
-        )
-        out_ref[:] = out_ref[:] + partial
+            abs_pos = (
+                span_starts_ref[r, i]
+                + c * CS
+                + jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
+            )
+            # run membership by flat-bin-id interval (see pallas_contact):
+            # run r covers bins [row_flat + run_offs[r] - 1, +3)
+            run_lo = row_flat + jnp.float32(run_offs[r] - 1)
+            in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)
+
+            dx0 = x0 - cx0
+            dy0 = y0 - cy0
+            dist2 = dx0 * dx0 + dy0 * dy0
+            if three_d:
+                dz0 = z0 - cz0
+                dist2 = dist2 + dz0 * dz0
+            m = (in_run & (abs_pos != own_pos) & (dist2 <= r2) & calive
+                 & row_alive & active)
+            mf = m.astype(jnp.float32)
+
+            zero = jnp.zeros((B, 1), jnp.float32)
+            count = jnp.sum(mf, axis=1, keepdims=True)
+            # mask AFTER products: inactive runs read uninitialized VMEM
+            # whose garbage may be NaN (0 * NaN = NaN)
+            if mode in ("full", "pathway"):
+                sum_f0 = jnp.sum(jnp.where(m, cf0, 0.0), axis=1, keepdims=True)
+                sum_f0sq = jnp.sum(
+                    jnp.where(m, cf0 * cf0, 0.0), axis=1, keepdims=True
+                )
+            else:
+                sum_f0 = sum_f0sq = zero
+            if mode in ("full", "motility"):
+                # displacement vectors use the *current* positions (x1 lanes)
+                ddx = cx1 - x1
+                ddy = cy1 - y1
+                a = m & (cf1 > cf0)
+                cnt_a = jnp.sum(a.astype(jnp.float32), axis=1, keepdims=True)
+                sum_adx = jnp.sum(jnp.where(a, ddx, 0.0), axis=1, keepdims=True)
+                sum_ady = jnp.sum(jnp.where(a, ddy, 0.0), axis=1, keepdims=True)
+                b = m & (cf2 != 0.0)
+                cnt_b = jnp.sum(b.astype(jnp.float32), axis=1, keepdims=True)
+                sum_bdx = jnp.sum(jnp.where(b, ddx, 0.0), axis=1, keepdims=True)
+                sum_bdy = jnp.sum(jnp.where(b, ddy, 0.0), axis=1, keepdims=True)
+                if three_d:
+                    ddz = cz1 - z1
+                    sum_adz = jnp.sum(
+                        jnp.where(a, ddz, 0.0), axis=1, keepdims=True
+                    )
+                    sum_bdz = jnp.sum(
+                        jnp.where(b, ddz, 0.0), axis=1, keepdims=True
+                    )
+                else:
+                    sum_adz = sum_bdz = zero
+            else:
+                cnt_a = sum_adx = sum_ady = sum_adz = zero
+                cnt_b = sum_bdx = sum_bdy = sum_bdz = zero
+
+            partial = jnp.concatenate(
+                [count, sum_f0, sum_f0sq, cnt_a, sum_adx, sum_ady, sum_adz,
+                 cnt_b, sum_bdx, sum_bdy, sum_bdz,
+                 jnp.zeros((B, OUT_LANES - 11), jnp.float32)],
+                axis=1,
+            )
+            acc = acc + partial
+        return acc
+
+    out_ref[:] = jax.lax.fori_loop(
+        0, max_need, chunk_body, jnp.zeros((B, OUT_LANES), jnp.float32)
+    )
 
 
 def bio_reduce_pallas(
@@ -218,21 +244,27 @@ def bio_reduce_pallas(
     assert span <= C, f"DMA span {span} exceeds capacity {C}"
     nchunks = span // chunk
 
+    if three_d:
+        run_offs = tuple(
+            ((a - 1) * ny + (b - 1)) * nz for a in range(3) for b in range(3)
+        )
+    else:
+        run_offs = tuple((r - 1) * ny for r in range(3))
     kernel = functools.partial(
-        _bio_kernel, CS=chunk, ny=ny, nz=nz, num_bins=num_bins, radius=radius,
-        three_d=three_d, mode=mode,
+        _bio_kernel, CS=chunk, run_offs=run_offs, num_bins=num_bins,
+        radius=radius, three_d=three_d, mode=mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nblocks, n_runs, nchunks),
+        grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((block, F), lambda i, r, c, *s: (i, 0)),
+            pl.BlockSpec((block, F), lambda i, *s: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((block, OUT_LANES), lambda i, r, c, *s: (i, 0)),
+        out_specs=pl.BlockSpec((block, OUT_LANES), lambda i, *s: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((F, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((n_runs, 2, F, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_runs, 2)),
         ],
     )
     return pl.pallas_call(
