@@ -290,6 +290,46 @@ def make_bio_moments_xla(
     return bio_moments
 
 
+_F32_LANES = ("locations", "radii", "motility_forces", "jkr_forces")
+_I32_LANES = ("ids", "FGF4", "FGFR", "ERK", "GATA6", "NANOG", "states",
+              "death_counters", "diff_counters", "div_counters", "fds_counters")
+
+
+def _sort_state_rows(arrays, alive, bonds, order):
+    """Move the whole per-agent state into ``order`` with ONE row gather.
+
+    TPU gathers cost ~9 ns per ROW regardless of width (per-index overhead,
+    not bandwidth), so permuting seventeen arrays separately costs ~17x one
+    permutation of a single wide matrix. All lanes ride f32: ints (ids, FDS
+    values, counters) are < 2^24 so the round-trip is exact; bond partners
+    are ids with a -1 empty sentinel."""
+    capacity = alive.shape[0]
+    K = bonds.partners.shape[1]
+    cols = [arrays[k].astype(jnp.float32).reshape(capacity, -1) for k in _F32_LANES]
+    cols += [arrays[k].astype(jnp.float32)[:, None] for k in _I32_LANES]
+    cols.append(alive.astype(jnp.float32)[:, None])
+    cols.append(jnp.where(bonds.mask, bonds.partners, -1).astype(jnp.float32))
+    packed = jnp.concatenate(cols, axis=1)[order]
+
+    out = {}
+    c = 0
+    for k in _F32_LANES:
+        w = arrays[k].shape[1] if arrays[k].ndim == 2 else 1
+        v = packed[:, c:c + w]
+        out[k] = v if arrays[k].ndim == 2 else v[:, 0]
+        c += w
+    for k in _I32_LANES:
+        out[k] = packed[:, c].astype(jnp.int32)
+        c += 1
+    alive_s = packed[:, c] > 0.0
+    c += 1
+    bp = packed[:, c:c + K]
+    bonds_s = BondState(
+        partners=jnp.maximum(bp, 0).astype(jnp.int32), mask=bp >= 0
+    )
+    return out, alive_s, bonds_s
+
+
 def _physics_dts(bio: BiologyParams) -> np.ndarray:
     """Substep schedule: divmod(step_dt, move_dt) full substeps + remainder
     substep, which runs even when the remainder is zero and still updates the
@@ -328,24 +368,30 @@ def hipsc_step(
     # table (count, sum f0, sum f0^2, class counts and displacement sums —
     # layout in ops/pallas_bio.py), computed either by the fused Pallas
     # reduction kernel or by a windowed-gather XLA fallback.
+    # the step's state is SORTED-RESIDENT: the grid is built from the
+    # incoming layout, then the WHOLE state moves into this step's canonical
+    # (bin, id) order with one wide row gather. Every later phase reads and
+    # writes sorted rows — no per-consumer pack sorts, no moment unsorts, and
+    # division ranks are plain cumsums. The output state keeps this layout
+    # (slot order is opaque to everything outside the engine; identity rides
+    # the stable agent ids).
+    nbr_grid = nbr_ops.build_grid(
+        cfg.nbr_spec, arrays["locations"], arrays["ids"], alive
+    )
+    arrays, alive, bonds = _sort_state_rows(arrays, alive, bonds, nbr_grid.order)
     loc0 = arrays["locations"]
-    ids0 = arrays["ids"]
+    nbr_flat0 = nbr_grid.sorted_flat  # == flat ids of the sorted rows
+    nbr_sentinel = jnp.float32(nbr_ops.dead_sentinel(cfg.nbr_spec))
     nbr_span_needed = jnp.zeros((), jnp.int32)
 
     if cfg.use_pallas:
         from hipsc_abm_tpu.ops.pallas_bio import bio_reduce_pallas
 
-        nbr_grid = nbr_ops.build_grid(cfg.nbr_spec, loc0, ids0, alive)
         nbr_starts, nbr_needs, nbr_span_needed, nbr_max_in_bin = (
             nbr_ops.block_span_plan(
                 cfg.nbr_spec, nbr_grid.sorted_flat, cfg.pallas_block,
                 cfg.nbr_span, capacity, cfg.pallas_chunk,
             )
-        )
-        nbr_flat0 = nbr_ops.flat_bin_ids(cfg.nbr_spec, loc0, alive)
-        nbr_sentinel = jnp.float32(nbr_ops.dead_sentinel(cfg.nbr_spec))
-        nbr_inv = jnp.zeros((capacity,), jnp.int32).at[nbr_grid.order].set(
-            jnp.arange(capacity, dtype=jnp.int32)
         )
 
         def bio_moments(curr_loc, f0, f1, f2, alive_now, mode="full"):
@@ -382,21 +428,27 @@ def hipsc_step(
                     ],
                     axis=1,
                 )
-            out = bio_reduce_pallas(
-                pack[nbr_grid.order], nbr_starts, nbr_needs,
+            return bio_reduce_pallas(
+                pack, nbr_starts, nbr_needs,
                 block=cfg.pallas_block, span=cfg.nbr_span,
                 ny=cfg.nbr_spec.ny, nz=cfg.nbr_spec.nz,
                 num_bins=cfg.nbr_spec.num_bins,
                 radius=bio.neighbor_radius, chunk=cfg.pallas_chunk,
                 mode=mode, interpret=cfg.pallas_interpret,
             )
-            return out[nbr_inv]
     else:
-        nbr_grid, nbr_pos, nbr_valid, nbr_max_in_bin = nbr_ops.sorted_window(
-            cfg.nbr_spec, loc0, ids0, alive
+        # candidate windows in sorted space: rows ARE sorted positions now
+        ident_grid = nbr_ops.Grid(
+            order=jnp.arange(capacity, dtype=jnp.int32),
+            sorted_flat=nbr_grid.sorted_flat,
+            coords=nbr_ops._bin_coords(cfg.nbr_spec, loc0),
+        )
+        nbr_pos, nbr_valid, nbr_max_in_bin = nbr_ops.window_from_grid(
+            cfg.nbr_spec, ident_grid
         )
         bio_moments_full = make_bio_moments_xla(
-            nbr_grid, nbr_pos, nbr_valid, loc0, ids0, alive, bio.neighbor_radius
+            ident_grid, nbr_pos, nbr_valid, loc0, arrays["ids"], alive,
+            bio.neighbor_radius,
         )
 
         def bio_moments(curr_loc, f0, f1, f2, alive_now, mode="full"):
@@ -408,12 +460,13 @@ def hipsc_step(
 
     # --- cell_division ---
     # daughter ids are assigned by the mothers' canonical (bin, id) rank —
-    # layout-independent, so the domain-decomposed engine assigns identically
+    # layout-independent, so the domain-decomposed engine assigns identically.
+    # The state is already in canonical order here, so the rank is a cumsum.
     (
         arrays, alive, daughter_mask, num_added, num_deferred, num_dividing,
     ) = biology.cell_division(
         arrays, alive, nbr_count, k_div, bio, cfg.two_d,
-        canon_order=nbr_grid.order, next_id=state.next_id,
+        canon_order=None, next_id=state.next_id,
         div_cap=cfg.div_cap or cfg.capacity,
     )
     bonds = clear_bond_rows(bonds, daughter_mask)  # fresh graph vertices, no edges

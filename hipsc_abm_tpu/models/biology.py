@@ -136,12 +136,16 @@ def allocate_daughter_slots(
     return can_divide, rank, mother_of_rank, free_slot_of_rank, num_deferred
 
 
-def canonical_rank(mask: jnp.ndarray, canon_order: jnp.ndarray) -> jnp.ndarray:
+def canonical_rank(mask: jnp.ndarray, canon_order) -> jnp.ndarray:
     """Per-slot rank of the masked agents in the canonical (bin, id) order
     ``canon_order`` (a permutation of slots, e.g. ``Grid.order``). The rank is
     layout-independent — the same agent set gets the same ranks regardless of
     slot permutation or domain decomposition — which makes daughter-id
-    assignment identical between the single-device and domain engines."""
+    assignment identical between the single-device and domain engines.
+    ``None`` means the slots already ARE in canonical order (the sorted-
+    resident engine): the rank is then a plain cumsum."""
+    if canon_order is None:
+        return jnp.cumsum(mask.astype(jnp.int32)) - 1
     m_srt = mask[canon_order].astype(jnp.int32)
     rank_srt = jnp.cumsum(m_srt) - 1
     return jnp.zeros_like(rank_srt).at[canon_order].set(rank_srt)
@@ -260,8 +264,6 @@ def cell_division(
     num_dividing).
     """
     capacity = alive.shape[0]
-    if canon_order is None:
-        canon_order = jnp.arange(capacity, dtype=jnp.int32)
     if next_id is None:
         next_id = jnp.max(jnp.where(alive, arrays["ids"], -1)) + 1
     if div_cap is None:
