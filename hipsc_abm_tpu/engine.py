@@ -864,6 +864,9 @@ class HipscEngine:
         enable_diff_surround: bool = False,
         use_pallas: Optional[bool] = None,
     ):
+        from hipsc_abm_tpu.utils.config import ensure_compilation_cache
+
+        ensure_compilation_cache()
         self.gen = gen
         self.xp = xp
         self.bio = bio or BiologyParams()
@@ -875,7 +878,7 @@ class HipscEngine:
                 # runs, 3D uses 9 (reference backend.py:84-93's 3x3x3 loop)
                 use_pallas = jax.default_backend() == "tpu"
             n0 = gen.num_to_start + xp.num_gata6
-            capacity = max(_round_up(int(n0 * 1.5), 128), 256)
+            capacity = max(_round_up(int(n0 * 1.3), 128), 256)  # headroom for several steps of growth before a recompile
             cfg = EngineConfig.create(
                 gen.size,
                 capacity=capacity,
@@ -1010,6 +1013,10 @@ class HipscEngine:
         for _ in range(16):
             cfg = self._cfg_for_state(state)
             new_state, info = self._step_fn(cfg)(state)
+            # ONE batched device->host transfer for all probes: per-scalar
+            # int(...) fetches each cost a full round trip (~25 ms through a
+            # tunneled backend), and the growth policy reads ~9 of them
+            info = StepInfo(*jax.device_get(tuple(info)))
             if int(info.max_id) >= (1 << 24) - 1:
                 # ids ride f32 pack lanes; past 2^24 they lose exactness.
                 # 16.7M agents-ever is far beyond any published workload —

@@ -199,8 +199,8 @@ class CellSimulation(Simulation):
     def _sync_host(self) -> None:
         """Fetch the compacted live-agent arrays back to the host attribute
         surface (``self.locations`` etc.), slot order."""
-        host = jax.device_get(self.state.arrays)
-        alive = np.asarray(jax.device_get(self.state.alive))
+        host, alive = jax.device_get((self.state.arrays, self.state.alive))
+        alive = np.asarray(alive)
         for name in self.agent_array_names:
             self.__dict__[name] = host[name][alive]
         self.number_agents = int(alive.sum())
@@ -277,11 +277,13 @@ class CellSimulation(Simulation):
     def step_gradients(self):
         if self.output_gradients and self.state is not None:
             check_direct(self.gradients_path)
-            io_utils.write_gradient_csvs(
-                self.gradients_path,
-                self.name,
-                self.current_step,
-                {k: np.asarray(jax.device_get(v)) for k, v in self.state.gradients.items()},
+            grads = self.state.gradients  # immutable jax arrays: safe snapshot
+            path, name, step = self.gradients_path, self.name, self.current_step
+            io_utils.submit_output(
+                lambda: io_utils.write_gradient_csvs(
+                    path, name, step,
+                    {k: np.asarray(jax.device_get(v)) for k, v in grads.items()},
+                )
             )
 
     @record_time
@@ -289,13 +291,13 @@ class CellSimulation(Simulation):
         if self.output_tda:
             check_direct(self.tda_path)
             n = self.number_agents
-            io_utils.write_tda_csvs(
-                self.tda_path,
-                self.name,
-                self.current_step,
-                np.asarray(self.locations[:n]),
-                np.asarray(self.GATA6[:n]),
-                np.asarray(self.NANOG[:n]),
+            locs, gata6, nanog = self.locations[:n], self.GATA6[:n], self.NANOG[:n]
+            path, name, step = self.tda_path, self.name, self.current_step
+            io_utils.submit_output(
+                lambda: io_utils.write_tda_csvs(
+                    path, name, step,
+                    np.asarray(locs), np.asarray(gata6), np.asarray(nanog),
+                )
             )
 
     @record_time
@@ -308,15 +310,14 @@ class CellSimulation(Simulation):
 
         super().temp.__wrapped__(self)  # the pickle, un-re-timed
         if self.state is not None:
-            save_state(
-                os.path.join(self.main_path, f"{self.name}_state.npz"),
-                self.state,
-                meta={
-                    "current_step": self.current_step,
-                    "name": self.name,
-                    "engine_config": config_to_meta(self.engine.cfg),
-                },
-            )
+            state = self.state  # immutable PyTree: safe snapshot
+            path = os.path.join(self.main_path, f"{self.name}_state.npz")
+            meta = {
+                "current_step": self.current_step,
+                "name": self.name,
+                "engine_config": config_to_meta(self.engine.cfg),
+            }
+            io_utils.submit_output(lambda: save_state(path, state, meta=meta))
 
     # ------------------------------------------------------------------
     # pickling (mode-1 continuation)

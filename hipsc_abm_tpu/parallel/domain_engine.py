@@ -876,7 +876,7 @@ class DomainHipscEngine:
             use_pallas = jax.default_backend() == "tpu"
 
         n0 = gen.num_to_start + xp.num_gata6
-        capacity = max(_round_up(int(n0 * 1.5), 128), 256)
+        capacity = max(_round_up(int(n0 * 1.3), 128), 256)  # headroom for several steps of growth before a recompile
         base = EngineConfig.create(
             gen.size,
             capacity=capacity,  # informational; per-stripe caps rule below
@@ -1138,6 +1138,9 @@ class DomainHipscEngine:
         static capacity and re-executes from the unmodified input state."""
         for _ in range(16):
             new_state, info = self.step(state)
+            # one batched transfer for all growth probes (see
+            # HipscEngine.safe_step)
+            info = DomainStepInfo(*jax.device_get(tuple(info)))
             if int(info.max_id) >= (1 << 24) - 1:
                 raise RuntimeError("agent id space exhausted (2^24)")
             if int(info.mig_too_far) > 0:

@@ -307,9 +307,16 @@ class Simulation:
 
     @record_time
     def temp(self):
-        file_name = f"{self.name}_temp.pkl"
-        with open(self.main_path + file_name, "wb") as file:
-            pickle.dump(self, file, -1)
+        # serialize synchronously (the object mutates next step), write the
+        # bytes on the background output worker
+        payload = pickle.dumps(self, -1)
+        path = self.main_path + f"{self.name}_temp.pkl"
+
+        def write():
+            with open(path, "wb") as file:
+                file.write(payload)
+
+        io_utils.submit_output(write)
 
     @record_time
     def step_values(self, arrays: Optional[List[str]] = None):
@@ -317,11 +324,19 @@ class Simulation:
             if arrays is None:
                 arrays = self.agent_array_names
             check_direct(self.values_path)
-            file_name = f"{self.name}_values_{self.current_step}.csv"
-            io_utils.write_values_csv(
-                self.values_path + file_name,
-                {name: np.asarray(self.__dict__[name][: self.number_agents]) for name in arrays},
-                arrays,
+            path = self.values_path + f"{self.name}_values_{self.current_step}.csv"
+            # snapshot references (host arrays are rebound, never mutated in
+            # place); CSV formatting + write run on the background worker
+            snap = {
+                name: self.__dict__[name][: self.number_agents]
+                for name in arrays
+            }
+            io_utils.submit_output(
+                lambda: io_utils.write_values_csv(
+                    path,
+                    {k: np.asarray(v) for k, v in snap.items()},
+                    list(arrays),
+                )
             )
 
     @record_time

@@ -66,3 +66,25 @@ def check_direct(path: str) -> None:
     """Make sure a directory exists (``backend.py:163-167``)."""
     if not os.path.isdir(path):
         os.makedirs(path, exist_ok=True)
+
+
+def ensure_compilation_cache(path: str | None = None) -> None:
+    """Point JAX at a persistent compilation cache unless the caller already
+    set one. The fused step + Pallas kernels take minutes to compile at large
+    capacities through a tunneled TPU backend; the cache makes every rerun
+    (and every capacity-growth recompile seen before) near-instant."""
+    import os
+
+    import jax
+
+    try:
+        current = jax.config.jax_compilation_cache_dir
+    except AttributeError:  # pragma: no cover - very old jax
+        return
+    if current:
+        return
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "hipsc_abm_tpu_jax"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)

@@ -219,3 +219,42 @@ def test_domain_pallas_matches_domain_xla():
     bs_x = bond_sets(dom_x.to_cell_state(sx))
     bs_p = bond_sets(dom_p.to_cell_state(sp))
     assert bs_x == bs_p
+
+
+@requires_multi
+def test_domain_diffusion_and_optional_phases_match_single():
+    """Domain engine with morphogen diffusion (psum'd deposits) and the
+    config-enabled optional phases agrees with the single-chip engine."""
+    from hipsc_abm_tpu.models.params import DiffusionParams
+
+    gen = GeneralParams(num_to_start=700, end_step=8, size=(1400.0, 1400.0, 0.0))
+    xp = ExperimentalParams(num_gata6=70, dox_step=1)
+    diff = DiffusionParams(spat_res=25.0, diffuse_dt=6.0, diffuse_const=2.0,
+                           max_concentration=2.0, degradation=0.1,
+                           release_amount=0.02)
+    flags = dict(enable_diffusion=True, enable_growth=True,
+                 enable_stochastic=True, enable_diff_surround=True)
+    dom = DomainHipscEngine(gen, xp, diff=diff, **flags)
+    single = HipscEngine(gen, xp, diff=diff, cfg=dom.cfg.base, use_pallas=False)
+
+    dstate = dom.init_state(seed=23)
+    sstate = single.init_state(seed=23)
+    single.cfg = dom.cfg.base
+
+    for _ in range(3):
+        dstate, _ = dom.safe_step(dstate)
+        sstate, _ = single.safe_step(sstate)
+
+    a = by_id(dom.to_cell_state(dstate))
+    b = by_id(sstate)
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for k in ("GATA6", "NANOG", "states", "div_counters"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    np.testing.assert_array_equal(a["locations"], b["locations"])
+    np.testing.assert_array_equal(a["radii"], b["radii"])  # growth active
+    # gradients: deposit scatter order differs (per-stripe partials psum'd),
+    # so compare to accumulation tolerance
+    ga = np.asarray(dstate.gradients["fgf4_values"])
+    gb = np.asarray(sstate.gradients["fgf4_values"])
+    np.testing.assert_allclose(ga, gb, atol=1e-5)
+    assert ga.max() > 0  # release actually happened
