@@ -211,6 +211,10 @@ class StepInfo(NamedTuple):
     max_substep_move: jnp.ndarray  # max per-agent move per physics substep (um)
     # (bond_band_margin probe: 2*move + division displacement must stay
     # inside the margin, else band storage could forget a live bond)
+    max_window_drift: jnp.ndarray  # diagnostic: 0 on both physics paths
+    # today (the lax.cond rebuild checks drift BEFORE every force eval, so
+    # staleness cannot occur); kept as the probe slot for static schedules
+
 
 
 def make_bio_moments_xla(
@@ -564,12 +568,12 @@ def hipsc_step(
     # (lax.cond rebuild). Contacts are re-tested at the true radius with
     # current positions every substep, exactly as the reference's per-substep
     # get_neighbors does — the cache only changes how often we sort.
-    dts = jnp.asarray(_physics_dts(bio))
+    dts = _physics_dts(bio)
     if cfg.use_pallas:
         scan_fn = _physics_scan_pallas
     else:
         scan_fn = _physics_scan_xla
-    locations, bonds, j_bins, j_degs, j_span, max_move = scan_fn(
+    locations, bonds, j_bins, j_degs, j_span, max_move, max_window_drift = scan_fn(
         cfg, bio, arrays, alive, bonds, size, dts
     )
     arrays["locations"] = locations
@@ -591,6 +595,7 @@ def hipsc_step(
         nbr_span_needed=nbr_span_needed,
         max_id=jnp.max(jnp.where(alive, arrays["ids"], 0)),
         max_substep_move=max_move,
+        max_window_drift=max_window_drift,
     )
     new_state = CellState(
         arrays=arrays,
@@ -647,79 +652,94 @@ def _physics_scan_xla(cfg, bio, arrays, alive, bonds, size, dts):
         return (new_loc, bonds, win), (j_max_in_bin, max_degree, move2)
 
     (locations, bonds, _), (j_bins, j_degs, moves2) = jax.lax.scan(
-        substep, (arrays["locations"], bonds, init_win), dts
+        substep, (arrays["locations"], bonds, init_win), jnp.asarray(dts)
     )
     return (locations, bonds, j_bins, j_degs, jnp.zeros((1,), jnp.int32),
-            jnp.sqrt(jnp.max(moves2)))
+            jnp.sqrt(jnp.max(moves2)), jnp.zeros((), jnp.float32))
 
 
 def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
-    """Physics substeps on the Pallas path: the fused contact kernel
-    (``ops.pallas_contact``) replaces window gather + pair math + bond
-    bookkeeping.
+    """Physics substeps on the Pallas path.
 
-    The scan state is **sorted-resident**: positions, the static pack lanes
-    (radius/id/alive/flat), the motility forces, and the bond partner lists
-    all live in grid order across substeps — in ONE (C, 16 + K) matrix
-    ``phys`` — so a substep is just lane slices + the kernel + elementwise
-    integration, with zero capacity-sized gathers. A Verlet window rebuild
-    permutes with a single row gather of ``phys`` (per-array permutes cost
-    ~12-14 ms each at 500k agents, and rebuilds run ~3x per step), and only
-    the scan entry/exit converts to/from slot space.
+    **Sorted-resident state**: positions, the static pack lanes, and the
+    motility forces live in grid order across substeps (one (C, 16) matrix
+    ``phys``), so a substep is lane slices + the fused kernel + elementwise
+    integration with zero capacity-sized gathers.
 
-    ``phys`` lanes: [0:3] location, [3] radius, [4] agent id, [5] alive,
-    [6] build-time flat bin id, [7] pad, [8:11] motility force, [11:16] pad,
-    [16:16+K] bond partner ids (NO_BOND empty).
+    **Span-mask bonds**: while the Verlet window (sort order + span plan) is
+    frozen, the bond set rides a persistent (C, n_runs*span) int8 mask — the
+    keep set of the previous substep — so the hot kernel
+    (``contact_substep_masked``) tests membership with one lane read and
+    stores bonds with one in-place write; the id-membership scan and first-K
+    compaction this removes were 66% of kernel time at 500k agents.
+
+    **Adaptive rebuilds**: a ``lax.cond`` on the drift predicate (max drift
+    since window build > skin/2, checked BEFORE each force evaluation, so
+    every evaluation is Verlet-valid by construction) selects between the
+    cheap masked substep and the rebuild branch: convert mask -> (C, K) id
+    lists (``compact_mask_bonds``, the only representation that survives a
+    re-sort), re-sort the resident state, re-plan spans, and seed the new
+    window's mask from the ids (``contact_substep_ids_to_mask``). A static
+    every-N rebuild schedule was tried and rejected: at 500k colony density
+    the drift crosses skin/2 within ~3 substeps nearly every step, so any
+    N > 3 violates constantly and the validity retry erases the savings.
     """
     from hipsc_abm_tpu.ops.pallas_contact import (
         NO_BOND,
-        contact_substep_pallas,
+        compact_mask_bonds,
+        contact_substep_ids_to_mask,
+        contact_substep_masked,
     )
 
     capacity = alive.shape[0]
     block = cfg.pallas_block
     spec = cfg.jkr_spec
+    span = cfg.jkr_span
+    run_offs = spec.flat_run_offsets
     K = bonds.partners.shape[1]
+    dts = np.asarray(dts)
+
+    kern_kwargs = dict(
+        block=block, span=span, run_offs=run_offs, radius=bio.jkr_radius,
+        adhesion_const=bio.adhesion_const, poisson=bio.poisson,
+        youngs=bio.youngs, break_d=bio.jkr_break_d, chunk=cfg.pallas_chunk,
+        uniform_radius=cfg.uniform_radius, interpret=cfg.pallas_interpret,
+    )
+    compact_kwargs = dict(
+        block=block, span=span, run_offs=run_offs, bond_cap=K,
+        chunk=cfg.pallas_chunk, interpret=cfg.pallas_interpret,
+    )
 
     def plan(sorted_flat):
-        starts, chunk_needs, span_needed, max_run = nbr_ops.block_span_plan(
-            spec, sorted_flat, block, cfg.jkr_span, capacity, cfg.pallas_chunk,
+        return nbr_ops.block_span_plan(
+            spec, sorted_flat, block, span, capacity, cfg.pallas_chunk,
         )
-        return starts, chunk_needs, span_needed, max_run
 
     def set_flat(phys, sorted_flat):
         return jnp.concatenate(
-            [
-                phys[:, :6],
-                sorted_flat.astype(jnp.float32)[:, None],
-                phys[:, 7:],
-            ],
+            [phys[:, :6], sorted_flat.astype(jnp.float32)[:, None], phys[:, 7:]],
             axis=1,
         )
 
-    def rebuild(args):
-        """Re-sort the sorted-resident state by the current positions.
-
-        The (flat bin, id) sort keys are layout-independent, so sorting the
-        *old-sorted* arrays yields the same agent sequence as sorting from
-        slot space; composing the relative order onto the carried slot order
-        keeps exit conversion a single gather."""
-        phys, order = args
+    def resort(phys, order):
+        """Re-sort the sorted-resident state by current positions. (bin, id)
+        keys are layout-independent, so sorting the old-sorted arrays yields
+        the same agent sequence as sorting from slot space; composing the
+        relative order onto the carried slot order keeps exit conversion a
+        single gather."""
         grid_rel = nbr_ops.build_grid(
             spec, phys[:, :3], phys[:, 4].astype(jnp.int32), phys[:, 5] > 0.0
         )
         rel = grid_rel.order
-        phys = set_flat(phys[rel], grid_rel.sorted_flat)
-        order = order[rel]
-        starts, chunk_needs, span_needed, max_run = plan(grid_rel.sorted_flat)
-        win = (starts, chunk_needs, phys[:, :3], max_run, span_needed)
-        return phys, order, win
+        return (set_flat(phys[rel], grid_rel.sorted_flat), order[rel], rel,
+                grid_rel.sorted_flat)
 
-    # --- scan entry: one sort + one row gather ---
+    # --- scan entry: one sort + one row gather + seeded window -------------
+    # phys lanes: [0:3] location, [3] radius, [4] agent id, [5] alive,
+    # [6] build-time flat bin id, [7] pad, [8:11] motility force, [11:16] pad
     ids = arrays["ids"]
     grid0 = nbr_ops.build_grid(spec, arrays["locations"], ids, alive)
-    order0 = grid0.order
-    partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
+    order = grid0.order
     phys_slot = jnp.concatenate(
         [
             arrays["locations"].astype(jnp.float32),
@@ -729,73 +749,100 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
             jnp.zeros((capacity, 2), jnp.float32),
             arrays["motility_forces"].astype(jnp.float32),
             jnp.zeros((capacity, 5), jnp.float32),
-            partners_f,
         ],
         axis=1,
     )
-    phys = set_flat(phys_slot[order0], grid0.sorted_flat)
+    phys = set_flat(phys_slot[order], grid0.sorted_flat)
+    srt_bonds0 = jnp.where(
+        bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND
+    )[order]
     starts0, needs0, span_needed0, max_run0 = plan(grid0.sorted_flat)
-    init_win = (starts0, needs0, phys[:, :3], max_run0, span_needed0)
+
+    ref0 = phys[:, :3]  # window-build positions (drift reference)
+    force_deg, mask = contact_substep_ids_to_mask(
+        phys[:, :8], srt_bonds0, starts0, needs0, **kern_kwargs
+    )
+    deg0 = jnp.max(force_deg[:, 3]).astype(jnp.int32)
+    new_loc = stokes_integrate(
+        phys[:, :3], phys[:, 3], force_deg[:, :3], phys[:, 8:11],
+        phys[:, 5] > 0.0, bio.stokes, size, float(dts[0]),
+    )
+    move2_0 = jnp.max(jnp.where(
+        phys[:, 5] > 0.0, jnp.sum((new_loc - phys[:, :3]) ** 2, axis=-1), 0.0
+    ))
+    phys = phys.at[:, :3].set(new_loc)
+    # win = (starts, needs, build-time ref positions, span probe, run probe)
+    win = (starts0, needs0, ref0, span_needed0, max_run0)
 
     def substep(carry, dt):
-        phys, order, win = carry
+        phys, mask, order, win = carry
         alive_rows = phys[:, 5] > 0.0
-        drift2 = jnp.max(
-            jnp.where(
-                alive_rows,
-                jnp.sum((phys[:, :3] - win[2]) ** 2, axis=-1),
-                0.0,
+        drift2 = jnp.max(jnp.where(
+            alive_rows, jnp.sum((phys[:, :3] - win[2]) ** 2, axis=-1), 0.0
+        ))
+        do_rebuild = drift2 > (cfg.verlet_skin * 0.5) ** 2
+
+        def rebuild_branch(args):
+            phys, mask, order, win = args
+            srt_bonds = compact_mask_bonds(
+                phys[:, :8], mask, win[0], win[1], **compact_kwargs
             )
-        )
-        phys, order, win = jax.lax.cond(
-            drift2 > (cfg.verlet_skin * 0.5) ** 2,
-            rebuild,
-            lambda args: args + (win,),
-            (phys, order),
-        )
-        starts, chunk_needs, _, max_run, span_needed = win
-        force_deg, srt_bonds = contact_substep_pallas(
-            phys[:, :8], phys[:, 16:], starts, chunk_needs,
-            block=block, span=cfg.jkr_span, run_offs=spec.flat_run_offsets,
-            radius=bio.jkr_radius,
-            store_radius=(None if cfg.bond_band_margin is None else
-                          bio.jkr_radius - cfg.bond_band_margin),
-            adhesion_const=bio.adhesion_const, poisson=bio.poisson,
-            youngs=bio.youngs, break_d=bio.jkr_break_d,
-            chunk=cfg.pallas_chunk,
-            uniform_radius=cfg.uniform_radius,
-            interpret=cfg.pallas_interpret,
+            phys, order, rel, sorted_flat = resort(phys, order)
+            srt_bonds = srt_bonds[rel]
+            starts, needs, span_needed, max_run = plan(sorted_flat)
+            force_deg, mask = contact_substep_ids_to_mask(
+                phys[:, :8], srt_bonds, starts, needs, **kern_kwargs
+            )
+            new_win = (starts, needs, phys[:, :3], span_needed, max_run)
+            return force_deg, phys, mask, order, new_win
+
+        def masked_branch(args):
+            phys, mask, order, win = args
+            force_deg, mask = contact_substep_masked(
+                phys[:, :8], mask, win[0], win[1], **kern_kwargs
+            )
+            return force_deg, phys, mask, order, win
+
+        force_deg, phys, mask, order, win = jax.lax.cond(
+            do_rebuild, rebuild_branch, masked_branch, (phys, mask, order, win)
         )
         max_degree = jnp.max(force_deg[:, 3]).astype(jnp.int32)
         new_loc = stokes_integrate(
             phys[:, :3], phys[:, 3], force_deg[:, :3], phys[:, 8:11],
             phys[:, 5] > 0.0, bio.stokes, size, dt,
         )
-        move2 = jnp.max(
-            jnp.where(
-                phys[:, 5] > 0.0,
-                jnp.sum((new_loc - phys[:, :3]) ** 2, axis=-1),
-                0.0,
-            )
-        )
-        phys = jnp.concatenate([new_loc, phys[:, 3:16], srt_bonds], axis=1)
-        return (phys, order, win), (max_run, max_degree, span_needed, move2)
+        move2 = jnp.max(jnp.where(
+            phys[:, 5] > 0.0, jnp.sum((new_loc - phys[:, :3]) ** 2, axis=-1), 0.0
+        ))
+        phys = phys.at[:, :3].set(new_loc)
+        return (phys, mask, order, win), (win[4], max_degree, win[3], move2)
 
-    (phys, order, _), (j_bins, j_degs, j_spans, moves2) = jax.lax.scan(
-        substep, (phys, order0, init_win), dts
+    (phys, mask, order, win), (j_bins, j_degs, j_spans, moves2) = jax.lax.scan(
+        substep, (phys, mask, order, win), jnp.asarray(dts[1:])
     )
-    # --- scan exit: back to slot space (one inverse permutation) ---
+
+    # --- scan exit: final mask -> id lists, back to slot space -------------
+    srt_bonds = compact_mask_bonds(
+        phys[:, :8], mask, win[0], win[1], **compact_kwargs
+    )
     inv = jnp.zeros((capacity,), jnp.int32).at[order].set(
         jnp.arange(capacity, dtype=jnp.int32)
     )
-    phys_out = phys[inv]
-    locations = phys_out[:, :3]
-    partners_slot = phys_out[:, 16:]
+    locations = phys[inv, :3]
+    partners_slot = srt_bonds[inv]
     bonds = BondState(
         partners=jnp.maximum(partners_slot, 0).astype(jnp.int32),
         mask=partners_slot >= 0,
     )
-    return locations, bonds, j_bins, j_degs, j_spans, jnp.sqrt(jnp.max(moves2))
+    return (
+        locations,
+        bonds,
+        jnp.concatenate([max_run0[None], j_bins]),
+        jnp.concatenate([deg0[None], j_degs]),
+        jnp.concatenate([span_needed0[None], j_spans]),
+        jnp.sqrt(jnp.maximum(jnp.max(moves2), move2_0)),
+        jnp.zeros((), jnp.float32),  # every eval is Verlet-valid (cond)
+    )
 
 
 @functools.lru_cache(maxsize=32)

@@ -351,3 +351,508 @@ def contact_substep_pallas(
 
 # (per-block span planning lives in ``neighbors.block_span_plan``, computed
 # from block-edge table lookups — per-row run bounds are never materialized)
+
+
+# ---------------------------------------------------------------------------
+# span-mask bond representation (the fast path between Verlet rebuilds)
+# ---------------------------------------------------------------------------
+#
+# Measured at 500k agents, 66% of the fused substep kernel was bond
+# bookkeeping: the K=8 id-membership test (16 VPU passes per chunk-run) and
+# the first-K compaction (prefix sum + 24 passes). While a Verlet window is
+# frozen, none of that is necessary: the bond set can live as a persistent
+# (C, span) int8 mask over the window's span lanes — "was this (row,
+# candidate-lane) pair kept last substep". Eligibility is then ONE lane read
+# and the new bond state is the keep mask stored directly. Id lists are
+# reconstructed only at window rebuilds (``compact_mask_bonds``), and the
+# first substep of a fresh window seeds the mask from id lists
+# (``contact_substep_ids_to_mask``). See engine._physics_scan_pallas for the
+# segment schedule.
+
+
+def _contact_kernel_mask(
+    span_starts_ref, chunk_needs_ref,
+    rows_ref,  # (B, 8)
+    in_mask_ref,  # (B, SPAN_R) i8: R concatenated per-run mask segments
+    hbm_packT_ref,
+    out_force_ref,  # (B, 8)
+    out_mask_ref,  # (B, SPAN_R) i8
+    span_ref, sems, *,
+    CS, SPAN, run_offs, two_d, radius, adhesion_const, poisson, youngs,
+    break_d, uniform_radius,
+):
+    i = pl.program_id(0)
+    B = rows_ref.shape[0]
+    R = len(run_offs)
+
+    needs = [chunk_needs_ref[r, i] for r in range(R)]
+    max_need = needs[0]
+    for r in range(1, R):
+        max_need = jnp.maximum(max_need, needs[r])
+
+    def dma(r, c, slot):
+        start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
+        return pltpu.make_async_copy(
+            hbm_packT_ref.at[:, pl.ds(start, CS)],
+            span_ref.at[r, slot], sems.at[r, slot],
+        )
+
+    for r in range(R):
+        @pl.when(0 < needs[r])
+        def _(r=r):
+            dma(r, 0, 0).start()
+
+    out_mask_ref[:] = jnp.zeros_like(out_mask_ref)
+
+    x = rows_ref[:, 0:1]
+    y = rows_ref[:, 1:2]
+    z = rows_ref[:, 2:3]
+    rad = rows_ref[:, 3:4]
+    slot_id = rows_ref[:, 4:5]
+    row_alive = rows_ref[:, 5:6] > 0.0
+    row_flat = rows_ref[:, 6:7]
+
+    e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
+    r2 = jnp.float32(radius * radius)
+    if uniform_radius is not None:
+        u_r_hat = (uniform_radius * uniform_radius) / (1e6 * 2.0 * uniform_radius)
+        u_scale = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * u_r_hat ** (
+            1.0 / 3.0
+        )
+        u_inv_scale = 1.0 / (1e6 * u_scale)
+        u_fpre = math.pi * adhesion_const * u_r_hat
+
+    def chunk_body(c, acc):
+        buf = jax.lax.rem(c, 2)
+        for r in range(R):
+            @pl.when(c + 1 < needs[r])
+            def _(r=r):
+                dma(r, c + 1, 1 - buf).start()
+        for r in range(R):
+            @pl.when(c < needs[r])
+            def _(r=r):
+                dma(r, c, buf).wait()
+
+        for r in range(R):
+            active = c < needs[r]
+            span = span_ref[r, buf]
+            cand_x = span[0:1, :]
+            cand_y = span[1:2, :]
+            cand_rad = span[3:4, :]
+            cand_slot = span[4:5, :]
+            cand_flat = span[6:7, :]
+
+            run_lo = row_flat + jnp.float32(run_offs[r] - 1)
+            in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)
+
+            dx = x - cand_x
+            dy = y - cand_y
+            dist2 = dx * dx + dy * dy
+            if not two_d:
+                cand_z = span[2:3, :]
+                dz = z - cand_z
+                dist2 = dist2 + dz * dz
+            pair_ok = in_run & (cand_slot != slot_id) & row_alive & active
+
+            # bond membership = ONE mask lane read (persisted keep set);
+            # route i8 -> f32 before comparing: Mosaic cannot relayout the
+            # i1 vectors born from packed-i8 loads into the compare layout
+            bonded = (
+                in_mask_ref[:, pl.ds(r * SPAN + c * CS, CS)].astype(jnp.float32)
+                > 0.0
+            )
+            eligible = pair_ok & ((dist2 <= r2) | bonded)
+
+            inv = jnp.where(dist2 > 0, jax.lax.rsqrt(dist2), 0.0)
+            mag = dist2 * inv
+            if uniform_radius is not None:
+                d = (2.0 * uniform_radius - mag) * u_inv_scale
+                survive = d > break_d
+                f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+                fmag = f * u_fpre
+            else:
+                overlap = (rad + cand_rad - mag) / 1e6
+                r_hat = (rad * cand_rad) / (1e6 * jnp.maximum(rad + cand_rad, 1e-12))
+                overlap_scale = (
+                    (math.pi * adhesion_const) / e_hat
+                ) ** (2.0 / 3.0) * jnp.power(r_hat, 1.0 / 3.0)
+                d = overlap / jnp.maximum(overlap_scale, 1e-30)
+                survive = d > break_d
+                f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+                fmag = f * (math.pi * adhesion_const) * r_hat
+
+            keep = eligible & survive
+            w = fmag * inv
+            fx = jnp.sum(jnp.where(keep, w * dx, 0.0), axis=1, keepdims=True)
+            fy = jnp.sum(jnp.where(keep, w * dy, 0.0), axis=1, keepdims=True)
+            if two_d:
+                fz = jnp.zeros((B, 1), jnp.float32)
+            else:
+                fz = jnp.sum(jnp.where(keep, w * dz, 0.0), axis=1, keepdims=True)
+            nkeep = jnp.sum(keep.astype(jnp.float32), axis=1, keepdims=True)
+
+            out_mask_ref[:, pl.ds(r * SPAN + c * CS, CS)] = jnp.where(
+                keep, 1.0, 0.0
+            ).astype(jnp.int8)
+            acc = jnp.concatenate(
+                [acc[:, 0:1] + fx, acc[:, 1:2] + fy, acc[:, 2:3] + fz,
+                 acc[:, 3:4] + nkeep, acc[:, 4:8]],
+                axis=1,
+            )
+        return acc
+
+    out_force_ref[:] = jax.lax.fori_loop(
+        0, max_need, chunk_body, jnp.zeros((B, 8), jnp.float32)
+    )
+
+
+def contact_substep_masked(
+    srt_pack, in_mask, span_starts, chunk_needs, *,
+    block, span, run_offs, radius, adhesion_const, poisson, youngs, break_d,
+    chunk=256, uniform_radius=None, interpret=False,
+):
+    """Fused contact substep with the bond set as a persistent span mask.
+
+    ``in_mask``/returned mask: (C, n_runs*span) int8 — lane ``r*span + p`` of
+    row i marks whether (row i, candidate p of its block's run-r span) was a
+    kept bond last substep. Valid only while the Verlet window (sort order +
+    span plan) is frozen. Returns ``(force_deg (C, 8), new_mask)``.
+    """
+    C = srt_pack.shape[0]
+    nblocks = C // block
+    chunk = effective_chunk(span, chunk)
+    assert C % block == 0 and span % chunk == 0
+    assert chunk % _ALIGN == 0 or chunk == C
+    assert span <= C
+    two_d = len(run_offs) == 3
+    R = len(run_offs)
+    assert in_mask.shape == (C, R * span), in_mask.shape
+
+    kernel = functools.partial(
+        _contact_kernel_mask, CS=chunk, SPAN=span, run_offs=tuple(run_offs),
+        two_d=two_d, radius=radius, adhesion_const=adhesion_const,
+        poisson=poisson, youngs=youngs, break_d=break_d,
+        uniform_radius=uniform_radius,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((block, FIELDS), lambda i, *s: (i, 0)),
+            pl.BlockSpec((block, R * span), lambda i, *s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, 8), lambda i, *s: (i, 0)),
+            pl.BlockSpec((block, R * span), lambda i, *s: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 2, FIELDS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((R, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C, 8), jnp.float32),
+            jax.ShapeDtypeStruct((C, R * span), jnp.int8),
+        ],
+        # update the GB-scale mask in place (operand index counts the scalar
+        # prefetch args): without aliasing every substep allocates a fresh
+        # mask buffer and XLA double-buffers the scan carry
+        input_output_aliases={3: 1},
+        interpret=interpret,
+    )(span_starts, chunk_needs, srt_pack, in_mask, srt_pack.T)
+
+
+def _contact_kernel_seed(
+    span_starts_ref, chunk_needs_ref,
+    rows_ref,  # (B, 8)
+    bonds_ref,  # (B, K) f32 partner ids (NO_BOND empty)
+    hbm_packT_ref,
+    out_force_ref,  # (B, 8)
+    out_mask_ref,  # (B, SPAN_R) i8
+    span_ref, sems, *,
+    CS, SPAN, K, run_offs, two_d, radius, adhesion_const, poisson, youngs,
+    break_d, uniform_radius,
+):
+    """First substep of a fresh Verlet window: bond membership from the id
+    lists (the only thing that survives a re-sort), output the keep set as
+    the span mask that subsequent ``_contact_kernel_mask`` substeps carry.
+    No compaction — that's the whole point."""
+    i = pl.program_id(0)
+    B = rows_ref.shape[0]
+    R = len(run_offs)
+
+    needs = [chunk_needs_ref[r, i] for r in range(R)]
+    max_need = needs[0]
+    for r in range(1, R):
+        max_need = jnp.maximum(max_need, needs[r])
+
+    def dma(r, c, slot):
+        start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
+        return pltpu.make_async_copy(
+            hbm_packT_ref.at[:, pl.ds(start, CS)],
+            span_ref.at[r, slot], sems.at[r, slot],
+        )
+
+    for r in range(R):
+        @pl.when(0 < needs[r])
+        def _(r=r):
+            dma(r, 0, 0).start()
+
+    out_mask_ref[:] = jnp.zeros_like(out_mask_ref)
+
+    x = rows_ref[:, 0:1]
+    y = rows_ref[:, 1:2]
+    z = rows_ref[:, 2:3]
+    rad = rows_ref[:, 3:4]
+    slot_id = rows_ref[:, 4:5]
+    row_alive = rows_ref[:, 5:6] > 0.0
+    row_flat = rows_ref[:, 6:7]
+
+    e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
+    r2 = jnp.float32(radius * radius)
+    if uniform_radius is not None:
+        u_r_hat = (uniform_radius * uniform_radius) / (1e6 * 2.0 * uniform_radius)
+        u_scale = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * u_r_hat ** (
+            1.0 / 3.0
+        )
+        u_inv_scale = 1.0 / (1e6 * u_scale)
+        u_fpre = math.pi * adhesion_const * u_r_hat
+
+    def chunk_body(c, acc):
+        buf = jax.lax.rem(c, 2)
+        for r in range(R):
+            @pl.when(c + 1 < needs[r])
+            def _(r=r):
+                dma(r, c + 1, 1 - buf).start()
+        for r in range(R):
+            @pl.when(c < needs[r])
+            def _(r=r):
+                dma(r, c, buf).wait()
+
+        for r in range(R):
+            active = c < needs[r]
+            span = span_ref[r, buf]
+            cand_x = span[0:1, :]
+            cand_y = span[1:2, :]
+            cand_rad = span[3:4, :]
+            cand_slot = span[4:5, :]
+            cand_flat = span[6:7, :]
+
+            run_lo = row_flat + jnp.float32(run_offs[r] - 1)
+            in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)
+
+            dx = x - cand_x
+            dy = y - cand_y
+            dist2 = dx * dx + dy * dy
+            if not two_d:
+                cand_z = span[2:3, :]
+                dz = z - cand_z
+                dist2 = dist2 + dz * dz
+            pair_ok = in_run & (cand_slot != slot_id) & row_alive & active
+
+            bonded = jnp.zeros_like(pair_ok)
+            for k in range(K):
+                bonded |= cand_slot == bonds_ref[:, k : k + 1]
+            eligible = pair_ok & ((dist2 <= r2) | bonded)
+
+            inv = jnp.where(dist2 > 0, jax.lax.rsqrt(dist2), 0.0)
+            mag = dist2 * inv
+            if uniform_radius is not None:
+                d = (2.0 * uniform_radius - mag) * u_inv_scale
+                survive = d > break_d
+                f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+                fmag = f * u_fpre
+            else:
+                overlap = (rad + cand_rad - mag) / 1e6
+                r_hat = (rad * cand_rad) / (1e6 * jnp.maximum(rad + cand_rad, 1e-12))
+                overlap_scale = (
+                    (math.pi * adhesion_const) / e_hat
+                ) ** (2.0 / 3.0) * jnp.power(r_hat, 1.0 / 3.0)
+                d = overlap / jnp.maximum(overlap_scale, 1e-30)
+                survive = d > break_d
+                f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+                fmag = f * (math.pi * adhesion_const) * r_hat
+
+            keep = eligible & survive
+            w = fmag * inv
+            fx = jnp.sum(jnp.where(keep, w * dx, 0.0), axis=1, keepdims=True)
+            fy = jnp.sum(jnp.where(keep, w * dy, 0.0), axis=1, keepdims=True)
+            if two_d:
+                fz = jnp.zeros((B, 1), jnp.float32)
+            else:
+                fz = jnp.sum(jnp.where(keep, w * dz, 0.0), axis=1, keepdims=True)
+            nkeep = jnp.sum(keep.astype(jnp.float32), axis=1, keepdims=True)
+
+            out_mask_ref[:, pl.ds(r * SPAN + c * CS, CS)] = jnp.where(
+                keep, 1.0, 0.0
+            ).astype(jnp.int8)
+            acc = jnp.concatenate(
+                [acc[:, 0:1] + fx, acc[:, 1:2] + fy, acc[:, 2:3] + fz,
+                 acc[:, 3:4] + nkeep, acc[:, 4:8]],
+                axis=1,
+            )
+        return acc
+
+    out_force_ref[:] = jax.lax.fori_loop(
+        0, max_need, chunk_body, jnp.zeros((B, 8), jnp.float32)
+    )
+
+
+def contact_substep_ids_to_mask(
+    srt_pack, srt_bonds, span_starts, chunk_needs, *,
+    block, span, run_offs, radius, adhesion_const, poisson, youngs, break_d,
+    chunk=256, uniform_radius=None, interpret=False,
+):
+    """First substep of a fresh window: membership from (C, K) id lists,
+    bond state emitted as the (C, n_runs*span) int8 mask."""
+    C = srt_pack.shape[0]
+    K = srt_bonds.shape[1]
+    nblocks = C // block
+    chunk = effective_chunk(span, chunk)
+    assert C % block == 0 and span % chunk == 0
+    assert chunk % _ALIGN == 0 or chunk == C
+    assert span <= C
+    two_d = len(run_offs) == 3
+    R = len(run_offs)
+
+    kernel = functools.partial(
+        _contact_kernel_seed, CS=chunk, SPAN=span, K=K,
+        run_offs=tuple(run_offs), two_d=two_d, radius=radius,
+        adhesion_const=adhesion_const, poisson=poisson, youngs=youngs,
+        break_d=break_d, uniform_radius=uniform_radius,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((block, FIELDS), lambda i, *s: (i, 0)),
+            pl.BlockSpec((block, K), lambda i, *s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, 8), lambda i, *s: (i, 0)),
+            pl.BlockSpec((block, R * span), lambda i, *s: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 2, FIELDS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((R, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C, 8), jnp.float32),
+            jax.ShapeDtypeStruct((C, R * span), jnp.int8),
+        ],
+        interpret=interpret,
+    )(span_starts, chunk_needs, srt_pack, srt_bonds, srt_pack.T)
+
+
+def _compact_mask_kernel(
+    span_starts_ref, chunk_needs_ref,
+    in_mask_ref,  # (B, SPAN_R) i8
+    hbm_packT_ref,
+    out_bonds_ref,  # (B, K) f32 partner ids
+    span_ref, sems, *,
+    CS, SPAN, K, run_offs,
+):
+    """Convert the span mask back to (B, K) partner-id lists (runs once per
+    Verlet rebuild, replacing the per-substep compaction of the id path)."""
+    i = pl.program_id(0)
+    B = in_mask_ref.shape[0]
+    R = len(run_offs)
+
+    needs = [chunk_needs_ref[r, i] for r in range(R)]
+    max_need = needs[0]
+    for r in range(1, R):
+        max_need = jnp.maximum(max_need, needs[r])
+
+    def dma(r, c, slot):
+        start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
+        return pltpu.make_async_copy(
+            hbm_packT_ref.at[:, pl.ds(start, CS)],
+            span_ref.at[r, slot], sems.at[r, slot],
+        )
+
+    for r in range(R):
+        @pl.when(0 < needs[r])
+        def _(r=r):
+            dma(r, 0, 0).start()
+
+    def chunk_body(c, carry):
+        bond_cols, count = carry
+        buf = jax.lax.rem(c, 2)
+        for r in range(R):
+            @pl.when(c + 1 < needs[r])
+            def _(r=r):
+                dma(r, c + 1, 1 - buf).start()
+        for r in range(R):
+            @pl.when(c < needs[r])
+            def _(r=r):
+                dma(r, c, buf).wait()
+
+        for r in range(R):
+            active = c < needs[r]
+            cand_slot = span_ref[r, buf][4:5, :]
+            kept = (
+                in_mask_ref[:, pl.ds(r * SPAN + c * CS, CS)].astype(jnp.float32)
+                > 0.0
+            ) & active
+            dest = _prefix_sum_lanes(kept.astype(jnp.int32)) - 1 + count
+            cols = []
+            for k in range(K):
+                sel = kept & (dest == k)
+                val = jnp.sum(jnp.where(sel, cand_slot, 0.0), axis=1, keepdims=True)
+                pres = jnp.sum(sel.astype(jnp.float32), axis=1, keepdims=True)
+                cols.append(jnp.where(pres > 0, val, bond_cols[:, k : k + 1]))
+            bond_cols = jnp.concatenate(cols, axis=1)
+            count = count + jnp.sum(kept.astype(jnp.int32), axis=1, keepdims=True)
+        return bond_cols, count
+
+    bond_cols, _ = jax.lax.fori_loop(
+        0, max_need, chunk_body,
+        (jnp.full((B, K), NO_BOND, jnp.float32), jnp.zeros((B, 1), jnp.int32)),
+    )
+    out_bonds_ref[:] = bond_cols
+
+
+def compact_mask_bonds(
+    srt_pack, mask, span_starts, chunk_needs, *,
+    block, span, run_offs, bond_cap, chunk=256, interpret=False,
+):
+    """(C, n_runs*span) int8 keep mask -> (C, bond_cap) f32 partner-id lists
+    (NO_BOND padding). The per-row degree probe comes from the force lane of
+    the preceding substep kernels."""
+    C = srt_pack.shape[0]
+    nblocks = C // block
+    chunk = effective_chunk(span, chunk)
+    assert C % block == 0 and span % chunk == 0
+    R = len(run_offs)
+    kernel = functools.partial(
+        _compact_mask_kernel, CS=chunk, SPAN=span, K=bond_cap,
+        run_offs=tuple(run_offs),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((block, R * span), lambda i, *s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((block, bond_cap), lambda i, *s: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((R, 2, FIELDS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((R, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, bond_cap), jnp.float32),
+        interpret=interpret,
+    )(span_starts, chunk_needs, mask, srt_pack.T)
