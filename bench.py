@@ -155,11 +155,10 @@ def bench_numpy_proxy():
 # The MEASURED reference baseline (steps/sec): the unmodified reference code
 # run end-to-end via tools/reference_baseline/measure_reference.py, its five
 # numba kernels executing through equivalent C++/OpenMP implementations (see
-# BASELINE.md "Measured: the ACTUAL reference"). 500k is a linear
-# extrapolation of the serial-loop-dominated 10k->100k trend (measuring it
-# directly takes ~2 min/step; the trend is linear in n there).
+# BASELINE.md "Measured: the ACTUAL reference"). Both points measured
+# directly (500k: 30.1 s/step).
 REF_MEASURED_100K = 0.235
-REF_MEASURED_500K = 0.047
+REF_MEASURED_500K = 0.033
 
 if __name__ == "__main__":
     tpu_sps = bench_tpu(N_CELLS)
