@@ -8,16 +8,14 @@ dynamics, FDS pathway + differentiation, motility, 11 physics substeps of
 JKR contact (Pallas span-DMA kernel) + Stokes integration, and FTCS morphogen
 diffusion with per-cell release. No host outputs in the timed region.
 
-Baseline: the reference publishes no numbers (BASELINE.md) and its
-Numba/igraph stack is not installed here, so ``vs_baseline`` is measured
-against a single-threaded vectorized-numpy implementation of the same step
-semantics (grid neighbor search, full JKR pair law, 11 substeps) — a
-*stronger* stand-in than the reference's serial per-agent Python loops
-(cell_methods.py:19-340), roughly on par with its numba prange kernels. The
-proxy is measured at 12,500 cells and scaled linearly to 100k (its grid
-algorithm is O(n); measuring it directly at 100k would take minutes).
+Baseline: the reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` divides by the MEASURED reference — the unmodified code at
+/root/reference executed end-to-end with C++/OpenMP equivalents of its five
+numba kernels (tools/reference_baseline/measure_reference.py), read from its
+own data CSV at 100k and 500k cells. The round-1 single-threaded numpy proxy
+is still measured live and reported as ``vs_numpy_proxy`` for continuity.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
