@@ -65,15 +65,28 @@ def main(n=500_000):
     timeit("packed[order] row gather (C,8)", jax.jit(lambda p, o: p[o]), packed, grid.order)
     srt_pack = packed[grid.order]
     srt_bonds = jnp.full((C, cfg.bond_cap), NO_BOND, jnp.float32)
-    def run_contact(sp, sb, st, cn):
-        return contact_substep_pallas(
-            sp, sb, st, cn, block=cfg.pallas_block, span=cfg.jkr_span,
-            run_offs=spec.flat_run_offsets, radius=bio.jkr_radius, adhesion_const=bio.adhesion_const,
-            poisson=bio.poisson, youngs=bio.youngs, break_d=bio.jkr_break_d,
-            chunk=cfg.pallas_chunk,
-            uniform_radius=cfg.uniform_radius)
-    timeit("contact_substep_pallas", jax.jit(run_contact),
-           srt_pack, srt_bonds, starts, cneeds)
+    kw = dict(block=cfg.pallas_block, span=cfg.jkr_span,
+              run_offs=spec.flat_run_offsets, radius=bio.jkr_radius,
+              adhesion_const=bio.adhesion_const, poisson=bio.poisson,
+              youngs=bio.youngs, break_d=bio.jkr_break_d,
+              chunk=cfg.pallas_chunk, uniform_radius=cfg.uniform_radius)
+    from hipsc_abm_tpu.ops.pallas_contact import (
+        compact_mask_bonds, contact_substep_ids_to_mask, contact_substep_masked)
+    timeit("contact ids kernel (domain path)", jax.jit(
+        lambda a, b, c, d: contact_substep_pallas(a, b, c, d, **kw)),
+        srt_pack, srt_bonds, starts, cneeds)
+    _, mask = timeit("contact seed (ids->mask, rebuilds)", jax.jit(
+        lambda a, b, c, d: contact_substep_ids_to_mask(a, b, c, d, **kw)),
+        srt_pack, srt_bonds, starts, cneeds)
+    timeit("contact masked substep (hot path)", jax.jit(
+        lambda a, m, c, d: contact_substep_masked(a, m, c, d, **kw)),
+        srt_pack, mask, starts, cneeds)
+    ckw = dict(block=cfg.pallas_block, span=cfg.jkr_span,
+               run_offs=spec.flat_run_offsets, bond_cap=cfg.bond_cap,
+               chunk=cfg.pallas_chunk)
+    timeit("compact mask->ids (rebuilds)", jax.jit(
+        lambda a, m, c, d: compact_mask_bonds(a, m, c, d, **ckw)),
+        srt_pack, mask, starts, cneeds)
     timeit("stokes_integrate (elementwise)", jax.jit(functools.partial(
         stokes_integrate, stokes=bio.stokes, size=jnp.asarray(gen.size), dt=180.0)),
         locs, radii, s.arrays["jkr_forces"], s.arrays["motility_forces"], alive)
