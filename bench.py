@@ -154,9 +154,16 @@ def bench_numpy_proxy():
 # run end-to-end via tools/reference_baseline/measure_reference.py, its five
 # numba kernels executing through equivalent C++/OpenMP implementations (see
 # BASELINE.md "Measured: the ACTUAL reference"). Both points measured
-# directly (500k: 30.1 s/step).
+# directly (500k: 30.1 s/step). These are recorded constants from that run
+# (one specific CPU host), NOT re-measured alongside the TPU number — the
+# JSON carries provenance fields so the ratio is self-describing.
 REF_MEASURED_100K = 0.235
 REF_MEASURED_500K = 0.033
+REF_BASELINE_SOURCE = (
+    "tools/reference_baseline/measure_reference.py (reference code + "
+    "C++/OpenMP kernel equivalents), recorded round 2 on the bench host's "
+    "CPUs; see BASELINE.md"
+)
 
 if __name__ == "__main__":
     tpu_sps = bench_tpu(N_CELLS)
@@ -166,8 +173,15 @@ if __name__ == "__main__":
         "metric": f"steps_per_sec_{N_CELLS // 1000}k_cells_forces_diffusion_fate",
         "value": round(tpu_sps, 3),
         "unit": "steps/sec",
+        # vs_baseline*: TPU measurement divided by the recorded measured
+        # reference (the ONLY headline ratios)
         "vs_baseline": round(tpu_sps / REF_MEASURED_100K, 2),
         "steps_per_sec_500k_cells": round(tpu_500k, 3),
         "vs_baseline_500k": round(tpu_500k / REF_MEASURED_500K, 2),
-        "vs_numpy_proxy": round(tpu_sps / proxy_sps, 2),
+        "ref_baseline_steps_per_sec": {"100k": REF_MEASURED_100K,
+                                       "500k": REF_MEASURED_500K},
+        "ref_baseline_source": REF_BASELINE_SOURCE,
+        # round-1 single-threaded numpy re-implementation, kept only for
+        # cross-round continuity — NOT a reference measurement
+        "vs_round1_numpy_proxy_nonbaseline": round(tpu_sps / proxy_sps, 2),
     }))

@@ -334,6 +334,12 @@ def _sort_state_rows(arrays, alive, bonds, order):
     return out, alive_s, bonds_s
 
 
+# HBM budget for the persistent span-mask bond buffer on the single-chip
+# Pallas path (v5e parts have 16 GB; the mask is one of several live
+# capacity-sized buffers, so cap it well below that)
+_MASK_HBM_BUDGET = 4 << 30
+
+
 def _physics_dts(bio: BiologyParams) -> np.ndarray:
     """Substep schedule: divmod(step_dt, move_dt) full substeps + remainder
     substep, which runs even when the remainder is zero and still updates the
@@ -496,6 +502,17 @@ def hipsc_step(
         mode="pathway",
     )
     count2 = m2[:, 0].astype(jnp.int32)
+    # gradient -> fate coupling (DiffusionParams.field_coupling): perceived
+    # FGF4 sampled from the step-incoming morphogen field at the cell's
+    # nearest diffusion point (this step's secretion/diffusion runs below,
+    # so the pathway sees the previous step's field — a well-defined order
+    # that the domain engine reproduces on its replicated lattice)
+    field_fgf4 = None
+    if (cfg.enable_diffusion and diff is not None and diff.field_coupling
+            and "fgf4_values" in gradients):
+        field_fgf4 = diffusion_ops.sample_concentration(
+            gradients["fgf4_values"], arrays["locations"], diff.spat_res
+        )
     (
         arrays["FGF4"], arrays["FGFR"], arrays["ERK"],
         arrays["GATA6"], arrays["NANOG"], arrays["fds_counters"],
@@ -503,6 +520,7 @@ def hipsc_step(
         arrays["FGF4"], arrays["FGFR"], arrays["ERK"], arrays["GATA6"],
         arrays["NANOG"], arrays["fds_counters"], arrays["ids"], alive, count2,
         m2[:, 1], m2[:, 2], k_path, current_step, xp, bio,
+        field_fgf4=field_fgf4,
     )
 
     # --- cell_differentiate ---
@@ -533,11 +551,15 @@ def hipsc_step(
         dts = jnp.asarray(diffusion_dts_cached(bio.step_dt, diff.diffuse_dt))
         for gname in sorted(gradients):
             grid = gradients[gname]
-            if diff.release_amount > 0.0:
+            if diff.release_amount > 0.0 or diff.uptake_amount > 0.0:
                 # NANOG-high cells secrete FGF4 (the coupling the reference
-                # sketches via adjust_morphogens, cell_methods.py:485-521)
+                # sketches via adjust_morphogens, cell_methods.py:485-521);
+                # every alive cell consumes uptake_amount through the same
+                # 4-point stencil (negative deposit; the lattice clamp at
+                # >= 0 inside ftcs_diffuse bounds over-consumption)
                 secreting = alive & (arrays["NANOG"] > arrays["GATA6"])
                 amounts = jnp.where(secreting, diff.release_amount, 0.0)
+                amounts = amounts - jnp.where(alive, diff.uptake_amount, 0.0)
                 grid = diffusion_ops.deposit_morphogen(
                     grid, arrays["locations"], amounts, diff.spat_res
                 )
@@ -704,6 +726,11 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
         adhesion_const=bio.adhesion_const, poisson=bio.poisson,
         youngs=bio.youngs, break_d=bio.jkr_break_d, chunk=cfg.pallas_chunk,
         uniform_radius=cfg.uniform_radius, interpret=cfg.pallas_interpret,
+        # band bond storage (same semantics as the XLA path and the id-list
+        # kernel): pairs deeper than store_radius re-qualify via the distance
+        # test, so only the outer band is remembered in the mask
+        store_radius=(None if cfg.bond_band_margin is None else
+                      bio.jkr_radius - cfg.bond_band_margin),
     )
     compact_kwargs = dict(
         block=block, span=span, run_offs=run_offs, bond_cap=K,
@@ -1139,11 +1166,18 @@ class HipscEngine:
                 if new_margin > margin:
                     margin = new_margin
                     changed = True
-        if use_pallas and max(jkr_span, nbr_span) > 8192:
+        n_runs = len(jkr_spec.flat_run_offsets)
+        mask_bytes = capacity * n_runs * jkr_span  # (C, n_runs*span) int8
+        if use_pallas and (max(jkr_span, nbr_span) > 8192
+                           or mask_bytes > _MASK_HBM_BUDGET):
             # span chunking makes wide caps cheap (VMEM scales with the chunk,
             # not the span; inactive chunks are skipped), but a span this wide
             # means a pathologically uneven bin-row packing — fall back to the
-            # XLA path rather than grow the chunk grid without bound
+            # XLA path rather than grow the chunk grid without bound. The
+            # bound is on the persistent bond-mask bytes, not the span alone:
+            # the masked path allocates a (C, n_runs*span) int8 mask, so a
+            # grown span at large capacity would OOM HBM long before a fixed
+            # span constant trips (e.g. 650k rows x 3 x 8192 = 16 GB).
             use_pallas = False
             changed = True
         if not changed:

@@ -301,6 +301,7 @@ def cell_pathway(
     current_step: jnp.ndarray,
     xp: ExperimentalParams,
     p: BiologyParams,
+    field_fgf4: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """``cell_pathway`` (``cell_methods.py:176-228``): perceived FGF4 is the
     noisy mean over the closed neighborhood; the finite dynamical system
@@ -315,17 +316,27 @@ def cell_pathway(
     across agents in the reference too (it redraws per (agent, neighbor)
     visit). The moment form needs only two masked reductions over the
     neighborhood, which the windowed/Pallas reduction paths supply directly.
+
+    ``field_fgf4`` (diffusion field coupling, ``DiffusionParams
+    .field_coupling``): when given, perceived FGF4 is instead the morphogen
+    concentration sampled at the cell's nearest diffusion point
+    (``get_concentration`` semantics, reference ``cell_methods.py:470-483``)
+    with the same multiplicative ``(1 + g)`` noise applied to the single
+    term, floored and clamped identically.
     """
     capacity = FGF4.shape[0]
 
     active = alive & (current_step >= xp.dox_step)
 
-    f_self = FGF4.astype(jnp.float32)
-    n_closed = (nbr_count + 1).astype(jnp.float32)
-    sum_f = nbr_FGF4_sum + f_self
-    sum_f2 = nbr_FGF4_sq_sum + f_self * f_self
     g = rng.normal(key, ids, salt=0)
-    perceived = (sum_f + g * jnp.sqrt(sum_f2)) / n_closed
+    if field_fgf4 is not None:
+        perceived = (1.0 + g) * field_fgf4.astype(jnp.float32)
+    else:
+        f_self = FGF4.astype(jnp.float32)
+        n_closed = (nbr_count + 1).astype(jnp.float32)
+        sum_f = nbr_FGF4_sum + f_self
+        sum_f2 = nbr_FGF4_sq_sum + f_self * f_self
+        perceived = (sum_f + g * jnp.sqrt(sum_f2)) / n_closed
     perceived = jnp.clip(jnp.floor(perceived), 0, p.field - 1).astype(jnp.int32)
 
     update = active & (fds_counters % p.fds_thresh == 0)

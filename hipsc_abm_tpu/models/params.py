@@ -179,6 +179,14 @@ class DiffusionParams:
     # (the coupling the reference sketches in ``adjust_morphogens``,
     # ``cell_methods.py:485-521``); 0 disables release
     release_amount: float = 0.0
+    # morphogen consumed per alive cell per step (uptake = negative deposit
+    # through the same 4-point stencil; the lattice clamp at >= 0 bounds it)
+    uptake_amount: float = 0.0
+    # when True, perceived FGF4 in cell_pathway is sampled from the morphogen
+    # field at the cell's nearest diffusion point (``get_concentration``
+    # semantics, reference ``cell_methods.py:470-483``) instead of the
+    # neighbor FGF4 mean — the gradient -> fate coupling of BASELINE config 2
+    field_coupling: bool = False
 
     @property
     def spat_res2(self) -> float:

@@ -379,7 +379,7 @@ def _contact_kernel_mask(
     out_mask_ref,  # (B, SPAN_R) i8
     span_ref, sems, *,
     CS, SPAN, run_offs, two_d, radius, adhesion_const, poisson, youngs,
-    break_d, uniform_radius,
+    break_d, uniform_radius, store_radius,
 ):
     i = pl.program_id(0)
     B = rows_ref.shape[0]
@@ -414,6 +414,8 @@ def _contact_kernel_mask(
 
     e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
     r2 = jnp.float32(radius * radius)
+    if store_radius is not None:
+        sr2 = jnp.float32(max(store_radius, 0.0) ** 2)
     if uniform_radius is not None:
         u_r_hat = (uniform_radius * uniform_radius) / (1e6 * 2.0 * uniform_radius)
         u_scale = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * u_r_hat ** (
@@ -489,10 +491,15 @@ def _contact_kernel_mask(
                 fz = jnp.zeros((B, 1), jnp.float32)
             else:
                 fz = jnp.sum(jnp.where(keep, w * dz, 0.0), axis=1, keepdims=True)
-            nkeep = jnp.sum(keep.astype(jnp.float32), axis=1, keepdims=True)
+            # band storage (see ops.jkr.jkr_substep_aligned): only pairs
+            # beyond store_radius are REMEMBERED; deeper pairs re-qualify via
+            # the fresh-contact distance test, so forces are unchanged. The
+            # degree lane counts stored pairs (the bond-capacity probe).
+            stored = keep & (dist2 > sr2) if store_radius is not None else keep
+            nkeep = jnp.sum(stored.astype(jnp.float32), axis=1, keepdims=True)
 
             out_mask_ref[:, pl.ds(r * SPAN + c * CS, CS)] = jnp.where(
-                keep, 1.0, 0.0
+                stored, 1.0, 0.0
             ).astype(jnp.int8)
             acc = jnp.concatenate(
                 [acc[:, 0:1] + fx, acc[:, 1:2] + fy, acc[:, 2:3] + fz,
@@ -509,7 +516,7 @@ def _contact_kernel_mask(
 def contact_substep_masked(
     srt_pack, in_mask, span_starts, chunk_needs, *,
     block, span, run_offs, radius, adhesion_const, poisson, youngs, break_d,
-    chunk=256, uniform_radius=None, interpret=False,
+    chunk=256, uniform_radius=None, store_radius=None, interpret=False,
 ):
     """Fused contact substep with the bond set as a persistent span mask.
 
@@ -532,7 +539,7 @@ def contact_substep_masked(
         _contact_kernel_mask, CS=chunk, SPAN=span, run_offs=tuple(run_offs),
         two_d=two_d, radius=radius, adhesion_const=adhesion_const,
         poisson=poisson, youngs=youngs, break_d=break_d,
-        uniform_radius=uniform_radius,
+        uniform_radius=uniform_radius, store_radius=store_radius,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -575,7 +582,7 @@ def _contact_kernel_seed(
     out_mask_ref,  # (B, SPAN_R) i8
     span_ref, sems, *,
     CS, SPAN, K, run_offs, two_d, radius, adhesion_const, poisson, youngs,
-    break_d, uniform_radius,
+    break_d, uniform_radius, store_radius,
 ):
     """First substep of a fresh Verlet window: bond membership from the id
     lists (the only thing that survives a re-sort), output the keep set as
@@ -614,6 +621,8 @@ def _contact_kernel_seed(
 
     e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
     r2 = jnp.float32(radius * radius)
+    if store_radius is not None:
+        sr2 = jnp.float32(max(store_radius, 0.0) ** 2)
     if uniform_radius is not None:
         u_r_hat = (uniform_radius * uniform_radius) / (1e6 * 2.0 * uniform_radius)
         u_scale = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * u_r_hat ** (
@@ -685,10 +694,15 @@ def _contact_kernel_seed(
                 fz = jnp.zeros((B, 1), jnp.float32)
             else:
                 fz = jnp.sum(jnp.where(keep, w * dz, 0.0), axis=1, keepdims=True)
-            nkeep = jnp.sum(keep.astype(jnp.float32), axis=1, keepdims=True)
+            # band storage (see ops.jkr.jkr_substep_aligned): only pairs
+            # beyond store_radius are REMEMBERED; deeper pairs re-qualify via
+            # the fresh-contact distance test, so forces are unchanged. The
+            # degree lane counts stored pairs (the bond-capacity probe).
+            stored = keep & (dist2 > sr2) if store_radius is not None else keep
+            nkeep = jnp.sum(stored.astype(jnp.float32), axis=1, keepdims=True)
 
             out_mask_ref[:, pl.ds(r * SPAN + c * CS, CS)] = jnp.where(
-                keep, 1.0, 0.0
+                stored, 1.0, 0.0
             ).astype(jnp.int8)
             acc = jnp.concatenate(
                 [acc[:, 0:1] + fx, acc[:, 1:2] + fy, acc[:, 2:3] + fz,
@@ -705,7 +719,7 @@ def _contact_kernel_seed(
 def contact_substep_ids_to_mask(
     srt_pack, srt_bonds, span_starts, chunk_needs, *,
     block, span, run_offs, radius, adhesion_const, poisson, youngs, break_d,
-    chunk=256, uniform_radius=None, interpret=False,
+    chunk=256, uniform_radius=None, store_radius=None, interpret=False,
 ):
     """First substep of a fresh window: membership from (C, K) id lists,
     bond state emitted as the (C, n_runs*span) int8 mask."""
@@ -724,6 +738,7 @@ def contact_substep_ids_to_mask(
         run_offs=tuple(run_offs), two_d=two_d, radius=radius,
         adhesion_const=adhesion_const, poisson=poisson, youngs=youngs,
         break_d=break_d, uniform_radius=uniform_radius,
+        store_radius=store_radius,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -395,6 +395,15 @@ def _domain_step_body(
     # --- cell_pathway ---
     m2 = bio_moments(arrays["locations"], arrays["FGF4"], zero_i, zero_i, alive)
     count2 = m2[:, 0].astype(jnp.int32)
+    # field coupling: the lattice is replicated and locations are global, so
+    # the nearest-gridpoint sample is local and bit-equal on every stripe
+    # (including halo rows — same lattice, same location, id-keyed noise)
+    field_fgf4 = None
+    if (base.enable_diffusion and diff is not None and diff.field_coupling
+            and "fgf4_values" in gradients):
+        field_fgf4 = diffusion_ops.sample_concentration(
+            gradients["fgf4_values"], arrays["locations"], diff.spat_res
+        )
     (
         arrays["FGF4"], arrays["FGFR"], arrays["ERK"],
         arrays["GATA6"], arrays["NANOG"], arrays["fds_counters"],
@@ -402,6 +411,7 @@ def _domain_step_body(
         arrays["FGF4"], arrays["FGFR"], arrays["ERK"], arrays["GATA6"],
         arrays["NANOG"], arrays["fds_counters"], arrays["ids"], alive, count2,
         m2[:, 1], m2[:, 2], k_path, current_step, xp, bio,
+        field_fgf4=field_fgf4,
     )
 
     # --- cell_differentiate ---
@@ -439,9 +449,12 @@ def _domain_step_body(
         new_gradients = {}
         for gname in sorted(gradients):
             grid_g = gradients[gname]
-            if diff.release_amount > 0.0:
+            if diff.release_amount > 0.0 or diff.uptake_amount > 0.0:
                 secreting = alive & owned & (arrays["NANOG"] > arrays["GATA6"])
                 amounts = jnp.where(secreting, diff.release_amount, 0.0)
+                amounts = amounts - jnp.where(
+                    alive & owned, diff.uptake_amount, 0.0
+                )
                 delta = diffusion_ops.deposit_morphogen(
                     jnp.zeros_like(grid_g), arrays["locations"], amounts,
                     diff.spat_res,

@@ -292,24 +292,41 @@ _IO_PENDING: List = []
 
 def submit_output(fn, *args, **kwargs):
     """Run an output task on the background writer thread. Falls back to
-    synchronous execution when threads are unavailable."""
+    synchronous execution when threads are unavailable.
+
+    Already-completed failed tasks are surfaced here (raised on the next
+    submit) so a broken output path aborts the run early instead of only at
+    the next flush point."""
     global _IO_POOL
     if _IO_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
 
         _IO_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="hipsc-io")
+    for prev in _IO_PENDING:
+        if prev.done() and prev.exception() is not None:
+            flush_outputs()  # drains the queue and raises with full context
     fut = _IO_POOL.submit(fn, *args, **kwargs)
     _IO_PENDING.append(fut)
     return fut
 
 
 def flush_outputs() -> None:
-    """Block until every submitted output task finished; re-raise the first
-    worker exception (output errors must not be silently dropped)."""
+    """Block until every submitted output task finished. Checks EVERY pending
+    future: the first worker exception is re-raised, any further failures are
+    printed (output errors must not be silently dropped, and later failures
+    must not be discarded unchecked behind the first)."""
     global _IO_PENDING
     pending, _IO_PENDING = _IO_PENDING, []
+    errors = []
     for fut in pending:
-        fut.result()
+        try:
+            fut.result()
+        except BaseException as exc:  # noqa: BLE001 — aggregated below
+            errors.append(exc)
+    if errors:
+        for extra in errors[1:]:
+            print(f"output worker error (suppressed behind first): {extra!r}")
+        raise errors[0]
 
 
 # ---------------------------------------------------------------------------

@@ -113,3 +113,48 @@ def test_stability_limit_helper():
     p = DiffusionParams(spat_res=10.0, diffuse_const=2.0)
     assert p.stability_limit() == 100.0 / 8.0
     assert p.diffuse_dt < p.stability_limit()
+
+
+def test_field_coupled_pathway_drives_fate():
+    """DiffusionParams.field_coupling: perceived FGF4 comes from the
+    morphogen field at the cell's nearest diffusion point (the reference's
+    ``get_concentration`` semantics, ``cell_methods.py:470-483``) — cell
+    fate must respond to the field, and uptake must drain it."""
+    from hipsc_abm_tpu.engine import HipscEngine
+    from hipsc_abm_tpu.models.params import (
+        DiffusionParams, ExperimentalParams, GeneralParams,
+    )
+
+    gen = GeneralParams(num_to_start=120, end_step=8, size=(600.0, 600.0, 0.0))
+    xp = ExperimentalParams(num_gata6=0, dox_step=1)
+
+    def run(initial, uptake=0.0):
+        diff = DiffusionParams(spat_res=30.0, diffuse_dt=6.0, diffuse_const=2.0,
+                               max_concentration=5.0, degradation=0.0,
+                               release_amount=0.0, uptake_amount=uptake,
+                               field_coupling=True)
+        eng = HipscEngine(gen, xp, diff=diff, enable_diffusion=True,
+                          use_pallas=False)
+        state = eng.init_state(seed=7)
+        state = state._replace(gradients={
+            "fgf4_values": jnp.full_like(state.gradients["fgf4_values"], initial)
+        })
+        for _ in range(4):
+            state, _ = eng.safe_step(state)
+        return state
+
+    hi = run(4.0)
+    lo = run(0.0)
+    # saturated field -> perceived FGF4 = field-1 (=1 for BN_9) for most
+    # cells; zero field -> perceived 0 exactly ((1+g)*0). ERK' = x1*x2, so
+    # the ERK trajectory must differ between the two fields.
+    assert not np.array_equal(
+        np.asarray(hi.arrays["ERK"])[np.asarray(hi.alive)],
+        np.asarray(lo.arrays["ERK"])[np.asarray(lo.alive)],
+    )
+    # zero field + multiplicative noise stays exactly zero-perceived: FGF4'
+    # dynamics then never see x1, identical to a no-field run with FGF4=0
+    drained = run(1.0, uptake=0.05)
+    assert float(jnp.sum(drained.gradients["fgf4_values"])) < float(
+        jnp.sum(run(1.0, uptake=0.0).gradients["fgf4_values"])
+    )

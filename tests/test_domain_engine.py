@@ -258,3 +258,40 @@ def test_domain_diffusion_and_optional_phases_match_single():
     gb = np.asarray(sstate.gradients["fgf4_values"])
     np.testing.assert_allclose(ga, gb, atol=1e-5)
     assert ga.max() > 0  # release actually happened
+
+
+@requires_multi
+def test_domain_field_coupling_and_uptake_match_single():
+    """Gradient->fate coupling (field-sampled perceived FGF4) and per-cell
+    uptake agree between the domain engine and the single-chip engine: the
+    lattice is replicated, locations are global, and the pathway noise is
+    id-keyed, so the nearest-gridpoint sample is identical on every stripe."""
+    from hipsc_abm_tpu.models.params import DiffusionParams
+
+    gen = GeneralParams(num_to_start=700, end_step=8, size=(1400.0, 1400.0, 0.0))
+    xp = ExperimentalParams(num_gata6=70, dox_step=1)
+    diff = DiffusionParams(spat_res=25.0, diffuse_dt=6.0, diffuse_const=2.0,
+                           max_concentration=2.0, degradation=0.05,
+                           release_amount=0.02, uptake_amount=0.004,
+                           field_coupling=True)
+    dom = DomainHipscEngine(gen, xp, diff=diff, enable_diffusion=True)
+    single = HipscEngine(gen, xp, diff=diff, cfg=dom.cfg.base, use_pallas=False)
+
+    dstate = dom.init_state(seed=29)
+    sstate = single.init_state(seed=29)
+    single.cfg = dom.cfg.base
+
+    for _ in range(3):
+        dstate, _ = dom.safe_step(dstate)
+        sstate, _ = single.safe_step(sstate)
+
+    a = by_id(dom.to_cell_state(dstate))
+    b = by_id(sstate)
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for k in ("FGF4", "FGFR", "ERK", "GATA6", "NANOG", "states"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    np.testing.assert_array_equal(a["locations"], b["locations"])
+    ga = np.asarray(dstate.gradients["fgf4_values"])
+    gb = np.asarray(sstate.gradients["fgf4_values"])
+    np.testing.assert_allclose(ga, gb, atol=1e-5)
+    assert ga.max() > 0

@@ -222,3 +222,70 @@ def test_engine_pallas_matches_xla(rng, size):
     bp = np.where(np.asarray(s_p.bonds.mask), np.asarray(s_p.bonds.partners), -1)
     for i in range(bx.shape[0]):
         assert set(bx[i][bx[i] >= 0]) == set(bp[i][bp[i] >= 0]), i
+
+
+def test_masked_band_storage_matches_xla(rng):
+    """bond_band_margin plumbing on the span-mask path: the seed and masked
+    kernels honor ``store_radius`` (only pairs beyond it are remembered),
+    agreeing with the XLA ``jkr_substep(store_radius=...)`` over two substeps
+    at frozen positions — forces, stored bond sets, and the degree probe."""
+    from hipsc_abm_tpu.ops.pallas_contact import (
+        compact_mask_bonds,
+        contact_substep_ids_to_mask,
+        contact_substep_masked,
+    )
+
+    locs, radii, alive, spec, grid, packed, bonds = build_inputs(
+        rng, seed_bonds=True
+    )
+    C = packed.shape[0]
+    sr = BIO.jkr_radius - 3.0
+
+    # XLA oracle: two band-storage substeps at fixed positions
+    g2, pos, valid, _ = nbr.sorted_window(
+        spec, jnp.asarray(locs), ids_of(C), jnp.asarray(alive)
+    )
+    kw = dict(radius=BIO.jkr_radius, adhesion_const=BIO.adhesion_const,
+              poisson=BIO.poisson, youngs=BIO.youngs, break_d=BIO.jkr_break_d,
+              store_radius=sr)
+    f1, b1, _ = jkr_substep(bonds, packed, g2.order, pos, valid, **kw)
+    f2, b2, _ = jkr_substep(b1, packed, g2.order, pos, valid, **kw)
+
+    # Pallas: seed (ids -> mask) then one masked substep, both with the band
+    order = grid.order
+    srt_pack = packed[order].at[:, 6].set(grid.sorted_flat.astype(jnp.float32))
+    partners_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
+    block, chunk = 64, 128
+    _, _, span_needed, _ = nbr.block_span_plan(
+        spec, grid.sorted_flat, block, span=C, capacity=C, chunk=C
+    )
+    span = min(int(((int(span_needed) + 127) // 128) * 128), C)
+    starts, needs, _, _ = nbr.block_span_plan(
+        spec, grid.sorted_flat, block, span=span, capacity=C, chunk=chunk
+    )
+    pkw = dict(block=block, span=span, run_offs=spec.flat_run_offsets,
+               chunk=chunk, interpret=True, **kw)
+    fd1, mask1 = contact_substep_ids_to_mask(
+        srt_pack, partners_f[order], starts, needs, **pkw
+    )
+    fd2, mask2 = contact_substep_masked(srt_pack, mask1, starts, needs, **pkw)
+    got_bonds = compact_mask_bonds(
+        srt_pack, mask2, starts, needs, block=block, span=span,
+        run_offs=spec.flat_run_offsets, bond_cap=bonds.partners.shape[1],
+        chunk=chunk, interpret=True,
+    )
+
+    inv = jnp.zeros((C,), jnp.int32).at[order].set(jnp.arange(C, dtype=jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(fd2[inv][:, :3]), np.asarray(f2), rtol=1e-4, atol=1e-13
+    )
+    exp = np.where(np.asarray(b2.mask), np.asarray(b2.partners), -1)
+    got = np.asarray(got_bonds[inv]).astype(np.int64)
+    for i in range(C):
+        assert set(got[i][got[i] >= 0].tolist()) == set(
+            exp[i][exp[i] >= 0].tolist()
+        ), i
+    np.testing.assert_array_equal(
+        np.asarray(fd2[inv][:, 3]).astype(int),
+        np.asarray(jnp.sum(b2.mask, axis=1)).astype(int),
+    )
