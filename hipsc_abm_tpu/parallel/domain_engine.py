@@ -842,6 +842,27 @@ def _migrate(cfg, base, arrays, alive, bonds, ncl, nch, prev_ncl, next_nch):
     return arrays, alive_new, bonds, mig_out_max, mig_shortfall, too_far
 
 
+def domain_config_to_meta(cfg: DomainConfig) -> dict:
+    """DomainConfig as a JSON-able dict (checkpoint metadata). Bit-exact
+    resume needs the exact static configuration (probe caps feed RNG draw
+    shapes and growth state), not one re-derived from data."""
+    from hipsc_abm_tpu.engine import config_to_meta
+
+    d = dataclasses.asdict(cfg)
+    d["base"] = config_to_meta(cfg.base)
+    d["col_bounds"] = list(cfg.col_bounds)
+    return d
+
+
+def domain_config_from_meta(meta: dict) -> DomainConfig:
+    from hipsc_abm_tpu.engine import config_from_meta
+
+    meta = dict(meta)
+    meta["base"] = config_from_meta(meta["base"])
+    meta["col_bounds"] = tuple(meta["col_bounds"])
+    return DomainConfig(**meta)
+
+
 # ---------------------------------------------------------------------------
 # host-side driver
 # ---------------------------------------------------------------------------
@@ -1080,6 +1101,41 @@ class DomainHipscEngine:
             step=dstate.step,
             next_id=dstate.next_id,
         )
+
+    # -- checkpoint / resume ---------------------------------------------------
+    #
+    # The pod-scale analog of the reference's mode-1 contract
+    # (``simulation.py:525-536``): a DomainState round-trips through the flat
+    # CellState npz format plus the full DomainConfig as metadata. Dynamics
+    # are layout-independent (id-keyed RNG, canonical-order windows), so the
+    # re-partition on load — which may place agents in different slots than
+    # the interrupted run held them in — yields bit-identical continuation
+    # (validated by ``tests/test_domain_engine.py::
+    # test_domain_checkpoint_resume_bit_exact``).
+
+    def save_checkpoint(self, path: str, dstate: DomainState) -> None:
+        from hipsc_abm_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_state(
+            path, self.to_cell_state(dstate),
+            meta={"domain_config": domain_config_to_meta(self.cfg)},
+        )
+
+    def load_checkpoint(self, path: str) -> DomainState:
+        """Restore a DomainState; adopts the checkpoint's static configuration
+        (capacities, probe caps, drift allowance) so resume is bit-exact."""
+        from hipsc_abm_tpu.utils import checkpoint as ckpt
+
+        state, meta = ckpt.load_state(path)
+        if "domain_config" in meta:
+            cfg = domain_config_from_meta(meta["domain_config"])
+            if cfg.n_stripes != self.mesh.devices.size:
+                raise ValueError(
+                    f"checkpoint has {cfg.n_stripes} stripes; mesh has "
+                    f"{self.mesh.devices.size} devices"
+                )
+            self.cfg = cfg
+        return self.from_cell_state(state)
 
     # -- stepping --------------------------------------------------------------
 

@@ -1,17 +1,16 @@
-"""Multi-chip scaling: device mesh + sharded fused step.
+"""Agent-sharded fused step (GSPMD) — a correctness cross-check, NOT the
+deployment path. **Use ``parallel.domain_engine.DomainHipscEngine`` for
+multi-chip runs.**
 
-The reference's only parallelism is shared-memory ``prange`` and single-GPU
-CUDA with host<->device memcpy per call (SURVEY.md §2.4); it has no
-multi-device story. Here multi-chip runs are first-class and TPU-native:
-
-- **Agent sharding (this module)**: the slot axis of every per-agent array is
-  sharded over a 1-D ``jax.sharding.Mesh``; the fused step is jit-compiled
-  with those shardings and XLA/GSPMD inserts the collectives (all-gathers for
-  the grid's global argsort + window gathers, psums for reductions) over ICI.
-  This is the ABM analog of data parallelism: each chip owns C/n agent slots.
-- **Spatial domain decomposition** (``parallel.domain``): shard_map over grid
-  stripes with halo exchange of boundary agents — the ABM analog of sequence
-  parallelism (SURVEY.md §5.7).
+This module shards the slot axis of every per-agent array over a 1-D
+``jax.sharding.Mesh`` and lets XLA/GSPMD insert the collectives. Its value is
+that it matches the single-device engine *exactly* with zero decomposition
+code — a strong independent check on the domain engine — but its collectives
+are O(colony) per window rebuild (the grid's global argsort and window
+gathers all-gather across chips) and the fused Pallas kernels are disabled
+(they assume a device-local sorted layout). Both costs are structural to
+agent sharding, which is why the spatial domain engine — O(boundary)
+collectives, per-stripe Pallas kernels — is the scalable route.
 
 Multi-chip correctness is validated on a virtual 8-device CPU mesh
 (``jax.config jax_num_cpu_devices``) — the standard way to test pod code
@@ -65,6 +64,10 @@ def shard_state(state: CellState, mesh: Mesh) -> CellState:
 
 class ShardedHipscEngine(HipscEngine):
     """HipscEngine whose fused step runs sharded over a device mesh.
+
+    **Correctness cross-check only** — O(colony) communication per window
+    rebuild and no Pallas kernels (see module docstring). Deploy multi-chip
+    runs on ``parallel.domain_engine.DomainHipscEngine``.
 
     Capacity management (``safe_step`` growth) is inherited unchanged —
     re-padding preserves shardings via the jit output shardings.

@@ -295,3 +295,40 @@ def test_domain_field_coupling_and_uptake_match_single():
     gb = np.asarray(sstate.gradients["fgf4_values"])
     np.testing.assert_allclose(ga, gb, atol=1e-5)
     assert ga.max() > 0
+
+
+@requires_multi
+def test_domain_checkpoint_resume_bit_exact(tmp_path):
+    """Mode-1 contract for the pod-scale engine (reference
+    ``simulation.py:525-536``): interrupt -> checkpoint -> restore in a fresh
+    driver -> continue == uninterrupted run, bit-exact by agent id, even
+    though the re-partition may land agents in different slots."""
+    dom, _ = make_engines(n=900, gata6=90, box=1500.0)
+    state = dom.init_state(seed=11)
+    for _ in range(3):
+        state, _ = dom.safe_step(state)
+
+    path = str(tmp_path / "dom_ckpt.npz")
+    dom.save_checkpoint(path, state)
+
+    # uninterrupted continuation
+    for _ in range(3):
+        state, _ = dom.safe_step(state)
+
+    # fresh driver (default config differs until load adopts the saved one)
+    gen = GeneralParams(num_to_start=900, end_step=8, size=(1500.0, 1500.0, 0.0))
+    xp = ExperimentalParams(num_gata6=90, dox_step=2)
+    dom2 = DomainHipscEngine(gen, xp)
+    restored = dom2.load_checkpoint(path)
+    assert dom2.cfg == dom.cfg
+    for _ in range(3):
+        restored, _ = dom2.safe_step(restored)
+
+    a = by_id(dom.to_cell_state(state))
+    b = by_id(dom2.to_cell_state(restored))
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert bond_sets(dom.to_cell_state(state)) == bond_sets(
+        dom2.to_cell_state(restored)
+    )
