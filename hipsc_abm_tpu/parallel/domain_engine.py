@@ -222,10 +222,14 @@ def _local_flat(
     shifted origin could disagree with global binning at bin edges). Rows
     outside the local lattice get the dead sentinel (they become invisible;
     the drift probe forces re-execution if an own row ever lands there).
-    Returns ``(flat, local_coords)``."""
+    Returns ``(flat, local_coords)``. Dimension-agnostic: in 2D ``nz == 1``
+    and the z coordinate is 0, so the 3D formula reduces to the 2D one (a
+    "column" is a y row in 2D and a y-z slab in 3D — the decomposition axis
+    is x either way, matching the reference's 3x3x3 stencil treating 3D as
+    first-class, ``backend.py:84-93``)."""
     cxl = gcoords[:, 0] - col_off
     in_range = (cxl >= 0) & (cxl < spec_local.nx)
-    flat = cxl * spec_local.ny + gcoords[:, 1]
+    flat = (cxl * spec_local.ny + gcoords[:, 1]) * spec_local.nz + gcoords[:, 2]
     flat = jnp.where(alive & in_range, flat, nbr_ops.dead_sentinel(spec_local))
     coords_l = jnp.stack(
         [jnp.clip(cxl, 0, spec_local.nx - 1), gcoords[:, 1], gcoords[:, 2]], axis=1
@@ -550,15 +554,21 @@ def _domain_physics(
 
     Design: the contact window (local grid + per-row candidate windows) and
     the halo membership are frozen together at each Verlet rebuild; between
-    rebuilds each substep ppermutes a fresh contact-band pack and refreshes
-    the *positions* of the frozen halo rows by id-join, so every candidate an
-    own row sees carries its owner's current position — making force sums
-    bit-equal to the single-chip engine's (same candidates, same order, same
-    rebuild schedule). At a rebuild the receiver freezes only the fresh-pack
-    rows inside its receive columns (``recv_l_col``/``recv_r_col``) — the
-    fresh send band is one column wider on each side, so a frozen member can
-    never drift out of fresh coverage within a window's lifetime (drift <
-    skin/2 < one jkr column)."""
+    rebuilds each substep ppermutes the positions of the SAME frozen band
+    rows (the sender carries its rebuild-time compaction indices in the scan,
+    so refresh row h is by construction the agent behind halo row h — an O(H)
+    gather, replacing the O(H^2) id-join an earlier revision used), so every
+    candidate an own row sees carries its owner's current position — making
+    force sums bit-equal to the single-chip engine's (same candidates, same
+    order, same rebuild schedule). The rebuild predicate is pmax'd, so every
+    stripe agrees on whether a given exchange carries a fresh-membership pack
+    (rebuild) or a frozen-band refresh. At a rebuild the receiver freezes
+    only the fresh-pack rows inside its receive columns
+    (``recv_l_col``/``recv_r_col``) — the fresh send band is one column wider
+    on each side, so a frozen member can never drift out of coverage within a
+    window's lifetime (drift < skin/2 < one jkr column); ownership is fixed
+    during physics (migration runs at step end), so a frozen sender row
+    always remains resident and alive for the window's lifetime."""
     base = cfg.base
     P_own = cfg.per_stripe
     H = cfg.halo_cap
@@ -576,18 +586,23 @@ def _domain_physics(
 
     PK_LANES = 6  # x, y, z, radius, id, alive
 
-    def fresh_packs(pk):
-        """Contact-band packs from current own rows (one column wider than
-        the frozen band)."""
-        own_loc = pk[:P_own, :3]
+    def fresh_band_idx(pk):
+        """Compaction indices of the current fresh contact band (one column
+        wider than the frozen band) — the sender-side membership that gets
+        FROZEN into the scan carry at each rebuild."""
         own_alive = pk[:P_own, 5] > 0.0
-        cj = jcol(own_loc[:, 0])
+        cj = jcol(pk[:P_own, 0])
         idxL, valL, cntL = _compact_idx(own_alive & (cj <= sl_fresh), H)
         idxR, valR, cntR = _compact_idx(own_alive & (cj >= sr_fresh), H)
+        return (idxL, valL, idxR, valR), jnp.maximum(cntL, cntR)
+
+    def band_exchange(pk, frz):
+        """Exchange band packs gathered at the given (frozen or fresh)
+        indices."""
+        idxL, valL, idxR, valR = frz
         packL = jnp.where(valL[:, None], pk[:P_own][idxL, :PK_LANES], 0.0)
         packR = jnp.where(valR[:, None], pk[:P_own][idxR, :PK_LANES], 0.0)
-        from_left, from_right = _ring_exchange(packL, packR, cfg.n_stripes)
-        return from_left, from_right, jnp.maximum(cntL, cntR)
+        return _ring_exchange(packL, packR, cfg.n_stripes)
 
     use_pallas = base.use_pallas
     span = min(base.jkr_span, C)
@@ -628,29 +643,20 @@ def _domain_physics(
             win = (grid.order, pos, valid, pk[:, :3])
         return pk, win, max_run, span_needed
 
-    def join_positions(pk, from_left, from_right):
-        """Refresh frozen halo rows' positions from the fresh packs by agent
-        id. Every live frozen member is in the fresh pack (one-column margin);
-        the miss probe catches violations (drift allowance too small)."""
+    def refresh_positions(pk, from_left, from_right):
+        """Refresh frozen halo rows' positions: the sender resent its frozen
+        band rows in rebuild-time compaction order, so received row h IS the
+        agent behind halo row h (rows not kept by the rebuild filter have a
+        dead alive lane and are skipped) — one O(H) masked write."""
         fresh = jnp.concatenate([from_left, from_right], axis=0)  # (2H, 6)
-        f_ok = fresh[:, 5] > 0.0
-        halo_id = pk[P_own:, 4]
         halo_alive = pk[P_own:, 5] > 0.0
-        eq = (halo_id[:, None] == fresh[None, :, 4]) & f_ok[None, :]
-        found = jnp.any(eq, axis=1)
-        new_pos = jnp.einsum(
-            "hf,fd->hd", eq.astype(jnp.float32), fresh[:, :3],
-            preferred_element_type=jnp.float32,
-        )
-        upd = (found & halo_alive)[:, None]
-        halo_pos = jnp.where(upd, new_pos, pk[P_own:, :3])
-        pk = pk.at[P_own:, :3].set(halo_pos)
-        miss = jnp.sum(halo_alive & ~found)
-        return pk, miss
+        halo_pos = jnp.where(halo_alive[:, None], fresh[:, :3], pk[P_own:, :3])
+        return pk.at[P_own:, :3].set(halo_pos)
 
     # --- scan entry: unconditional build -------------------------------------
     pk0 = pack_physics(arrays["locations"], arrays["radii"], arrays["ids"], alive)
-    fl0, fr0, band0 = fresh_packs(pk0)
+    frz0, band0 = fresh_band_idx(pk0)
+    fl0, fr0 = band_exchange(pk0, frz0)
     pk0, win0, max_run0, span0 = rebuild(pk0, fl0, fr0)
 
     store_radius = (None if base.bond_band_margin is None else
@@ -691,8 +697,7 @@ def _domain_physics(
         return forces, new_bonds, jnp.max(force_deg[:, 3]).astype(jnp.int32)
 
     def substep(carry, dt):
-        pk, bonds, win = carry
-        from_left, from_right, band_cnt = fresh_packs(pk)
+        pk, bonds, win, frz = carry
 
         own_alive = pk[:P_own, 5] > 0.0
         drift2 = jnp.max(
@@ -709,21 +714,30 @@ def _domain_physics(
             jnp.where(own_alive, jnp.maximum(x_lo - x_own, x_own - x_hi), 0.0)
         )
 
+        # the pmax makes the predicate globally uniform: every stripe sends
+        # the same pack kind this substep (fresh membership at rebuilds, the
+        # frozen band otherwise) — selected OUTSIDE the cond so the ppermute
+        # stays unconditional
         do_rebuild = g_drift2 > (skin * 0.5) ** 2
+        frz_fresh, band_cnt_f = fresh_band_idx(pk)
+        frz = jax.tree_util.tree_map(
+            lambda f, o: jnp.where(do_rebuild, f, o), frz_fresh, frz
+        )
+        band_cnt = jnp.where(do_rebuild, band_cnt_f, 0)
+        from_left, from_right = band_exchange(pk, frz)
 
         zero_v = jax.lax.pcast(jnp.zeros((), jnp.int32), (AXIS,), to="varying")
 
         def do_re(args):
             pk, win = args
             pk, win, max_run, span_needed = rebuild(pk, from_left, from_right)
-            return pk, win, max_run, span_needed, zero_v
+            return pk, win, max_run, span_needed
 
         def no_re(args):
             pk, win = args
-            pk, miss = join_positions(pk, from_left, from_right)
-            return pk, win, zero_v, zero_v, miss
+            return refresh_positions(pk, from_left, from_right), win, zero_v, zero_v
 
-        pk, win, max_run, span_needed, miss = jax.lax.cond(
+        pk, win, max_run, span_needed = jax.lax.cond(
             do_rebuild, do_re, no_re, (pk, win)
         )
 
@@ -742,12 +756,12 @@ def _domain_physics(
             )
         )
         pk = pk.at[:, :3].set(new_loc)
-        return (pk, bonds, win), (
-            max_run, max_degree, band_cnt, miss, exceed, span_needed, move2,
+        return (pk, bonds, win, frz), (
+            max_run, max_degree, band_cnt, exceed, span_needed, move2,
         )
 
-    (pk, bonds, _), (runs, degs, bands, misses, exceeds, spans, moves2) = (
-        jax.lax.scan(substep, (pk0, bonds, win0), dts)
+    (pk, bonds, _, _), (runs, degs, bands, exceeds, spans, moves2) = (
+        jax.lax.scan(substep, (pk0, bonds, win0, frz0), dts)
     )
     return (
         pk[:, :3],
@@ -755,7 +769,8 @@ def _domain_physics(
         jnp.maximum(jnp.max(runs), max_run0),
         jnp.max(degs),
         jnp.maximum(jnp.max(bands), band0),
-        jnp.sum(misses),
+        jnp.zeros((), jnp.int32),  # halo_miss: structurally zero (frozen
+        # sender-side membership — a frozen member is always resent)
         jnp.max(exceeds),
         jnp.maximum(jnp.max(spans), span0),
         jnp.sqrt(jnp.max(moves2)),
@@ -895,8 +910,6 @@ class DomainHipscEngine:
         use_pallas: Optional[bool] = None,
         pallas_interpret: bool = False,
     ):
-        if gen.size[2] != 0:
-            raise NotImplementedError("domain decomposition is 2D-only for now")
         self.gen = gen
         self.xp = xp
         self.bio = bio or BiologyParams()
