@@ -578,7 +578,7 @@ def _domain_physics(
     skin = base.verlet_skin
 
     mot = arrays["motility_forces"]
-    dts = jnp.asarray(_physics_dts(bio))
+    dts = _physics_dts(bio)  # numpy: the pallas scan needs dts[0] static
 
     def jcol(x):
         c = jnp.floor(x / gspec.cell_size).astype(jnp.int32) + 1
@@ -662,43 +662,13 @@ def _domain_physics(
     store_radius = (None if base.bond_band_margin is None else
                     bio.jkr_radius - base.bond_band_margin)
 
-    def contact_xla(pk, bonds, win):
-        order, pos, valid, _ = win
-        return jkr_ops.jkr_substep(
-            bonds, pk, order, pos, valid, bio.jkr_radius,
-            bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
-            store_radius=store_radius,
-        )
-
-    def contact_pallas(pk, bonds, win):
-        """The per-shard fused Mosaic kernel: local sorted rows + span plan
-        are device-local, so the single-chip kernel drops in unchanged —
-        multi-chip keeps the kernel win (VERDICT round-1 item 5a)."""
-        from hipsc_abm_tpu.ops.pallas_contact import NO_BOND, contact_substep_pallas
-
-        order, inv, starts, chunk_needs, sflat, _ = win
-        srt = pk[order].at[:, 6].set(sflat)
-        bond_f = jnp.where(bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND)
-        force_deg, new_bonds_srt = contact_substep_pallas(
-            srt, bond_f[order], starts, chunk_needs,
-            block=base.pallas_block, span=span,
-            run_offs=spec_l.flat_run_offsets, radius=bio.jkr_radius,
-            adhesion_const=bio.adhesion_const, poisson=bio.poisson,
-            youngs=bio.youngs, break_d=bio.jkr_break_d,
-            store_radius=store_radius,
-            chunk=base.pallas_chunk, uniform_radius=base.uniform_radius,
-            interpret=base.pallas_interpret,
-        )
-        forces = force_deg[inv][:, :3]
-        bs = new_bonds_srt[inv]
-        new_bonds = BondState(
-            partners=jnp.maximum(bs, 0).astype(jnp.int32), mask=bs >= 0
-        )
-        return forces, new_bonds, jnp.max(force_deg[:, 3]).astype(jnp.int32)
-
-    def substep(carry, dt):
-        pk, bonds, win, frz = carry
-
+    def drift_and_band(pk, win, frz):
+        """Shared per-substep prologue: pmax'd global drift predicate,
+        out-of-stripe probe, band pack selection + exchange. The pmax makes
+        the predicate globally uniform: every stripe sends the same pack
+        kind this substep (fresh membership at rebuilds, the frozen band
+        otherwise) — selected OUTSIDE the cond so the ppermute stays
+        unconditional."""
         own_alive = pk[:P_own, 5] > 0.0
         drift2 = jnp.max(
             jnp.where(
@@ -708,16 +678,10 @@ def _domain_physics(
             )
         )
         g_drift2 = jax.lax.pmax(drift2, AXIS)
-        # out-of-stripe drift probe (sizes the static contact bands)
         x_own = pk[:P_own, 0]
         exceed = jnp.max(
             jnp.where(own_alive, jnp.maximum(x_lo - x_own, x_own - x_hi), 0.0)
         )
-
-        # the pmax makes the predicate globally uniform: every stripe sends
-        # the same pack kind this substep (fresh membership at rebuilds, the
-        # frozen band otherwise) — selected OUTSIDE the cond so the ppermute
-        # stays unconditional
         do_rebuild = g_drift2 > (skin * 0.5) ** 2
         frz_fresh, band_cnt_f = fresh_band_idx(pk)
         frz = jax.tree_util.tree_map(
@@ -725,28 +689,12 @@ def _domain_physics(
         )
         band_cnt = jnp.where(do_rebuild, band_cnt_f, 0)
         from_left, from_right = band_exchange(pk, frz)
+        return do_rebuild, frz, band_cnt, exceed, from_left, from_right
 
-        zero_v = jax.lax.pcast(jnp.zeros((), jnp.int32), (AXIS,), to="varying")
-
-        def do_re(args):
-            pk, win = args
-            pk, win, max_run, span_needed = rebuild(pk, from_left, from_right)
-            return pk, win, max_run, span_needed
-
-        def no_re(args):
-            pk, win = args
-            return refresh_positions(pk, from_left, from_right), win, zero_v, zero_v
-
-        pk, win, max_run, span_needed = jax.lax.cond(
-            do_rebuild, do_re, no_re, (pk, win)
-        )
-
-        if use_pallas:
-            forces, bonds, max_degree = contact_pallas(pk, bonds, win)
-        else:
-            forces, bonds, max_degree = contact_xla(pk, bonds, win)
+    def integrate(pk, forces, dt):
         new_loc = stokes_integrate(
-            pk[:, :3], pk[:, 3], forces, mot, pk[:, 5] > 0.0, bio.stokes, size, dt,
+            pk[:, :3], pk[:, 3], forces, mot, pk[:, 5] > 0.0, bio.stokes,
+            size, dt,
         )
         move2 = jnp.max(
             jnp.where(
@@ -755,14 +703,56 @@ def _domain_physics(
                 0.0,
             )
         )
-        pk = pk.at[:, :3].set(new_loc)
-        return (pk, bonds, win, frz), (
-            max_run, max_degree, band_cnt, exceed, span_needed, move2,
-        )
+        return pk.at[:, :3].set(new_loc), move2
 
-    (pk, bonds, _, _), (runs, degs, bands, exceeds, spans, moves2) = (
-        jax.lax.scan(substep, (pk0, bonds, win0, frz0), dts)
-    )
+    def zero_v():
+        return jax.lax.pcast(jnp.zeros((), jnp.int32), (AXIS,), to="varying")
+
+    if use_pallas:
+        result = _domain_physics_pallas_scan(
+            cfg, bio, bonds, size, dts, pk0, win0, frz0, store_radius,
+            drift_and_band, rebuild, refresh_positions, integrate, zero_v,
+        )
+    else:
+        def contact_xla(pk, bonds, win):
+            order, pos, valid, _ = win
+            return jkr_ops.jkr_substep(
+                bonds, pk, order, pos, valid, bio.jkr_radius,
+                bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
+                store_radius=store_radius,
+            )
+
+        def substep(carry, dt):
+            pk, bonds, win, frz = carry
+            do_rebuild, frz, band_cnt, exceed, from_left, from_right = (
+                drift_and_band(pk, win, frz)
+            )
+
+            def do_re(args):
+                pk, win = args
+                pk, win, max_run, span_needed = rebuild(pk, from_left, from_right)
+                return pk, win, max_run, span_needed
+
+            def no_re(args):
+                pk, win = args
+                return (refresh_positions(pk, from_left, from_right), win,
+                        zero_v(), zero_v())
+
+            pk, win, max_run, span_needed = jax.lax.cond(
+                do_rebuild, do_re, no_re, (pk, win)
+            )
+            forces, bonds, max_degree = contact_xla(pk, bonds, win)
+            pk, move2 = integrate(pk, forces, dt)
+            return (pk, bonds, win, frz), (
+                max_run, max_degree, band_cnt, exceed, span_needed, move2,
+            )
+
+        (pk, bonds, _, _), (runs, degs, bands, exceeds, spans, moves2) = (
+            jax.lax.scan(substep, (pk0, bonds, win0, frz0), jnp.asarray(dts))
+        )
+        result = (pk, bonds, runs, degs, bands, exceeds, spans, moves2)
+
+    pk, bonds, runs, degs, bands, exceeds, spans, moves2 = result
     return (
         pk[:, :3],
         bonds,
@@ -774,6 +764,130 @@ def _domain_physics(
         jnp.max(exceeds),
         jnp.maximum(jnp.max(spans), span0),
         jnp.sqrt(jnp.max(moves2)),
+    )
+
+
+def _domain_physics_pallas_scan(
+    cfg, bio, bonds, size, dts, pk0, win0, frz0, store_radius,
+    drift_and_band, rebuild, refresh_positions, integrate, zero_v,
+):
+    """Per-stripe physics with **span-mask bonds** (VERDICT r2 item 2): the
+    single-chip engine's fast path, dropped into the decomposed scan.
+
+    While a stripe's Verlet window (local sort order + span plan) is frozen,
+    the bond set rides a persistent (C_loc, n_runs*span) int8 mask — one lane
+    read for membership, one in-place write for storage — instead of the
+    per-substep K-id membership scan + first-K compaction the round-2 path
+    ran (~2.5x the per-row kernel cost, BENCHMARKS.md). Id lists are
+    reconstructed only at rebuild boundaries and scan exit
+    (``compact_mask_bonds``), exactly mirroring
+    ``engine._physics_scan_pallas``; the rebuild schedule (pmax'd drift) and
+    candidate sequences are unchanged, so domain-vs-single-chip agreement is
+    preserved.
+
+    Halo rows carry empty bond rows and garbage masks — harmless by
+    construction: eligibility reads only the ROW's own bond state, halo rows'
+    force/bond outputs are discarded (their positions are refreshed from the
+    owner every substep, and only own rows [:P_own] leave the step)."""
+    from hipsc_abm_tpu.ops.pallas_contact import (
+        NO_BOND,
+        compact_mask_bonds,
+        contact_substep_ids_to_mask,
+        contact_substep_masked,
+    )
+
+    base = cfg.base
+    C = cfg.local_capacity
+    spec_l = cfg.jkr_spec_local
+    span = min(base.jkr_span, C)
+    K = bonds.partners.shape[1]
+    np_dts = np.asarray(dts)
+
+    kern_kwargs = dict(
+        block=base.pallas_block, span=span, run_offs=spec_l.flat_run_offsets,
+        radius=bio.jkr_radius, adhesion_const=bio.adhesion_const,
+        poisson=bio.poisson, youngs=bio.youngs, break_d=bio.jkr_break_d,
+        chunk=base.pallas_chunk, uniform_radius=base.uniform_radius,
+        store_radius=store_radius, interpret=base.pallas_interpret,
+    )
+    compact_kwargs = dict(
+        block=base.pallas_block, span=span, run_offs=spec_l.flat_run_offsets,
+        bond_cap=K, chunk=base.pallas_chunk, interpret=base.pallas_interpret,
+    )
+
+    def srt_of(pk, win):
+        order, _inv, _starts, _needs, sflat, _ref = win
+        return pk[order].at[:, 6].set(sflat)
+
+    # --- entry: seed the window's mask from the id lists + first substep ---
+    srt0 = srt_of(pk0, win0)
+    bond_f0 = jnp.where(
+        bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND
+    )[win0[0]]
+    force_deg0, mask = contact_substep_ids_to_mask(
+        srt0, bond_f0, win0[2], win0[3], **kern_kwargs
+    )
+    deg0 = jnp.max(force_deg0[:, 3]).astype(jnp.int32)
+    pk0, move2_0 = integrate(pk0, force_deg0[win0[1]][:, :3], float(np_dts[0]))
+
+    def substep(carry, dt):
+        pk, mask, win, frz = carry
+        do_rebuild, frz, band_cnt, exceed, from_left, from_right = (
+            drift_and_band(pk, win, frz)
+        )
+
+        def do_re(args):
+            pk, mask, win = args
+            # mask -> id lists through the OLD window (the only bond
+            # representation that survives a re-sort), then freeze the new
+            # halo membership, re-plan, and seed the new window's mask
+            srt_bonds = compact_mask_bonds(
+                srt_of(pk, win), mask, win[2], win[3], **compact_kwargs
+            )
+            slot_bonds = srt_bonds[win[1]]
+            pk, win, max_run, span_needed = rebuild(pk, from_left, from_right)
+            force_deg, mask = contact_substep_ids_to_mask(
+                srt_of(pk, win), slot_bonds[win[0]], win[2], win[3],
+                **kern_kwargs,
+            )
+            return force_deg, pk, mask, win, max_run, span_needed
+
+        def no_re(args):
+            pk, mask, win = args
+            pk = refresh_positions(pk, from_left, from_right)
+            force_deg, mask = contact_substep_masked(
+                srt_of(pk, win), mask, win[2], win[3], **kern_kwargs
+            )
+            return force_deg, pk, mask, win, zero_v(), zero_v()
+
+        force_deg, pk, mask, win, max_run, span_needed = jax.lax.cond(
+            do_rebuild, do_re, no_re, (pk, mask, win)
+        )
+        max_degree = jnp.max(force_deg[:, 3]).astype(jnp.int32)
+        pk, move2 = integrate(pk, force_deg[win[1]][:, :3], dt)
+        return (pk, mask, win, frz), (
+            max_run, max_degree, band_cnt, exceed, span_needed, move2,
+        )
+
+    (pk, mask, win, _), (runs, degs, bands, exceeds, spans, moves2) = (
+        jax.lax.scan(substep, (pk0, mask, win0, frz0), jnp.asarray(np_dts[1:]))
+    )
+
+    # --- exit: final mask -> id lists, back to slot rows -------------------
+    srt_bonds = compact_mask_bonds(
+        srt_of(pk, win), mask, win[2], win[3], **compact_kwargs
+    )
+    bs = srt_bonds[win[1]]
+    bonds = BondState(partners=jnp.maximum(bs, 0).astype(jnp.int32), mask=bs >= 0)
+    zv = zero_v()
+    return (
+        pk, bonds,
+        jnp.concatenate([(zv * 0)[None], runs]),  # entry window probed by caller
+        jnp.concatenate([deg0[None], degs]),
+        bands,
+        exceeds,
+        jnp.concatenate([zv[None], spans]),
+        jnp.concatenate([move2_0[None], moves2]),
     )
 
 

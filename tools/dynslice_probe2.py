@@ -48,8 +48,10 @@ def kernel(offs_ref, rows_ref, span_ref, out_ref, *, mode):
         W = {"quarters": 128, "q256": 256, "octets": 128, "half": 256}[mode]
         cols = []
         for g in range(B // gr):
-            off = pl.multiple_of((offs_ref[g % 4, i] // 128) * 128, 128)
-            win = span_ref[:, pl.ds(jnp.minimum(off, SPAN - W), W)]
+            off = pl.multiple_of(
+                jnp.minimum((offs_ref[g % 4, i] // 128) * 128, SPAN - W), 128
+            )
+            win = span_ref[:, pl.ds(off, W)]
             cols.append(body(rows_ref[pl.ds(g * gr, gr), :], win))
         out_ref[:] = jnp.concatenate(cols, axis=0)
 
