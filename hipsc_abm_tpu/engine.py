@@ -109,8 +109,13 @@ class EngineConfig:
     # physics substeps until any agent drifts more than skin/2 — then a
     # lax.cond rebuilds it. Contacts are always re-tested at the true radius
     # with current positions, so physics is exact; the skin only bounds how
-    # long a window provably covers all true contacts.
-    verlet_skin: float = 6.0
+    # long a window provably covers all true contacts. Default from the
+    # round-3 sweep (tools/skin_sweep.py): 14 um cuts in-step rebuilds
+    # (each costs sort + plan + permute + seed + compact) enough to win
+    # 25-45% wall at 100k-500k agents over the round-2 default of 6, and
+    # the wider bins barely widen spans (span need tracks block rows, not
+    # bin size); 18+ regresses (span growth overtakes rebuild savings).
+    verlet_skin: float = 14.0
     enable_growth: bool = False  # reference ships these disabled
     enable_stochastic: bool = False  # (cell_simulation.py:98-100);
     enable_diff_surround: bool = False  # config-enabled here
@@ -155,7 +160,7 @@ class EngineConfig:
         nbr_run_cap: int = 16,
         jkr_run_cap: int = 16,
         bond_cap: int = 8,
-        verlet_skin: float = 6.0,
+        verlet_skin: float = 14.0,
         **flags,
     ) -> "EngineConfig":
         # DMA spans may never exceed capacity (pl.ds would read out of range)

@@ -370,137 +370,233 @@ def contact_substep_pallas(
 # segment schedule.
 
 
+def _pair_consts(poisson, youngs, adhesion_const, uniform_radius):
+    """Compile-time pair-law constants; (inv_scale, prefactor) is the
+    scalar-radius fast path (growth disabled — the reference default)."""
+    e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
+    if uniform_radius is None:
+        return e_hat, None
+    u_r_hat = (uniform_radius * uniform_radius) / (1e6 * 2.0 * uniform_radius)
+    u_scale = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * u_r_hat ** (
+        1.0 / 3.0
+    )
+    return e_hat, (1.0 / (1e6 * u_scale), math.pi * adhesion_const * u_r_hat,
+                   uniform_radius)
+
+
+def _pair_keep(span, rows, run_off, two_d, e_hat, uni, radius, adhesion_const,
+               break_d, bonded):
+    """Shared per-(chunk, run) pair evaluation: returns ``(keep, dist2, w,
+    dx, dy, dz)`` where ``w * (dx, dy, dz)`` is the pair force and ``keep``
+    the surviving-eligible mask (same physics as ``ops.jkr.jkr_substep``)."""
+    x, y, z, rad, slot_id, row_alive, row_flat = rows
+    cand_x = span[0:1, :]
+    cand_y = span[1:2, :]
+    cand_rad = span[3:4, :]
+    cand_slot = span[4:5, :]
+    cand_flat = span[6:7, :]
+
+    run_lo = row_flat + jnp.float32(run_off - 1)
+    in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)
+
+    dx = x - cand_x
+    dy = y - cand_y
+    dist2 = dx * dx + dy * dy
+    dz = None
+    if not two_d:
+        dz = z - span[2:3, :]
+        dist2 = dist2 + dz * dz
+    pair_ok = in_run & (cand_slot != slot_id) & row_alive
+
+    r2 = jnp.float32(radius * radius)
+    eligible = pair_ok & ((dist2 <= r2) | bonded)
+
+    inv = jnp.where(dist2 > 0, jax.lax.rsqrt(dist2), 0.0)
+    mag = dist2 * inv
+    if uni is not None:
+        u_inv_scale, u_fpre, u_r = uni
+        d = (2.0 * u_r - mag) * u_inv_scale
+        f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+        fmag = f * u_fpre
+    else:
+        overlap = (rad + cand_rad - mag) / 1e6
+        r_hat = (rad * cand_rad) / (1e6 * jnp.maximum(rad + cand_rad, 1e-12))
+        overlap_scale = (
+            (math.pi * adhesion_const) / e_hat
+        ) ** (2.0 / 3.0) * jnp.power(r_hat, 1.0 / 3.0)
+        d = overlap / jnp.maximum(overlap_scale, 1e-30)
+        f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+        fmag = f * (math.pi * adhesion_const) * r_hat
+    keep = eligible & (d > break_d)
+    # mask AFTER the products: inactive runs read uninitialized VMEM whose
+    # garbage may be NaN, and 0 * NaN = NaN would leak through a pre-masked
+    # weight
+    return keep, dist2, fmag * inv, dx, dy, dz
+
+
+def _row_lanes(rows_ref):
+    return (rows_ref[:, 0:1], rows_ref[:, 1:2], rows_ref[:, 2:3],
+            rows_ref[:, 3:4], rows_ref[:, 4:5], rows_ref[:, 5:6] > 0.0,
+            rows_ref[:, 6:7])
+
+
+# ---------------------------------------------------------------------------
+# span-mask bond representation (the fast path between Verlet rebuilds)
+# ---------------------------------------------------------------------------
+#
+# Measured at 500k agents, 66% of the fused substep kernel was bond
+# bookkeeping: the K=8 id-membership test (16 VPU passes per chunk-run) and
+# the first-K compaction (prefix sum + 24 passes). While a Verlet window is
+# frozen, none of that is necessary: the bond set lives as a persistent
+# (C, n_runs*span) int8 mask over the window's span lanes — "was this (row,
+# candidate-lane) pair kept last substep". Eligibility is then ONE lane read
+# and the new bond state is the keep mask stored directly. Id lists are
+# reconstructed only at window rebuilds (``compact_mask_bonds``), and the
+# first substep of a fresh window seeds the mask from id lists
+# (``contact_substep_ids_to_mask``). See engine._physics_scan_pallas for the
+# segment schedule.
+#
+# Two overhead optimizations shape the round-3 kernels (measured in
+# tools/kernel_floor.py: at 500k the masked substep was 16.7 ms of which
+# only ~3 ms was lane work — the rest per-program DMA stalls and mask-block
+# I/O):
+#
+# 1. **Cross-program DMA pipelining**: TPU grid programs run sequentially on
+#    the core and scratch/semaphores persist across them, so each program's
+#    epilogue prefetches the NEXT block's chunk-0 DMAs (span + mask) into
+#    the alternating scratch slot (slot = (program + chunk) % 2). Program
+#    i's first wait then finds its data already in flight — the per-program
+#    DMA-latency stall is paid once by program 0, not 5,586 times.
+#
+# 2. **Sparse (chunk-granular) mask I/O**: the persistent mask is HBM-
+#    resident and the kernels DMA only the ACTIVE chunks (c < needs), in
+#    and out, instead of auto-pipelining the full (B, n_runs*span) block:
+#    traffic scales with true candidate counts (~1 chunk/run at 500k), not
+#    the worst-case span cap, and the output needs no zero-fill (regions
+#    beyond a window's needs are never read while that window is frozen —
+#    the plan is invariant between rebuilds, and each rebuild's seed
+#    rewrites every region the new plan can read).
+
+
 def _contact_kernel_mask(
     span_starts_ref, chunk_needs_ref,
-    rows_ref,  # (B, 8)
-    in_mask_ref,  # (B, SPAN_R) i8: R concatenated per-run mask segments
-    hbm_packT_ref,
-    out_force_ref,  # (B, 8)
-    out_mask_ref,  # (B, SPAN_R) i8
-    span_ref, sems, *,
+    rows_ref,  # (B, 8) f32 — this block's sorted pack rows (auto-blocked)
+    hbm_packT_ref,  # (8, C) f32 HBM — span DMA source
+    in_mask_ref,  # (C, R*SPAN) i8 HBM — persistent bond mask (aliased out)
+    out_force_ref,  # (B, 8) f32 (auto-blocked)
+    out_mask_ref,  # (C, R*SPAN) i8 HBM
+    span_ref,  # (R, 2, 8, CS) f32 scratch
+    min_ref,  # (R, 2, B, CS) i8 scratch — in-mask chunks
+    mout_ref,  # (R, 2, B, CS) i8 scratch — out-mask staging
+    span_sems, mi_sems, mo_sems, *,
     CS, SPAN, run_offs, two_d, radius, adhesion_const, poisson, youngs,
     break_d, uniform_radius, store_radius,
 ):
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     B = rows_ref.shape[0]
     R = len(run_offs)
 
     needs = [chunk_needs_ref[r, i] for r in range(R)]
+    nxt = jnp.minimum(i + 1, n - 1)
+    needs_nxt = [chunk_needs_ref[r, nxt] for r in range(R)]
     max_need = needs[0]
     for r in range(1, R):
         max_need = jnp.maximum(max_need, needs[r])
 
-    def dma(r, c, slot):
-        start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
+    def span_dma(prog, r, c):
+        start = pl.multiple_of(span_starts_ref[r, prog] + c * CS, _ALIGN)
+        slot = jax.lax.rem(prog + c, 2)
         return pltpu.make_async_copy(
             hbm_packT_ref.at[:, pl.ds(start, CS)],
-            span_ref.at[r, slot], sems.at[r, slot],
+            span_ref.at[r, slot], span_sems.at[r, slot],
         )
 
+    def min_dma(prog, r, c):
+        slot = jax.lax.rem(prog + c, 2)
+        return pltpu.make_async_copy(
+            in_mask_ref.at[r, c, pl.ds(prog * B, B), :],
+            min_ref.at[r, slot], mi_sems.at[r, slot],
+        )
+
+    def mout_dma(prog, r, c):
+        slot = jax.lax.rem(prog + c, 2)
+        return pltpu.make_async_copy(
+            mout_ref.at[r, slot],
+            out_mask_ref.at[r, c, pl.ds(prog * B, B), :],
+            mo_sems.at[r, slot],
+        )
+
+    # program 0 warms its own chunk 0; every later program's chunk 0 was
+    # prefetched by its predecessor's epilogue
     for r in range(R):
-        @pl.when(0 < needs[r])
+        @pl.when((i == 0) & (0 < needs[r]))
         def _(r=r):
-            dma(r, 0, 0).start()
+            span_dma(i, r, 0).start()
+            min_dma(i, r, 0).start()
+    # drain the PREDECESSOR's out-mask DMAs before reusing the staging slots
+    # (deferred from its epilogue so its DMA latency overlapped this
+    # program's prefetched input waits)
+    prv = jnp.maximum(i - 1, 0)
+    needs_prv = [chunk_needs_ref[r, prv] for r in range(R)]
+    for r in range(R):
+        for k in (2, 1):
+            @pl.when((i > 0) & (needs_prv[r] >= k))
+            def _(r=r, k=k):
+                mout_dma(prv, r, needs_prv[r] - k).wait()
 
-    out_mask_ref[:] = jnp.zeros_like(out_mask_ref)
-
-    x = rows_ref[:, 0:1]
-    y = rows_ref[:, 1:2]
-    z = rows_ref[:, 2:3]
-    rad = rows_ref[:, 3:4]
-    slot_id = rows_ref[:, 4:5]
-    row_alive = rows_ref[:, 5:6] > 0.0
-    row_flat = rows_ref[:, 6:7]
-
-    e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
-    r2 = jnp.float32(radius * radius)
+    rows = _row_lanes(rows_ref)
+    e_hat, uni = _pair_consts(poisson, youngs, adhesion_const, uniform_radius)
     if store_radius is not None:
         sr2 = jnp.float32(max(store_radius, 0.0) ** 2)
-    if uniform_radius is not None:
-        u_r_hat = (uniform_radius * uniform_radius) / (1e6 * 2.0 * uniform_radius)
-        u_scale = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * u_r_hat ** (
-            1.0 / 3.0
-        )
-        u_inv_scale = 1.0 / (1e6 * u_scale)
-        u_fpre = math.pi * adhesion_const * u_r_hat
 
     def chunk_body(c, acc):
-        buf = jax.lax.rem(c, 2)
         for r in range(R):
             @pl.when(c + 1 < needs[r])
             def _(r=r):
-                dma(r, c + 1, 1 - buf).start()
-        for r in range(R):
-            @pl.when(c < needs[r])
-            def _(r=r):
-                dma(r, c, buf).wait()
-
+                span_dma(i, r, c + 1).start()
+                min_dma(i, r, c + 1).start()
         for r in range(R):
             active = c < needs[r]
-            span = span_ref[r, buf]
-            cand_x = span[0:1, :]
-            cand_y = span[1:2, :]
-            cand_rad = span[3:4, :]
-            cand_slot = span[4:5, :]
-            cand_flat = span[6:7, :]
 
-            run_lo = row_flat + jnp.float32(run_offs[r] - 1)
-            in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)
+            @pl.when(active)
+            def _(r=r):
+                span_dma(i, r, c).wait()
+                min_dma(i, r, c).wait()
 
-            dx = x - cand_x
-            dy = y - cand_y
-            dist2 = dx * dx + dy * dy
-            if not two_d:
-                cand_z = span[2:3, :]
-                dz = z - cand_z
-                dist2 = dist2 + dz * dz
-            pair_ok = in_run & (cand_slot != slot_id) & row_alive & active
-
+            slot = jax.lax.rem(i + c, 2)
+            span = span_ref[r, slot]
             # bond membership = ONE mask lane read (persisted keep set);
             # route i8 -> f32 before comparing: Mosaic cannot relayout the
             # i1 vectors born from packed-i8 loads into the compare layout
-            bonded = (
-                in_mask_ref[:, pl.ds(r * SPAN + c * CS, CS)].astype(jnp.float32)
-                > 0.0
+            bonded = min_ref[r, slot].astype(jnp.float32) > 0.0
+            keep, dist2, w, dx, dy, dz = _pair_keep(
+                span, rows, run_offs[r], two_d, e_hat, uni, radius,
+                adhesion_const, break_d, bonded,
             )
-            eligible = pair_ok & ((dist2 <= r2) | bonded)
-
-            inv = jnp.where(dist2 > 0, jax.lax.rsqrt(dist2), 0.0)
-            mag = dist2 * inv
-            if uniform_radius is not None:
-                d = (2.0 * uniform_radius - mag) * u_inv_scale
-                survive = d > break_d
-                f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
-                fmag = f * u_fpre
-            else:
-                overlap = (rad + cand_rad - mag) / 1e6
-                r_hat = (rad * cand_rad) / (1e6 * jnp.maximum(rad + cand_rad, 1e-12))
-                overlap_scale = (
-                    (math.pi * adhesion_const) / e_hat
-                ) ** (2.0 / 3.0) * jnp.power(r_hat, 1.0 / 3.0)
-                d = overlap / jnp.maximum(overlap_scale, 1e-30)
-                survive = d > break_d
-                f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
-                fmag = f * (math.pi * adhesion_const) * r_hat
-
-            keep = eligible & survive
-            w = fmag * inv
+            keep = keep & active
             fx = jnp.sum(jnp.where(keep, w * dx, 0.0), axis=1, keepdims=True)
             fy = jnp.sum(jnp.where(keep, w * dy, 0.0), axis=1, keepdims=True)
             if two_d:
                 fz = jnp.zeros((B, 1), jnp.float32)
             else:
                 fz = jnp.sum(jnp.where(keep, w * dz, 0.0), axis=1, keepdims=True)
-            # band storage (see ops.jkr.jkr_substep_aligned): only pairs
-            # beyond store_radius are REMEMBERED; deeper pairs re-qualify via
-            # the fresh-contact distance test, so forces are unchanged. The
+            # band storage (ops.jkr.jkr_substep_aligned): only pairs beyond
+            # store_radius are REMEMBERED; deeper pairs re-qualify via the
+            # fresh-contact distance test, so forces are unchanged. The
             # degree lane counts stored pairs (the bond-capacity probe).
             stored = keep & (dist2 > sr2) if store_radius is not None else keep
             nkeep = jnp.sum(stored.astype(jnp.float32), axis=1, keepdims=True)
 
-            out_mask_ref[:, pl.ds(r * SPAN + c * CS, CS)] = jnp.where(
-                stored, 1.0, 0.0
-            ).astype(jnp.int8)
+            @pl.when(active)
+            def _(r=r, stored=stored):
+                # staging slot is reused at c+2: drain that DMA first
+                @pl.when(c >= 2)
+                def __():
+                    mout_dma(i, r, c - 2).wait()
+                mout_ref[r, slot] = jnp.where(stored, 1, 0).astype(jnp.int8)
+                mout_dma(i, r, c).start()
+
             acc = jnp.concatenate(
                 [acc[:, 0:1] + fx, acc[:, 1:2] + fy, acc[:, 2:3] + fz,
                  acc[:, 3:4] + nkeep, acc[:, 4:8]],
@@ -512,6 +608,21 @@ def _contact_kernel_mask(
         0, max_need, chunk_body, jnp.zeros((B, 8), jnp.float32)
     )
 
+    # epilogue: prefetch the next program's chunk 0. Own out-DMAs are NOT
+    # drained here — the next program drains them at its start (waiting them
+    # immediately would expose the full DMA latency once per program); only
+    # the final program drains its own.
+    for r in range(R):
+        @pl.when((i + 1 < n) & (0 < needs_nxt[r]))
+        def _(r=r):
+            span_dma(nxt, r, 0).start()
+            min_dma(nxt, r, 0).start()
+    for r in range(R):
+        for k in (2, 1):
+            @pl.when((i + 1 == n) & (needs[r] >= k))
+            def _(r=r, k=k):
+                mout_dma(i, r, needs[r] - k).wait()
+
 
 def contact_substep_masked(
     srt_pack, in_mask, span_starts, chunk_needs, *,
@@ -520,10 +631,15 @@ def contact_substep_masked(
 ):
     """Fused contact substep with the bond set as a persistent span mask.
 
-    ``in_mask``/returned mask: (C, n_runs*span) int8 — lane ``r*span + p`` of
-    row i marks whether (row i, candidate p of its block's run-r span) was a
-    kept bond last substep. Valid only while the Verlet window (sort order +
-    span plan) is frozen. Returns ``(force_deg (C, 8), new_mask)``.
+    ``in_mask``/returned mask: (n_runs, span//chunk, C, chunk) int8,
+    CHUNK-MAJOR so each per-(run, chunk, block) slab is one contiguous DMA —
+    entry ``[r, c, i, p]`` marks whether (sorted row i, candidate ``c*chunk +
+    p`` of its block's run-r span) was a kept bond last substep. Valid only
+    while the Verlet window (sort order + span plan) is frozen; slabs beyond
+    a block's active chunks are left untouched (never read while the window
+    is frozen). Returns ``(force_deg (C, 8), new_mask)``; the mask is
+    updated IN PLACE (operand aliased into the output) with only the active
+    chunks transferred.
     """
     C = srt_pack.shape[0]
     nblocks = C // block
@@ -533,7 +649,8 @@ def contact_substep_masked(
     assert span <= C
     two_d = len(run_offs) == 3
     R = len(run_offs)
-    assert in_mask.shape == (C, R * span), in_mask.shape
+    NC = span // chunk
+    assert in_mask.shape == (R, NC, C, chunk), in_mask.shape
 
     kernel = functools.partial(
         _contact_kernel_mask, CS=chunk, SPAN=span, run_offs=tuple(run_offs),
@@ -546,15 +663,19 @@ def contact_substep_masked(
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((block, FIELDS), lambda i, *s: (i, 0)),
-            pl.BlockSpec((block, R * span), lambda i, *s: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # field-major pack
+            pl.BlockSpec(memory_space=pltpu.HBM),  # persistent mask (sparse)
         ],
         out_specs=[
             pl.BlockSpec((block, 8), lambda i, *s: (i, 0)),
-            pl.BlockSpec((block, R * span), lambda i, *s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((R, 2, FIELDS, chunk), jnp.float32),
+            pltpu.VMEM((R, 2, block, chunk), jnp.int8),
+            pltpu.VMEM((R, 2, block, chunk), jnp.int8),
+            pltpu.SemaphoreType.DMA((R, 2)),
+            pltpu.SemaphoreType.DMA((R, 2)),
             pltpu.SemaphoreType.DMA((R, 2)),
         ],
     )
@@ -563,14 +684,14 @@ def contact_substep_masked(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((C, 8), jnp.float32),
-            jax.ShapeDtypeStruct((C, R * span), jnp.int8),
+            jax.ShapeDtypeStruct((R, NC, C, chunk), jnp.int8),
         ],
         # update the GB-scale mask in place (operand index counts the scalar
         # prefetch args): without aliasing every substep allocates a fresh
         # mask buffer and XLA double-buffers the scan carry
-        input_output_aliases={3: 1},
+        input_output_aliases={4: 1},
         interpret=interpret,
-    )(span_starts, chunk_needs, srt_pack, in_mask, srt_pack.T)
+    )(span_starts, chunk_needs, srt_pack, srt_pack.T, in_mask)
 
 
 def _contact_kernel_seed(
@@ -579,8 +700,8 @@ def _contact_kernel_seed(
     bonds_ref,  # (B, K) f32 partner ids (NO_BOND empty)
     hbm_packT_ref,
     out_force_ref,  # (B, 8)
-    out_mask_ref,  # (B, SPAN_R) i8
-    span_ref, sems, *,
+    out_mask_ref,  # (C, R*SPAN) i8 HBM
+    span_ref, mout_ref, span_sems, mo_sems, *,
     CS, SPAN, K, run_offs, two_d, radius, adhesion_const, poisson, youngs,
     break_d, uniform_radius, store_radius,
 ):
@@ -589,121 +710,90 @@ def _contact_kernel_seed(
     the span mask that subsequent ``_contact_kernel_mask`` substeps carry.
     No compaction — that's the whole point."""
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     B = rows_ref.shape[0]
     R = len(run_offs)
 
     needs = [chunk_needs_ref[r, i] for r in range(R)]
+    nxt = jnp.minimum(i + 1, n - 1)
+    needs_nxt = [chunk_needs_ref[r, nxt] for r in range(R)]
     max_need = needs[0]
     for r in range(1, R):
         max_need = jnp.maximum(max_need, needs[r])
 
-    def dma(r, c, slot):
-        start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
+    def span_dma(prog, r, c):
+        start = pl.multiple_of(span_starts_ref[r, prog] + c * CS, _ALIGN)
+        slot = jax.lax.rem(prog + c, 2)
         return pltpu.make_async_copy(
             hbm_packT_ref.at[:, pl.ds(start, CS)],
-            span_ref.at[r, slot], sems.at[r, slot],
+            span_ref.at[r, slot], span_sems.at[r, slot],
+        )
+
+    def mout_dma(prog, r, c):
+        slot = jax.lax.rem(prog + c, 2)
+        return pltpu.make_async_copy(
+            mout_ref.at[r, slot],
+            out_mask_ref.at[r, c, pl.ds(prog * B, B), :],
+            mo_sems.at[r, slot],
         )
 
     for r in range(R):
-        @pl.when(0 < needs[r])
+        @pl.when((i == 0) & (0 < needs[r]))
         def _(r=r):
-            dma(r, 0, 0).start()
+            span_dma(i, r, 0).start()
+    prv = jnp.maximum(i - 1, 0)
+    needs_prv = [chunk_needs_ref[r, prv] for r in range(R)]
+    for r in range(R):
+        for k in (2, 1):
+            @pl.when((i > 0) & (needs_prv[r] >= k))
+            def _(r=r, k=k):
+                mout_dma(prv, r, needs_prv[r] - k).wait()
 
-    out_mask_ref[:] = jnp.zeros_like(out_mask_ref)
-
-    x = rows_ref[:, 0:1]
-    y = rows_ref[:, 1:2]
-    z = rows_ref[:, 2:3]
-    rad = rows_ref[:, 3:4]
-    slot_id = rows_ref[:, 4:5]
-    row_alive = rows_ref[:, 5:6] > 0.0
-    row_flat = rows_ref[:, 6:7]
-
-    e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
-    r2 = jnp.float32(radius * radius)
+    rows = _row_lanes(rows_ref)
+    e_hat, uni = _pair_consts(poisson, youngs, adhesion_const, uniform_radius)
     if store_radius is not None:
         sr2 = jnp.float32(max(store_radius, 0.0) ** 2)
-    if uniform_radius is not None:
-        u_r_hat = (uniform_radius * uniform_radius) / (1e6 * 2.0 * uniform_radius)
-        u_scale = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * u_r_hat ** (
-            1.0 / 3.0
-        )
-        u_inv_scale = 1.0 / (1e6 * u_scale)
-        u_fpre = math.pi * adhesion_const * u_r_hat
 
     def chunk_body(c, acc):
-        buf = jax.lax.rem(c, 2)
         for r in range(R):
             @pl.when(c + 1 < needs[r])
             def _(r=r):
-                dma(r, c + 1, 1 - buf).start()
-        for r in range(R):
-            @pl.when(c < needs[r])
-            def _(r=r):
-                dma(r, c, buf).wait()
-
+                span_dma(i, r, c + 1).start()
         for r in range(R):
             active = c < needs[r]
-            span = span_ref[r, buf]
-            cand_x = span[0:1, :]
-            cand_y = span[1:2, :]
-            cand_rad = span[3:4, :]
+
+            @pl.when(active)
+            def _(r=r):
+                span_dma(i, r, c).wait()
+
+            slot = jax.lax.rem(i + c, 2)
+            span = span_ref[r, slot]
             cand_slot = span[4:5, :]
-            cand_flat = span[6:7, :]
-
-            run_lo = row_flat + jnp.float32(run_offs[r] - 1)
-            in_run = (cand_flat >= run_lo) & (cand_flat < run_lo + 3.0)
-
-            dx = x - cand_x
-            dy = y - cand_y
-            dist2 = dx * dx + dy * dy
-            if not two_d:
-                cand_z = span[2:3, :]
-                dz = z - cand_z
-                dist2 = dist2 + dz * dz
-            pair_ok = in_run & (cand_slot != slot_id) & row_alive & active
-
-            bonded = jnp.zeros_like(pair_ok)
+            bonded = jnp.zeros((B, span.shape[1]), bool)
             for k in range(K):
                 bonded |= cand_slot == bonds_ref[:, k : k + 1]
-            eligible = pair_ok & ((dist2 <= r2) | bonded)
-
-            inv = jnp.where(dist2 > 0, jax.lax.rsqrt(dist2), 0.0)
-            mag = dist2 * inv
-            if uniform_radius is not None:
-                d = (2.0 * uniform_radius - mag) * u_inv_scale
-                survive = d > break_d
-                f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
-                fmag = f * u_fpre
-            else:
-                overlap = (rad + cand_rad - mag) / 1e6
-                r_hat = (rad * cand_rad) / (1e6 * jnp.maximum(rad + cand_rad, 1e-12))
-                overlap_scale = (
-                    (math.pi * adhesion_const) / e_hat
-                ) ** (2.0 / 3.0) * jnp.power(r_hat, 1.0 / 3.0)
-                d = overlap / jnp.maximum(overlap_scale, 1e-30)
-                survive = d > break_d
-                f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
-                fmag = f * (math.pi * adhesion_const) * r_hat
-
-            keep = eligible & survive
-            w = fmag * inv
+            keep, dist2, w, dx, dy, dz = _pair_keep(
+                span, rows, run_offs[r], two_d, e_hat, uni, radius,
+                adhesion_const, break_d, bonded,
+            )
+            keep = keep & active
             fx = jnp.sum(jnp.where(keep, w * dx, 0.0), axis=1, keepdims=True)
             fy = jnp.sum(jnp.where(keep, w * dy, 0.0), axis=1, keepdims=True)
             if two_d:
                 fz = jnp.zeros((B, 1), jnp.float32)
             else:
                 fz = jnp.sum(jnp.where(keep, w * dz, 0.0), axis=1, keepdims=True)
-            # band storage (see ops.jkr.jkr_substep_aligned): only pairs
-            # beyond store_radius are REMEMBERED; deeper pairs re-qualify via
-            # the fresh-contact distance test, so forces are unchanged. The
-            # degree lane counts stored pairs (the bond-capacity probe).
             stored = keep & (dist2 > sr2) if store_radius is not None else keep
             nkeep = jnp.sum(stored.astype(jnp.float32), axis=1, keepdims=True)
 
-            out_mask_ref[:, pl.ds(r * SPAN + c * CS, CS)] = jnp.where(
-                stored, 1.0, 0.0
-            ).astype(jnp.int8)
+            @pl.when(active)
+            def _(r=r, stored=stored):
+                @pl.when(c >= 2)
+                def __():
+                    mout_dma(i, r, c - 2).wait()
+                mout_ref[r, slot] = jnp.where(stored, 1, 0).astype(jnp.int8)
+                mout_dma(i, r, c).start()
+
             acc = jnp.concatenate(
                 [acc[:, 0:1] + fx, acc[:, 1:2] + fy, acc[:, 2:3] + fz,
                  acc[:, 3:4] + nkeep, acc[:, 4:8]],
@@ -715,6 +805,18 @@ def _contact_kernel_seed(
         0, max_need, chunk_body, jnp.zeros((B, 8), jnp.float32)
     )
 
+    for r in range(R):
+        @pl.when((i + 1 < n) & (0 < needs_nxt[r]))
+        def _(r=r):
+            span_dma(nxt, r, 0).start()
+    # deferred drain: only the final program waits its own out-DMAs (earlier
+    # programs' are drained by their successor's prologue)
+    for r in range(R):
+        for k in (2, 1):
+            @pl.when((i + 1 == n) & (needs[r] >= k))
+            def _(r=r, k=k):
+                mout_dma(i, r, needs[r] - k).wait()
+
 
 def contact_substep_ids_to_mask(
     srt_pack, srt_bonds, span_starts, chunk_needs, *,
@@ -722,7 +824,9 @@ def contact_substep_ids_to_mask(
     chunk=256, uniform_radius=None, store_radius=None, interpret=False,
 ):
     """First substep of a fresh window: membership from (C, K) id lists,
-    bond state emitted as the (C, n_runs*span) int8 mask."""
+    bond state emitted as the chunk-major (n_runs, span//chunk, C, chunk)
+    int8 mask (active chunks only — see the sparse-mask invariant in the
+    section comment)."""
     C = srt_pack.shape[0]
     K = srt_bonds.shape[1]
     nblocks = C // block
@@ -750,10 +854,12 @@ def contact_substep_ids_to_mask(
         ],
         out_specs=[
             pl.BlockSpec((block, 8), lambda i, *s: (i, 0)),
-            pl.BlockSpec((block, R * span), lambda i, *s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((R, 2, FIELDS, chunk), jnp.float32),
+            pltpu.VMEM((R, 2, block, chunk), jnp.int8),
+            pltpu.SemaphoreType.DMA((R, 2)),
             pltpu.SemaphoreType.DMA((R, 2)),
         ],
     )
@@ -762,7 +868,7 @@ def contact_substep_ids_to_mask(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((C, 8), jnp.float32),
-            jax.ShapeDtypeStruct((C, R * span), jnp.int8),
+            jax.ShapeDtypeStruct((R, span // chunk, C, chunk), jnp.int8),
         ],
         interpret=interpret,
     )(span_starts, chunk_needs, srt_pack, srt_bonds, srt_pack.T)
@@ -770,54 +876,64 @@ def contact_substep_ids_to_mask(
 
 def _compact_mask_kernel(
     span_starts_ref, chunk_needs_ref,
-    in_mask_ref,  # (B, SPAN_R) i8
     hbm_packT_ref,
+    in_mask_ref,  # (C, R*SPAN) i8 HBM (sparse chunk reads)
     out_bonds_ref,  # (B, K) f32 partner ids
-    span_ref, sems, *,
-    CS, SPAN, K, run_offs,
+    span_ref, min_ref, span_sems, mi_sems, *,
+    CS, SPAN, B, K, run_offs,
 ):
     """Convert the span mask back to (B, K) partner-id lists (runs once per
     Verlet rebuild, replacing the per-substep compaction of the id path)."""
     i = pl.program_id(0)
-    B = in_mask_ref.shape[0]
+    n = pl.num_programs(0)
     R = len(run_offs)
 
     needs = [chunk_needs_ref[r, i] for r in range(R)]
+    nxt = jnp.minimum(i + 1, n - 1)
+    needs_nxt = [chunk_needs_ref[r, nxt] for r in range(R)]
     max_need = needs[0]
     for r in range(1, R):
         max_need = jnp.maximum(max_need, needs[r])
 
-    def dma(r, c, slot):
-        start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
+    def span_dma(prog, r, c):
+        start = pl.multiple_of(span_starts_ref[r, prog] + c * CS, _ALIGN)
+        slot = jax.lax.rem(prog + c, 2)
         return pltpu.make_async_copy(
             hbm_packT_ref.at[:, pl.ds(start, CS)],
-            span_ref.at[r, slot], sems.at[r, slot],
+            span_ref.at[r, slot], span_sems.at[r, slot],
+        )
+
+    def min_dma(prog, r, c):
+        slot = jax.lax.rem(prog + c, 2)
+        return pltpu.make_async_copy(
+            in_mask_ref.at[r, c, pl.ds(prog * B, B), :],
+            min_ref.at[r, slot], mi_sems.at[r, slot],
         )
 
     for r in range(R):
-        @pl.when(0 < needs[r])
+        @pl.when((i == 0) & (0 < needs[r]))
         def _(r=r):
-            dma(r, 0, 0).start()
+            span_dma(i, r, 0).start()
+            min_dma(i, r, 0).start()
 
     def chunk_body(c, carry):
         bond_cols, count = carry
-        buf = jax.lax.rem(c, 2)
         for r in range(R):
             @pl.when(c + 1 < needs[r])
             def _(r=r):
-                dma(r, c + 1, 1 - buf).start()
-        for r in range(R):
-            @pl.when(c < needs[r])
-            def _(r=r):
-                dma(r, c, buf).wait()
-
+                span_dma(i, r, c + 1).start()
+                min_dma(i, r, c + 1).start()
         for r in range(R):
             active = c < needs[r]
-            cand_slot = span_ref[r, buf][4:5, :]
-            kept = (
-                in_mask_ref[:, pl.ds(r * SPAN + c * CS, CS)].astype(jnp.float32)
-                > 0.0
-            ) & active
+
+            @pl.when(active)
+            def _(r=r):
+                span_dma(i, r, c).wait()
+                min_dma(i, r, c).wait()
+
+            slot = jax.lax.rem(i + c, 2)
+            cand_slot = span_ref[r, slot][4:5, :]
+            kept = (min_ref[r, slot].astype(jnp.float32) > 0.0) & active
             dest = _prefix_sum_lanes(kept.astype(jnp.int32)) - 1 + count
             cols = []
             for k in range(K):
@@ -835,12 +951,18 @@ def _compact_mask_kernel(
     )
     out_bonds_ref[:] = bond_cols
 
+    for r in range(R):
+        @pl.when((i + 1 < n) & (0 < needs_nxt[r]))
+        def _(r=r):
+            span_dma(nxt, r, 0).start()
+            min_dma(nxt, r, 0).start()
+
 
 def compact_mask_bonds(
     srt_pack, mask, span_starts, chunk_needs, *,
     block, span, run_offs, bond_cap, chunk=256, interpret=False,
 ):
-    """(C, n_runs*span) int8 keep mask -> (C, bond_cap) f32 partner-id lists
+    """Chunk-major (n_runs, span//chunk, C, chunk) int8 keep mask -> (C, bond_cap) f32 partner-id lists
     (NO_BOND padding). The per-row degree probe comes from the force lane of
     the preceding substep kernels."""
     C = srt_pack.shape[0]
@@ -849,19 +971,21 @@ def compact_mask_bonds(
     assert C % block == 0 and span % chunk == 0
     R = len(run_offs)
     kernel = functools.partial(
-        _compact_mask_kernel, CS=chunk, SPAN=span, K=bond_cap,
+        _compact_mask_kernel, CS=chunk, SPAN=span, B=block, K=bond_cap,
         run_offs=tuple(run_offs),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((block, R * span), lambda i, *s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((block, bond_cap), lambda i, *s: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((R, 2, FIELDS, chunk), jnp.float32),
+            pltpu.VMEM((R, 2, block, chunk), jnp.int8),
+            pltpu.SemaphoreType.DMA((R, 2)),
             pltpu.SemaphoreType.DMA((R, 2)),
         ],
     )
@@ -870,4 +994,4 @@ def compact_mask_bonds(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, bond_cap), jnp.float32),
         interpret=interpret,
-    )(span_starts, chunk_needs, mask, srt_pack.T)
+    )(span_starts, chunk_needs, srt_pack.T, mask)
