@@ -23,6 +23,7 @@ host path entirely.
 
 from __future__ import annotations
 
+import copy
 import functools
 import math
 import os
@@ -307,14 +308,21 @@ class Simulation:
 
     @record_time
     def temp(self):
-        # serialize synchronously (the object mutates next step), write the
-        # bytes on the background output worker
-        payload = pickle.dumps(self, -1)
+        # pickle.dumps of a 500k-agent sim is ~1-2.5 s (the largest
+        # synchronous output cost at scale — round-3 production run), so
+        # serialization ALSO moves to the background worker. A shallow clone
+        # pins this step's attribute bindings: the step loop REBINDS host
+        # arrays (never mutates them in place) and the device state PyTree is
+        # immutable, so the clone stays a consistent snapshot while the next
+        # step executes. (Mutable cosmetic state shared with the clone —
+        # e.g. the method-times dict — may be torn by one step in the
+        # checkpoint; all simulation state is rebind-only.)
+        clone = copy.copy(self)
         path = self.main_path + f"{self.name}_temp.pkl"
 
         def write():
             with open(path, "wb") as file:
-                file.write(payload)
+                file.write(pickle.dumps(clone, -1))
 
         io_utils.submit_output(write)
 

@@ -76,10 +76,11 @@ def main():
         rows = list(csv.DictReader(f))
     for r in rows:
         parts = {k: float(v) for k, v in r.items()
-                 if k not in ("step", "number_agents", "memory_mb") and v}
+                 if k not in ("Step Number", "Number Cells", "Step Time",
+                              "Memory (MB)") and v}
         top = sorted(parts.items(), key=lambda kv: -kv[1])[:4]
-        print(f"step {r['step']:>3} agents {r['number_agents']:>7} "
-              f"total {float(r['step_time']):6.2f}s  "
+        print(f"step {r['Step Number']:>3} agents {r['Number Cells']:>7} "
+              f"total {float(r['Step Time']):6.2f}s  "
               + "  ".join(f"{k}={v:.2f}" for k, v in top))
     out_dir = f"{ROOT}/outputs/{NAME}"
     for entry in sorted(os.listdir(out_dir)):
