@@ -77,27 +77,34 @@ def _bio_kernel(
     # ops.pallas_contact._contact_kernel — the chunk/run grid dimensions this
     # replaces cost ~25% of kernel time in per-program overhead at 500k).
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     B = rows_ref.shape[0]
     R = len(run_offs)
     F = rows_ref.shape[1]
 
     needs = [chunk_needs_ref[r, i] for r in range(R)]
+    nxt = jnp.minimum(i + 1, n - 1)
+    needs_nxt = [chunk_needs_ref[r, nxt] for r in range(R)]
     max_need = needs[0]
     for r in range(1, R):
         max_need = jnp.maximum(max_need, needs[r])
 
-    def dma(r, c, slot):
-        start = pl.multiple_of(span_starts_ref[r, i] + c * CS, _ALIGN)
+    def dma(prog, r, c):
+        start = pl.multiple_of(span_starts_ref[r, prog] + c * CS, _ALIGN)
+        slot = jax.lax.rem(prog + c, 2)
         return pltpu.make_async_copy(
             hbm_packT_ref.at[:, pl.ds(start, CS)],
             span_ref.at[r, slot],
             sems.at[r, slot],
         )
 
+    # program 0 warms its own chunk 0; later programs' chunk 0 was
+    # prefetched by the predecessor's epilogue (cross-program pipelining —
+    # see ops.pallas_contact's section comment)
     for r in range(R):
-        @pl.when(0 < needs[r])
+        @pl.when((i == 0) & (0 < needs[r]))
         def _(r=r):
-            dma(r, 0, 0).start()
+            dma(i, r, 0).start()
 
     if three_d:
         x0, y0, z0 = rows_ref[:, 0:1], rows_ref[:, 1:2], rows_ref[:, 2:3]
@@ -112,18 +119,18 @@ def _bio_kernel(
     r2 = jnp.float32(radius * radius)
 
     def chunk_body(c, acc):
-        buf = jax.lax.rem(c, 2)
         for r in range(R):
             @pl.when(c + 1 < needs[r])
             def _(r=r):
-                dma(r, c + 1, 1 - buf).start()
+                dma(i, r, c + 1).start()
         for r in range(R):
             @pl.when(c < needs[r])
             def _(r=r):
-                dma(r, c, buf).wait()
+                dma(i, r, c).wait()
 
         for r in range(R):
             active = c < needs[r]
+            buf = jax.lax.rem(i + c, 2)
             span = span_ref[r, buf]  # (F, CS)
             if three_d:
                 cx0, cy0, cz0 = span[0:1, :], span[1:2, :], span[2:3, :]
@@ -206,6 +213,12 @@ def _bio_kernel(
     out_ref[:] = jax.lax.fori_loop(
         0, max_need, chunk_body, jnp.zeros((B, OUT_LANES), jnp.float32)
     )
+
+    # epilogue: prefetch the next program's chunk 0
+    for r in range(R):
+        @pl.when((i + 1 < n) & (0 < needs_nxt[r]))
+        def _(r=r):
+            dma(nxt, r, 0).start()
 
 
 def bio_reduce_pallas(
