@@ -164,10 +164,16 @@ class EngineConfig:
         **flags,
     ) -> "EngineConfig":
         # DMA spans may never exceed capacity (pl.ds would read out of range)
+        # and must stay chunk-divisible: effective_chunk falls back to one
+        # whole-span chunk otherwise, and the kernels' mask staging scratch
+        # scales with (n_runs, 2, block, chunk) — a span-sized chunk in 3D
+        # (9 runs) blows the 16 MB VMEM budget
         flags.setdefault("jkr_span", 512)
         flags.setdefault("nbr_span", 512)
+        chunk_q = int(flags.get("pallas_chunk", 256))
         for span_key in ("jkr_span", "nbr_span"):
-            flags[span_key] = min(int(flags[span_key]), int(capacity))
+            v = min(int(flags[span_key]), int(capacity))
+            flags[span_key] = v if v == int(capacity) else _round_up(v, chunk_q)
         nbr_spec = GridSpec.from_box(size, bio.neighbor_radius, nbr_run_cap)
         # bin size covers every force-active pair (fresh contacts within
         # jkr_radius AND persisted bonds out to + jkr_break_band, with 2x
@@ -957,7 +963,8 @@ class HipscEngine:
                 # runs, 3D uses 9 (reference backend.py:84-93's 3x3x3 loop)
                 use_pallas = jax.default_backend() == "tpu"
             n0 = gen.num_to_start + xp.num_gata6
-            capacity = max(_round_up(int(n0 * 1.3), 128), 256)  # headroom for several steps of growth before a recompile
+            # 256-aligned so a span clamped to capacity stays chunk-divisible
+            capacity = max(_round_up(int(n0 * 1.3), 256), 256)  # headroom for several steps of growth before a recompile
             cfg = EngineConfig.create(
                 gen.size,
                 capacity=capacity,
@@ -1147,15 +1154,17 @@ class HipscEngine:
             div_cap = min(_round_up(int(info.num_dividing) * 2, 128), capacity)
             changed = True
         elif int(info.num_deferred) > 0:
-            capacity = _round_up(capacity * 2, 128)
+            capacity = _round_up(capacity * 2, 256)
             changed = True
         jkr_span = cfg.jkr_span
+        # grown spans stay chunk-divisible (see EngineConfig.create)
+        span_q = max(cfg.pallas_chunk, 128)
         if cfg.use_pallas and int(info.jkr_span_needed) > jkr_span:
-            jkr_span = min(_round_up(int(info.jkr_span_needed) * 1.25, 128), capacity)
+            jkr_span = min(_round_up(int(info.jkr_span_needed) * 1.25, span_q), capacity)
             changed = True
         nbr_span = cfg.nbr_span
         if cfg.use_pallas and int(info.nbr_span_needed) > nbr_span:
-            nbr_span = min(_round_up(int(info.nbr_span_needed) * 1.25, 128), capacity)
+            nbr_span = min(_round_up(int(info.nbr_span_needed) * 1.25, span_q), capacity)
             changed = True
         margin = cfg.bond_band_margin
         if margin is not None:

@@ -1052,8 +1052,9 @@ class DomainHipscEngine:
         )
         if per_stripe is None:
             # worst-case imbalance headroom; the deferral/migration probes
-            # grow it if a stripe ever packs denser
-            per_stripe = max(_round_up(int(n0 / S * 2.0), 128), 256)
+            # grow it if a stripe ever packs denser (256-aligned so the local
+            # capacity keeps the Pallas span chunk-divisible)
+            per_stripe = max(_round_up(int(n0 / S * 2.0), 256), 256)
         self.cfg = self._make_cfg(
             base, S, per_stripe, halo_cap, mig_cap, drift_allowance
         )
@@ -1094,9 +1095,10 @@ class DomainHipscEngine:
             base=base,
             n_stripes=S,
             per_stripe=int(per_stripe),
-            # 2*halo_cap must keep the local capacity block-aligned for the
-            # per-shard Pallas kernels (pallas_block = 128)
-            halo_cap=_round_up(int(halo_cap), 64),
+            # 2*halo_cap must keep the local capacity block-aligned AND
+            # 256-divisible for the per-shard Pallas kernels (block = 128,
+            # chunk = 256: a capacity-clamped span must stay chunk-divisible)
+            halo_cap=_round_up(int(halo_cap), 128),
             mig_cap=int(mig_cap),
             div_cap=max(128, _round_up(int(per_stripe) // 32, 128)),
             drift_allowance=float(drift),
@@ -1384,12 +1386,12 @@ class DomainHipscEngine:
             div_cap = min(_round_up(int(info.num_dividing) * 2, 128), per_stripe)
             changed = True
         elif int(info.num_deferred) > 0 or int(info.mig_shortfall) > 0:
-            per_stripe = _round_up(per_stripe * 2, 128)
+            per_stripe = _round_up(per_stripe * 2, 256)
             changed = True
         halo_cap = cfg.halo_cap
         band_need = max(int(info.bio_band_max), int(info.phys_band_max))
         if band_need > halo_cap:
-            halo_cap = _round_up(band_need * 2, 8)
+            halo_cap = _round_up(band_need * 2, 128)
             changed = True
         mig_cap = cfg.mig_cap
         if int(info.mig_out_max) > mig_cap:

@@ -184,7 +184,9 @@ def test_interleaved_states_across_growth():
     growth, stepping the *other* (old-capacity) state must still work and
     produce the same result it would have before the growth — the grown
     config is a template, not a mutation of in-flight shapes."""
-    eng = small_engine()
+    # n chosen so 2*n0 exceeds the (256-aligned) initial capacity: every
+    # agent dividing at once must overflow the free slots and defer
+    eng = small_engine(n=300)
     a = eng.init_state(seed=13)
     b = eng.init_state(seed=14)
     b_expected, _ = eng.step(b)  # pre-growth reference result
