@@ -935,12 +935,17 @@ def _compact_mask_kernel(
             cand_slot = span_ref[r, slot][4:5, :]
             kept = (min_ref[r, slot].astype(jnp.float32) > 0.0) & active
             dest = _prefix_sum_lanes(kept.astype(jnp.int32)) - 1 + count
+            # one max-reduction per output column: slot ids are >= 0, so the
+            # NO_BOND sentinel doubles as the presence test (a routing-network
+            # compaction with zero reductions was tried and measured 3x
+            # SLOWER on hardware — static lane shifts relayout every stage)
             cols = []
             for k in range(K):
                 sel = kept & (dest == k)
-                val = jnp.sum(jnp.where(sel, cand_slot, 0.0), axis=1, keepdims=True)
-                pres = jnp.sum(sel.astype(jnp.float32), axis=1, keepdims=True)
-                cols.append(jnp.where(pres > 0, val, bond_cols[:, k : k + 1]))
+                val = jnp.max(
+                    jnp.where(sel, cand_slot, NO_BOND), axis=1, keepdims=True
+                )
+                cols.append(jnp.where(val > NO_BOND, val, bond_cols[:, k : k + 1]))
             bond_cols = jnp.concatenate(cols, axis=1)
             count = count + jnp.sum(kept.astype(jnp.int32), axis=1, keepdims=True)
         return bond_cols, count
