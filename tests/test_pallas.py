@@ -289,3 +289,54 @@ def test_masked_band_storage_matches_xla(rng):
         np.asarray(fd2[inv][:, 3]).astype(int),
         np.asarray(jnp.sum(b2.mask, axis=1)).astype(int),
     )
+
+
+def test_compact_mask_overflow_truncates_in_scan_order(rng):
+    """More kept mask lanes than ``bond_cap``: the compaction keeps the first
+    K in its (chunk, run, lane) scan order and silently drops the rest — the
+    engine's degree probe, not the kernel, flags bond-capacity overflow.
+    Pins the truncation semantics the max-reduction rewrite must preserve."""
+    from hipsc_abm_tpu.ops.pallas_contact import compact_mask_bonds, effective_chunk
+
+    locs, radii, alive, spec, grid, packed, bonds = build_inputs(rng)
+    C = packed.shape[0]
+    block, chunk, K = 64, 128, 8
+    order = grid.order
+    srt_pack = packed[order].at[:, 6].set(grid.sorted_flat.astype(jnp.float32))
+    _, _, span_needed, _ = nbr.block_span_plan(
+        spec, grid.sorted_flat, block, span=C, capacity=C, chunk=C
+    )
+    span = min(int(((int(span_needed) + 127) // 128) * 128), C)
+    starts, chunk_needs, _, _ = nbr.block_span_plan(
+        spec, grid.sorted_flat, block, span=span, capacity=C, chunk=chunk
+    )
+    CS = effective_chunk(span, chunk)
+    R = len(spec.flat_run_offsets)
+    NC = span // CS
+
+    starts_np = np.asarray(starts)
+    needs_np = np.asarray(chunk_needs)
+    # pick a block whose run-0 window is active, overflow a row in it
+    blk = int(np.argmax(needs_np[0, : C // block] > 0))
+    assert needs_np[0, blk] > 0
+    row = blk * block  # first sorted row of that block
+    n_kept = K + 4
+    mask = np.zeros((R, NC, C, CS), np.int8)
+    mask[0, 0, row, :n_kept] = 1
+
+    got = np.asarray(
+        compact_mask_bonds(
+            srt_pack, jnp.asarray(mask), starts, chunk_needs,
+            block=block, span=span, run_offs=spec.flat_run_offsets,
+            bond_cap=K, chunk=chunk, interpret=True,
+        )
+    )
+    # scan order for one run/chunk is ascending lanes from the block's span
+    # start; expected = slot lane of the first K candidates
+    slots = np.asarray(srt_pack[:, 4])
+    start0 = starts_np[0, blk]
+    expect = slots[start0 : start0 + K]
+    np.testing.assert_array_equal(got[row], expect)
+    # every other row stays empty
+    others = np.delete(got, row, axis=0)
+    assert np.all(others == -1.0)
