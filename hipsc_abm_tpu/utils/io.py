@@ -34,6 +34,38 @@ from hipsc_abm_tpu.utils.config import check_direct
 # ---------------------------------------------------------------------------
 
 
+def _native_values_csv(
+    path: str, header: List[str], data: List[np.ndarray]
+) -> bool:
+    """C++ fast path for the values CSV (byte-identical to the csv.writer
+    path, which stringifies the float64-upcast hstack with CRLF rows).
+    Only taken when that upcast would be float64 and no header needs csv
+    quoting; returns False to fall back."""
+    import ctypes
+
+    from hipsc_abm_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return False
+    if np.result_type(*[a.dtype for a in data]) != np.float64:
+        return False  # Python path would emit a different dtype's repr
+    if any(ch in h for h in header for ch in (",", '"', "\r", "\n")):
+        return False  # csv.writer would quote these
+    cols = []
+    for a in data:
+        for i in range(a.shape[1]):
+            cols.append(np.ascontiguousarray(a[:, i], dtype=np.float64))
+    nrows = cols[0].shape[0] if cols else 0
+    ptrs = (ctypes.c_void_p * len(cols))(
+        *[c.ctypes.data for c in cols]
+    )
+    rc = lib.hipsc_write_values_csv(
+        path.encode(), ",".join(header).encode(), nrows, len(cols), ptrs
+    )
+    return rc == 0
+
+
 def write_values_csv(
     path: str,
     arrays: Dict[str, np.ndarray],
@@ -41,23 +73,49 @@ def write_values_csv(
 ) -> None:
     """Agent-array CSV, one row per agent (``step_values``,
     ``simulation.py:300-347``): 1-D arrays get one column named after the
-    array; 2-D arrays get ``name[i]`` columns."""
+    array; 2-D arrays get ``name[i]`` columns. Serialized by the native
+    writer when available (Python's per-value str() costs seconds per step
+    at 500k agents and bounds the async output worker); identical bytes
+    either way."""
     header: List[str] = []
     data: List[np.ndarray] = []
     for array_name in order:
         agent_array = np.asarray(arrays[array_name])
         if agent_array.ndim == 1:
-            header.append(array_name)
             agent_array = agent_array.reshape(-1, 1)
+            header.append(array_name)
         else:
             for i in range(agent_array.shape[1]):
                 header.append(f"{array_name}[{i}]")
         data.append(agent_array)
 
+    if data and _native_values_csv(path, header, data):
+        return
     with open(path, "w", newline="") as file:
         writer = csv.writer(file)
         writer.writerow(header)
         writer.writerows(np.hstack(data))
+
+
+def _native_savetxt_e18(path: str, matrix: np.ndarray) -> bool:
+    """C++ fast path matching ``np.savetxt(fmt='%.18e', delimiter=',')``."""
+    from hipsc_abm_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return False
+    m = np.ascontiguousarray(matrix, dtype=np.float64)
+    if m.ndim != 2:
+        return False
+    rc = lib.hipsc_write_matrix_e18(
+        path.encode(), m.ctypes.data, m.shape[0], m.shape[1]
+    )
+    return rc == 0
+
+
+def _savetxt_csv(path: str, matrix: np.ndarray) -> None:
+    if not _native_savetxt_e18(path, matrix):
+        np.savetxt(path, matrix, delimiter=",")
 
 
 def append_data_csv(
@@ -114,7 +172,7 @@ def write_tda_csvs(
         path = os.path.join(tda_path, key)
         check_direct(path)
         file_name = f"{name}_tda_{key}_{current_step}.csv"
-        np.savetxt(os.path.join(path, file_name), locs, delimiter=",")
+        _savetxt_csv(os.path.join(path, file_name), locs)
 
 
 def write_gradient_csvs(
@@ -132,7 +190,7 @@ def write_gradient_csvs(
         grid = np.asarray(grid)
         if grid.ndim == 3:
             grid = grid[:, :, 0]
-        np.savetxt(os.path.join(path, file_name), grid, delimiter=",")
+        _savetxt_csv(os.path.join(path, file_name), grid)
 
 
 # ---------------------------------------------------------------------------
