@@ -275,6 +275,15 @@ class Simulation:
         return max(8, int(math.ceil(counts.max() * 3 * 1.25 / 8.0) * 8))
 
     def get_neighbors(self, graph_name: str, distance: float, clear: bool = True):
+        """Fixed-radius neighbor search into a host edge list (the reference's
+        ``get_neighbors``, ``simulation.py:225-288``).
+
+        This is the *host API parity surface*: it materializes a dense
+        (agents, window) candidate mask on the host per call, so it is
+        intended for model-layer code at reference scales (<=100k agents).
+        The fused engines never call it — their neighbor consumption stays
+        on-device as windowed moments (``engine.py`` ``bio_moments``), which
+        is what runs at 500k+."""
         graph: AgentGraph = self.__dict__[graph_name]
         n = self.number_agents
         graph.num_vertices = n
