@@ -197,12 +197,21 @@ class CellSimulation(Simulation):
         )
 
     def _sync_host(self) -> None:
-        """Fetch the compacted live-agent arrays back to the host attribute
-        surface (``self.locations`` etc.), slot order."""
-        host, alive = jax.device_get((self.state.arrays, self.state.alive))
-        alive = np.asarray(alive)
+        """Fetch the FULL device state to the host once per step and derive
+        the compacted live-agent attribute surface (``self.locations`` etc.)
+        from it. The host PyTree is cached for this step's checkpoint
+        writers: without the cache, the temp pickle (``__getstate__``) and
+        the npz checkpoint each re-fetched the whole state — two more
+        ~100 MB transfers per step through the tunneled backend, executed on
+        the output worker where they contend with the next step's dispatch
+        (measured 1.5-3.6 s/step as ``temp`` at 500k)."""
+        host_state = jax.tree_util.tree_map(
+            np.asarray, jax.device_get(self.state)
+        )
+        self._host_state = host_state
+        alive = host_state.alive
         for name in self.agent_array_names:
-            self.__dict__[name] = host[name][alive]
+            self.__dict__[name] = host_state.arrays[name][alive]
         self.number_agents = int(alive.sum())
 
     # ------------------------------------------------------------------
@@ -223,6 +232,7 @@ class CellSimulation(Simulation):
             # the fused device step: neighbors, division, death, pathway,
             # differentiation, (growth/stochastic/diff_surround/diffusion),
             # motility, 11 physics substeps
+            self._host_state = None  # cache belongs to the previous step
             with record_block(self, "step_fused"):
                 self.state, info = self.engine.safe_step(self.state)
                 jax.block_until_ready(self.state.arrays["locations"])
@@ -277,7 +287,10 @@ class CellSimulation(Simulation):
     def step_gradients(self):
         if self.output_gradients and self.state is not None:
             check_direct(self.gradients_path)
-            grads = self.state.gradients  # immutable jax arrays: safe snapshot
+            host = getattr(self, "_host_state", None)
+            # this step's cached host fetch when present (see _sync_host);
+            # immutable jax arrays otherwise — either way a safe snapshot
+            grads = (host or self.state).gradients
             path, name, step = self.gradients_path, self.name, self.current_step
             io_utils.submit_output(
                 lambda: io_utils.write_gradient_csvs(
@@ -310,7 +323,12 @@ class CellSimulation(Simulation):
 
         super().temp.__wrapped__(self)  # the pickle, un-re-timed
         if self.state is not None:
-            state = self.state  # immutable PyTree: safe snapshot
+            # prefer this step's cached host fetch (see _sync_host) so the
+            # worker writes from host memory instead of re-pulling the state
+            # through the tunnel
+            state = getattr(self, "_host_state", None)
+            if state is None:
+                state = self.state  # immutable PyTree: safe snapshot
             path = os.path.join(self.main_path, f"{self.name}_state.npz")
             meta = {
                 "current_step": self.current_step,
@@ -334,7 +352,13 @@ class CellSimulation(Simulation):
             config_to_meta(self.engine.cfg) if self.engine is not None else None
         )
         if self.state is not None:
-            state["state"] = jax.tree_util.tree_map(np.asarray, jax.device_get(self.state))
+            host = getattr(self, "_host_state", None)
+            if host is None:  # no fetch cached for this step — pull one
+                host = jax.tree_util.tree_map(
+                    np.asarray, jax.device_get(self.state)
+                )
+            state["state"] = host
+        state["_host_state"] = None  # never persist the cache itself
         return state
 
     def __setstate__(self, state):
