@@ -1,8 +1,8 @@
 """Multi-chip parallelism.
 
-The deployment path is ``DomainHipscEngine`` (spatial domain decomposition:
-O(boundary) ``ppermute`` collectives, per-stripe Pallas kernels, agent
-migration). ``parallel.mesh.ShardedHipscEngine`` (GSPMD agent sharding) is a
+The deployment path is ``DomainHipscEngine`` (spatial domain decomposition
+over an ``(n_tx, n_ty)`` tile grid, x-stripes being ``n_ty=1``: O(boundary)
+``ppermute`` collectives, per-tile Pallas kernels, agent migration). ``parallel.mesh.ShardedHipscEngine`` (GSPMD agent sharding) is a
 correctness cross-check with O(colony) collectives and kernels disabled —
 deliberately NOT re-exported here so it cannot be picked by accident.
 """

@@ -10,39 +10,57 @@ SURVEY.md §5.7/§7 stage 7).
 
 Decomposition
 -------------
-The box is split into x-stripes along the **neighbor-lattice column axis**:
-stripe ``s`` owns every agent whose radius-15 bin column lies in
-``[col_bounds[s], col_bounds[s+1])``. Because the canonical agent order is
-(row-major flat bin id, agent id) and stripes are contiguous column ranges,
-the global canonical order is exactly the concatenation of the per-stripe
-canonical orders — which makes daughter-id assignment (and hence the whole
-id-keyed random stream) identical to the single-chip engine.
+The box is split into an ``(n_tx, n_ty)`` **tile grid** over the
+neighbor-lattice column/row axes (``tiles=(n_tx, 1)`` — the default — is the
+pure x-stripe decomposition; in 3D a tile owns full-z pencils). Tile
+``s = tx*n_ty + ty`` owns every agent whose radius-15 bin column lies in
+``[col_bounds[tx], col_bounds[tx+1])`` and bin row in
+``[row_bounds[ty], row_bounds[ty+1])``.
+
+Bit-exactness rests on the canonical agent order (row-major flat bin id,
+agent id): shifting bin coordinates by a tile's static offsets is
+lexicographically monotone, so the local canonical order *is* the global
+canonical order restricted to the local agent set. Two consequences:
+
+- windows over local sorted rows contain byte-identical candidate sequences
+  to the global windows whenever the halo covers the probe reach, making all
+  biology moments and contact forces **bit-exact** against the single-chip
+  engine (validated in ``tests/test_domain_engine.py`` and
+  ``tests/test_domain_tiles.py``);
+- daughter ids equal the single-chip assignment: for stripes the global
+  divider rank is a scalar offset (stripes are contiguous ranges of the
+  global order); for 2-D tiles — whose ranges interleave by column — the
+  step exchanges per-column divider counts (O(columns) ints) and corrects
+  each tile-local rank to its global rank per column.
 
 Each device holds a ``(per_stripe,)`` block of own agent slots plus
-``2 * halo_cap`` halo rows mirroring boundary agents of the two adjacent
-stripes. Per-stripe grids are built by binning agents on the *global*
-lattice (exact integer coords) and shifting the column by the stripe's
-static offset — so local bins are global bins, and a window over local rows
-contains byte-identical candidate sequences to the global window whenever the
-halo covers the probe reach. All biology moments and contact forces are
-therefore **bit-exact** against the single-chip engine (validated in
-``tests/test_domain_engine.py``).
+``n_halo_blocks * halo_cap`` halo rows mirroring boundary agents of adjacent
+tiles. All halo traffic is **dimension-ordered**: the y phase exchanges
+boundary rows with the ty+-1 neighbors, then the x phase exchanges boundary
+columns with the tx+-1 neighbors *including the just-received y-halo rows*,
+so a diagonal tile's corner agents arrive in two hops with no explicit
+corner channels. Per-tile grids are built by binning agents on the *global*
+lattice (exact integer coords) and shifting by the tile's static offsets —
+local bins are global bins.
 
-Communication (all ``ppermute`` ring shifts over ICI; O(boundary) bytes):
+Communication (all ``ppermute`` shifts over ICI; O(boundary) bytes):
 - one bio halo exchange at step start (membership = the single boundary bin
-  column, frozen for the step) + two value-refresh re-sends (after
+  column/row, frozen for the step) + two value-refresh re-sends (after
   division/death and after the fate updates) so moment consumers see the
   owner's current values through the frozen window;
-- one contact-band exchange per physics substep (positions of frozen halo
-  members; full packs at Verlet rebuilds, scheduled by a psum'd global drift
-  predicate — the same rebuild schedule as the single-chip engine);
-- one migration exchange at step end re-homing agents whose column left the
-  stripe, with free-slot allocation on the receiving device;
-- O(1) scalars: per-stripe dividing counts (daughter-id offsets), psum'd
+- one contact-band exchange per physics substep and decomposed axis
+  (positions of frozen halo members; full packs at Verlet rebuilds,
+  scheduled by a psum'd global drift predicate — the same rebuild schedule
+  as the single-chip engine);
+- one migration exchange per decomposed axis at step end re-homing agents
+  whose column/row left the tile (x hop then y hop — dimension-ordered
+  routing delivers diagonal crossings), with free-slot allocation on the
+  receiving device;
+- O(1)/O(columns) scalars: dividing counts (daughter-id offsets), psum'd
   step diagnostics, and the psum'd morphogen deposit grid when diffusion is
   enabled.
 
-Every static capacity (per-stripe slots, halo rows, migration rows, bin run
+Every static capacity (per-tile slots, halo rows, migration rows, bin run
 occupancy, bond degree, drift allowance) has an on-device overflow probe;
 ``DomainHipscEngine.safe_step`` re-executes the step from its unmodified
 input after growing whichever capacity tripped — the domain analog of the
@@ -101,30 +119,56 @@ class DomainConfig:
     recompiles the sharded step)."""
 
     base: EngineConfig  # global lattice specs / bond_cap / verlet skin
-    n_stripes: int
-    per_stripe: int  # own agent slots per stripe
+    n_stripes: int  # TOTAL tile count S = n_tx * n_ty (flattened tile grid)
+    per_stripe: int  # own agent slots per tile
     halo_cap: int  # halo rows per side
     mig_cap: int  # migration rows per side per step
-    div_cap: int  # per-stripe daughter-table size
-    # max distance (um) an agent may drift outside its stripe within one step
+    div_cap: int  # per-tile daughter-table size
+    # max distance (um) an agent may drift outside its tile within one step
     # before re-homing; sizes the contact halo bands. Grown on the
     # drift_exceed probe.
     drift_allowance: float
-    col_bounds: Tuple[int, ...]  # (S+1,) nbr-lattice column partition
+    col_bounds: Tuple[int, ...]  # (n_tx+1,) nbr-lattice column partition
     nbr_nx_local: int  # uniform local-lattice column counts
     jkr_nx_local: int
+    # 2-D tiling: n_ty y-tiles per x-stripe (tile s = tx * n_ty + ty). The
+    # defaults keep the pure x-stripe configuration byte-identical, including
+    # its local-lattice shapes (full global ny when n_ty == 1).
+    n_ty: int = 1
+    row_bounds: Tuple[int, ...] = ()  # (n_ty+1,) nbr-lattice row partition
+    nbr_ny_local: int = 0  # uniform local-lattice row counts (n_ty > 1)
+    jkr_ny_local: int = 0
+
+    @property
+    def n_tx(self) -> int:
+        return self.n_stripes // self.n_ty
+
+    @property
+    def n_halo_blocks(self) -> int:
+        """Halo block count: x-left/right for stripes; + y-down/up for tiles.
+        Block order in the local slot layout: [y-down, y-up,] x-left,
+        x-right — the y blocks exist only when the y axis is decomposed."""
+        return 2 if self.n_ty == 1 else 4
 
     @property
     def local_capacity(self) -> int:
-        return self.per_stripe + 2 * self.halo_cap
+        return self.per_stripe + self.n_halo_blocks * self.halo_cap
 
     @property
     def nbr_spec_local(self) -> nbr_ops.GridSpec:
-        return dataclasses.replace(self.base.nbr_spec, nx=self.nbr_nx_local)
+        if self.n_ty == 1:
+            return dataclasses.replace(self.base.nbr_spec, nx=self.nbr_nx_local)
+        return dataclasses.replace(
+            self.base.nbr_spec, nx=self.nbr_nx_local, ny=self.nbr_ny_local
+        )
 
     @property
     def jkr_spec_local(self) -> nbr_ops.GridSpec:
-        return dataclasses.replace(self.base.jkr_spec, nx=self.jkr_nx_local)
+        if self.n_ty == 1:
+            return dataclasses.replace(self.base.jkr_spec, nx=self.jkr_nx_local)
+        return dataclasses.replace(
+            self.base.jkr_spec, nx=self.jkr_nx_local, ny=self.jkr_ny_local
+        )
 
 
 class DomainState(NamedTuple):
@@ -194,45 +238,66 @@ def _gather_pack(lanes, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid[:, None], pack, 0.0)
 
 
-def _ring_exchange(pack_left: jnp.ndarray, pack_right: jnp.ndarray, n: int):
-    """Send ``pack_left`` to stripe s-1 and ``pack_right`` to stripe s+1.
-    Returns ``(from_left, from_right)``; edge stripes receive zeros (the box
-    is not a torus — matching ``parallel.domain``'s edge handling)."""
-    to_right = [(i, i + 1) for i in range(n - 1)]
-    to_left = [(i, i - 1) for i in range(1, n)]
-    from_left = jax.lax.ppermute(pack_right, AXIS, to_right)
-    from_right = jax.lax.ppermute(pack_left, AXIS, to_left)
-    return from_left, from_right
+def _axis_exchange(
+    pack_lo: jnp.ndarray, pack_hi: jnp.ndarray, n_tx: int, n_ty: int, axis: int
+):
+    """Send ``pack_lo`` to the axis- neighbor tile and ``pack_hi`` to the
+    axis+ neighbor on the flattened (tx, ty) tile grid (tile index
+    ``s = tx * n_ty + ty``; axis 0 = x with stride n_ty, axis 1 = y with
+    stride 1). Returns ``(from_lo, from_hi)``; boundary tiles receive zeros
+    (the box is not a torus — matching ``parallel.domain``'s edge
+    handling). For the pure-stripe case (n_ty == 1, axis 0) this is exactly
+    the left/right ring exchange."""
+    stride = n_ty if axis == 0 else 1
+    length = n_tx if axis == 0 else n_ty
+    S = n_tx * n_ty
 
+    def coord(s):
+        return (s // n_ty) if axis == 0 else (s % n_ty)
 
-def _set_halo(arr: jnp.ndarray, P_own: int, H: int, left_vals, right_vals):
-    """Write the two halo blocks (static slices) of a (C_loc, ...) array."""
-    arr = jax.lax.dynamic_update_slice_in_dim(arr, left_vals, P_own, axis=0)
-    return jax.lax.dynamic_update_slice_in_dim(arr, right_vals, P_own + H, axis=0)
+    to_hi = [(s, s + stride) for s in range(S) if coord(s) < length - 1]
+    to_lo = [(s, s - stride) for s in range(S) if coord(s) > 0]
+    from_lo = jax.lax.ppermute(pack_hi, AXIS, to_hi)
+    from_hi = jax.lax.ppermute(pack_lo, AXIS, to_lo)
+    return from_lo, from_hi
 
 
 def _local_flat(
     spec_local: nbr_ops.GridSpec,
     gcoords: jnp.ndarray,
     col_off: jnp.ndarray,
+    row_off: jnp.ndarray,
     alive: jnp.ndarray,
 ):
     """Local flat bin ids from *global* integer bin coords shifted by the
-    stripe's column offset (integer arithmetic — float re-binning against a
-    shifted origin could disagree with global binning at bin edges). Rows
+    tile's column/row offsets (integer arithmetic — float re-binning against
+    a shifted origin could disagree with global binning at bin edges). Rows
     outside the local lattice get the dead sentinel (they become invisible;
     the drift probe forces re-execution if an own row ever lands there).
-    Returns ``(flat, local_coords)``. Dimension-agnostic: in 2D ``nz == 1``
-    and the z coordinate is 0, so the 3D formula reduces to the 2D one (a
-    "column" is a y row in 2D and a y-z slab in 3D — the decomposition axis
-    is x either way, matching the reference's 3x3x3 stencil treating 3D as
-    first-class, ``backend.py:84-93``)."""
+    Returns ``(flat, local_coords)``.
+
+    The shift is lexicographically monotone, so the local canonical
+    (flat, id) sort order equals the global canonical order restricted to
+    the local agent set — the property every bit-exactness claim rests on.
+    Dimension-agnostic: in 2D ``nz == 1`` and the z coordinate is 0, so the
+    3D formula reduces to the 2D one (matching the reference's 3x3x3 stencil
+    treating 3D as first-class, ``backend.py:84-93``). For pure x-stripes
+    ``row_off == 0`` and ``spec_local.ny`` is the global ny, which makes the
+    y terms the identity."""
     cxl = gcoords[:, 0] - col_off
-    in_range = (cxl >= 0) & (cxl < spec_local.nx)
-    flat = (cxl * spec_local.ny + gcoords[:, 1]) * spec_local.nz + gcoords[:, 2]
+    cyl = gcoords[:, 1] - row_off
+    in_range = (
+        (cxl >= 0) & (cxl < spec_local.nx) & (cyl >= 0) & (cyl < spec_local.ny)
+    )
+    flat = (cxl * spec_local.ny + cyl) * spec_local.nz + gcoords[:, 2]
     flat = jnp.where(alive & in_range, flat, nbr_ops.dead_sentinel(spec_local))
     coords_l = jnp.stack(
-        [jnp.clip(cxl, 0, spec_local.nx - 1), gcoords[:, 1], gcoords[:, 2]], axis=1
+        [
+            jnp.clip(cxl, 0, spec_local.nx - 1),
+            jnp.clip(cyl, 0, spec_local.ny - 1),
+            gcoords[:, 2],
+        ],
+        axis=1,
     )
     return flat, coords_l
 
@@ -267,24 +332,27 @@ def _domain_step_body(
     non-resident candidate comes from a halo exchange, so own-row results are
     bit-identical to the single-chip engine's."""
     S = cfg.n_stripes
+    Tx, Ty = cfg.n_tx, cfg.n_ty
     P_own = cfg.per_stripe
     H = cfg.halo_cap
     C = cfg.local_capacity
     base = cfg.base
     two_d = base.two_d
 
-    # squeeze the leading (1,) stripe-block dim
+    # squeeze the leading (1,) tile-block dim
     arrays = {k: v[0] for k, v in arrays.items()}
     alive = alive[0]
     partners = partners[0]
     bmask = bmask[0]
-    sci = sci[0]  # (10,) int32 stripe constants
-    scf = scf[0]  # (2,) f32
+    sci = sci[0]  # (20,) int32 tile constants
+    scf = scf[0]  # (4,) f32
 
-    (ncl, nch, col_off_nbr, col_off_jkr, sl_frz, sl_fresh, sr_frz, sr_fresh,
-     prev_ncl, next_nch, recv_l_col, recv_r_col) = [sci[i] for i in range(12)]
-    del sl_frz, sr_frz  # sender freezes via the receiver-side column filter
-    x_lo, x_hi = scf[0], scf[1]
+    (ncl, nch, nrl, nrh, col_off_nbr, row_off_nbr, col_off_jkr, row_off_jkr,
+     sl_fresh, sr_fresh, sd_fresh, su_fresh, recv_l_col, recv_r_col,
+     recv_d_row, recv_u_row, prev_ncl, next_nch, prev_nrl, next_nrh) = [
+        sci[i] for i in range(20)
+    ]
+    x_lo, x_hi, y_lo, y_hi = scf[0], scf[1], scf[2], scf[3]
 
     # --- local (own + halo) slot blocks -------------------------------------
     def pad_rows(a):
@@ -298,58 +366,103 @@ def _domain_step_body(
     key, k_div, k_path, k_diff, k_stoch, k_mot = jax.random.split(key, 6)
     size = jnp.asarray(gen.size, dtype=arrays["locations"].dtype)
 
-    # --- bio halo exchange A: frozen membership = the boundary bin column ---
-    # an own row in column c probes columns c-1..c+1, so the only non-resident
-    # candidates are the adjacent stripes' single boundary columns
+    # --- bio halo exchange A: frozen membership = the boundary bin column /
+    # row. An own row in bin (c, r) probes bins (c+-1, r+-1), so the only
+    # non-resident candidates are the adjacent tiles' single boundary
+    # columns/rows plus the diagonal tiles' corner bins. The exchange is
+    # dimension-ordered (y phase, then x phase forwarding the just-received
+    # y-halo rows) so corners arrive in two hops; for pure x-stripes the y
+    # phase is statically absent and this is the round-2 single exchange.
     gcoords0 = nbr_ops._bin_coords(base.nbr_spec, arrays["locations"][:P_own])
     col0 = gcoords0[:, 0]
+    row0 = gcoords0[:, 1]
     alive_own = alive[:P_own]
-    idxL, valL, cntL = _compact_idx(alive_own & (col0 == ncl), H)
-    idxR, valR, cntR = _compact_idx(alive_own & (col0 == nch - 1), H)
-    bio_band_max = jnp.maximum(cntL, cntR)
 
     BIO_LANES = ("locations", "radii", "ids", "FGF4", "GATA6", "NANOG", "states")
+    # x-band sources: own rows, plus (when the y axis is decomposed) the two
+    # y-halo blocks — forwarding them delivers the diagonal corners
+    x_src_n = P_own + (2 * H if Ty > 1 else 0)
+    x_off = P_own + (2 * H if Ty > 1 else 0)  # first x halo block row
 
-    def bio_send():
-        """(Re-)send the frozen bio band with current values; the alive lane
-        carries *current* liveness so consumers drop mid-step deaths."""
-        lanes = [arrays[k][:P_own] for k in BIO_LANES]
-        a_now = alive[:P_own]
-        aliveL = valL & a_now[idxL]
-        aliveR = valR & a_now[idxR]
-        packL = jnp.concatenate(
-            [_gather_pack(lanes, idxL, valL), aliveL.astype(jnp.float32)[:, None]],
+    def bio_band(idx, val, n_src):
+        """Band pack gathered at frozen indices with *current* values; the
+        alive lane carries current liveness so consumers drop mid-step
+        deaths (and forwarded rows inherit the owner's liveness)."""
+        lanes = [arrays[k][:n_src] for k in BIO_LANES]
+        alv = val & alive[:n_src][idx]
+        return jnp.concatenate(
+            [_gather_pack(lanes, idx, val), alv.astype(jnp.float32)[:, None]],
             axis=1,
         )
-        packR = jnp.concatenate(
-            [_gather_pack(lanes, idxR, valR), aliveR.astype(jnp.float32)[:, None]],
-            axis=1,
-        )
-        return _ring_exchange(packL, packR, S)
 
-    def bio_apply(from_left, from_right):
+    def bio_apply_block(pack, start):
         nonlocal arrays, alive
         c = 0
         for k in BIO_LANES:
             w = arrays[k].shape[1] if arrays[k].ndim == 2 else 1
-            vl = from_left[:, c:c + w]
-            vr = from_right[:, c:c + w]
+            v = pack[:, c:c + w]
             if arrays[k].ndim == 1:
-                vl, vr = vl[:, 0], vr[:, 0]
-            arrays[k] = _set_halo(
-                arrays[k], P_own, H,
-                vl.astype(arrays[k].dtype), vr.astype(arrays[k].dtype),
+                v = v[:, 0]
+            arrays[k] = jax.lax.dynamic_update_slice_in_dim(
+                arrays[k], v.astype(arrays[k].dtype), start, axis=0
             )
             c += w
-        alive = _set_halo(alive, P_own, H, from_left[:, c] > 0, from_right[:, c] > 0)
+        alive = jax.lax.dynamic_update_slice_in_dim(
+            alive, pack[:, c] > 0, start, axis=0
+        )
 
-    bio_apply(*bio_send())
+    if Ty > 1:
+        idxD, valD, cntD = _compact_idx(alive_own & (row0 == nrl), H)
+        idxU, valU, cntU = _compact_idx(alive_own & (row0 == nrh - 1), H)
+
+        def bio_exchange_y():
+            fD, fU = _axis_exchange(
+                bio_band(idxD, valD, P_own), bio_band(idxU, valU, P_own),
+                Tx, Ty, axis=1,
+            )
+            bio_apply_block(fD, P_own)
+            bio_apply_block(fU, P_own + H)
+
+        # the x membership freezes AFTER the first y apply: it reads the
+        # y-halo rows' coordinates to pick the forwarded corner rows
+        bio_exchange_y()
+        gx = nbr_ops._bin_coords(base.nbr_spec, arrays["locations"][:x_src_n])
+        colx = gx[:, 0]
+        alive_x = alive[:x_src_n]
+        idxL, valL, cntL = _compact_idx(alive_x & (colx == ncl), H)
+        idxR, valR, cntR = _compact_idx(alive_x & (colx == nch - 1), H)
+        bio_band_max = jnp.maximum(
+            jnp.maximum(cntL, cntR), jnp.maximum(cntD, cntU)
+        )
+    else:
+        idxL, valL, cntL = _compact_idx(alive_own & (col0 == ncl), H)
+        idxR, valR, cntR = _compact_idx(alive_own & (col0 == nch - 1), H)
+        bio_band_max = jnp.maximum(cntL, cntR)
+
+    def bio_exchange_x():
+        fL, fR = _axis_exchange(
+            bio_band(idxL, valL, x_src_n), bio_band(idxR, valR, x_src_n),
+            Tx, Ty, axis=0,
+        )
+        bio_apply_block(fL, x_off)
+        bio_apply_block(fR, x_off + H)
+
+    def bio_refresh():
+        """(Re-)send every frozen bio band with current values, y before x so
+        forwarded corner rows carry this round's refreshed values."""
+        if Ty > 1:
+            bio_exchange_y()
+        bio_exchange_x()
+
+    bio_exchange_x()  # completes exchange A (the y phase already ran)
 
     # --- the step's neighbor graph (frozen window, like the single-chip
     # engine's build at the top of the step) --------------------------------
     loc0 = arrays["locations"]
     gcoords_all = nbr_ops._bin_coords(base.nbr_spec, loc0)
-    nflat, ncoords = _local_flat(cfg.nbr_spec_local, gcoords_all, col_off_nbr, alive)
+    nflat, ncoords = _local_flat(
+        cfg.nbr_spec_local, gcoords_all, col_off_nbr, row_off_nbr, alive
+    )
     nbr_grid = nbr_ops.grid_from_flat_coords(nflat, ncoords, arrays["ids"])
     nbr_pos, nbr_valid, nbr_max_in_bin = nbr_ops.window_from_grid(
         cfg.nbr_spec_local, nbr_grid
@@ -369,11 +482,53 @@ def _domain_step_body(
     )
     dividing = dividing & owned
     nd_local = jnp.sum(dividing)
-    counts = jax.lax.all_gather(nd_local, AXIS)  # (S,) tiny
     s_idx = jax.lax.axis_index(AXIS)
-    rank_offset = jnp.sum(
-        jnp.where(jnp.arange(S) < s_idx, counts, 0)
-    ).astype(jnp.int32)
+    if Ty == 1:
+        # stripes are contiguous ranges of the global canonical order, so the
+        # global divider rank is (dividers in lower stripes) + local rank
+        counts = jax.lax.all_gather(nd_local, AXIS)  # (S,) tiny
+        rank_offset = jnp.sum(
+            jnp.where(jnp.arange(S) < s_idx, counts, 0)
+        ).astype(jnp.int32)
+    else:
+        # 2-D tiles interleave in the global canonical (cx, cy, cz, id)
+        # order: all of column cx' < cx first, then — within my column cx —
+        # the tiles of my x-range in ty order. Exchange per-column divider
+        # counts (O(columns) ints) and turn them into a per-RANK offset
+        # table: daughter id = next_id + off[rank] + rank, where off corrects
+        # the tile-local canonical rank to the global one.
+        NXC = cfg.nbr_nx_local
+        cxl0 = jnp.clip(col0 - ncl, 0, NXC - 1)
+        counts_col = jnp.zeros((NXC,), jnp.int32).at[
+            jnp.where(dividing[:P_own], cxl0, NXC)
+        ].add(1, mode="drop")
+        gathered = jax.lax.all_gather(counts_col, AXIS).reshape(Tx, Ty, NXC)
+        tx_i = s_idx // Ty
+        ty_i = s_idx % Ty
+        tile_tot = jnp.sum(gathered, axis=(1, 2))  # (Tx,)
+        total_before_tx = jnp.sum(
+            jnp.where(jnp.arange(Tx) < tx_i, tile_tot, 0)
+        )
+        mygroup = jnp.sum(
+            jnp.where((jnp.arange(Tx) == tx_i)[:, None, None], gathered, 0),
+            axis=0,
+        )  # (Ty, NXC): per-column counts of my x-range, by ty
+        colsum = jnp.sum(mygroup, axis=0)
+        prefix_cols = jnp.cumsum(colsum) - colsum  # dividers in lower columns
+        ty_prefix = jnp.sum(
+            jnp.where((jnp.arange(Ty) < ty_i)[:, None], mygroup, 0), axis=0
+        )  # dividers in my column, lower ty
+        own_prefix = jnp.cumsum(counts_col) - counts_col
+        off_col = (
+            total_before_tx + prefix_cols + ty_prefix - own_prefix
+        ).astype(jnp.int32)
+        rank_own = biology.canonical_rank(dividing, nbr_grid.order)[:P_own]
+        dest = jnp.where(
+            dividing[:P_own] & (rank_own < cfg.div_cap), rank_own, cfg.div_cap
+        )
+        rank_offset = jnp.zeros((cfg.div_cap,), jnp.int32).at[dest].set(
+            off_col[cxl0], mode="drop"
+        )
     arrays, alive, daughter_mask, num_added, num_deferred = biology.division_apply(
         arrays, alive, div_counters, dividing, k_div, bio, two_d,
         canon_order=nbr_grid.order, next_id=next_id, div_cap=cfg.div_cap,
@@ -394,7 +549,7 @@ def _domain_step_body(
 
     # --- exchange B: refresh halo values (division moved mothers, deaths
     # changed liveness) through the frozen window ---------------------------
-    bio_apply(*bio_send())
+    bio_refresh()
 
     # --- cell_pathway ---
     m2 = bio_moments(arrays["locations"], arrays["FGF4"], zero_i, zero_i, alive)
@@ -436,7 +591,7 @@ def _domain_step_body(
             arrays["GATA6"], arrays["NANOG"], arrays["ids"], alive, k_stoch, bio
         )
     # exchange C: fate updates flow to neighbors before the moment reads
-    bio_apply(*bio_send())
+    bio_refresh()
     if base.enable_diff_surround:
         m_ds = bio_moments(
             arrays["locations"], zero_i, zero_i, arrays["states"], alive
@@ -445,7 +600,7 @@ def _domain_step_body(
             arrays["GATA6"], arrays["NANOG"], arrays["states"], alive,
             m_ds[:, 7].astype(jnp.int32), bio,
         )
-        bio_apply(*bio_send())
+        bio_refresh()
 
     # --- morphogen diffusion (replicated lattice, psum'd deposits) ----------
     if base.enable_diffusion and diff is not None:
@@ -491,16 +646,33 @@ def _domain_step_body(
         max_substep_move,
     ) = _domain_physics(
         cfg, bio, arrays, alive, bonds, size,
-        sl_fresh, sr_fresh, recv_l_col, recv_r_col, col_off_jkr, x_lo, x_hi,
+        sl_fresh, sr_fresh, sd_fresh, su_fresh,
+        recv_l_col, recv_r_col, recv_d_row, recv_u_row,
+        col_off_jkr, row_off_jkr, x_lo, x_hi, y_lo, y_hi,
     )
     arrays["locations"] = locations
     arrays["jkr_forces"] = jnp.zeros_like(arrays["jkr_forces"])
     arrays["motility_forces"] = jnp.zeros_like(arrays["motility_forces"])
 
-    # --- agent migration: re-home agents whose bin column left the stripe ---
+    # --- agent migration: re-home agents whose bin column/row left the tile
+    # (dimension-ordered: x hop first, then y — a diagonal crossing is
+    # delivered in two hops within the same step) ----------------------------
     (
         arrays, alive, bonds, mig_out_max, mig_shortfall, mig_too_far,
-    ) = _migrate(cfg, base, arrays, alive, bonds, ncl, nch, prev_ncl, next_nch)
+    ) = _migrate(
+        cfg, base, arrays, alive, bonds, ncl, nch, prev_ncl, next_nch,
+        axis=0,
+    )
+    if Ty > 1:
+        (
+            arrays, alive, bonds, migy_max, migy_short, migy_far,
+        ) = _migrate(
+            cfg, base, arrays, alive, bonds, nrl, nrh, prev_nrl, next_nrh,
+            axis=1,
+        )
+        mig_out_max = jnp.maximum(mig_out_max, migy_max)
+        mig_shortfall = mig_shortfall + migy_short
+        mig_too_far = mig_too_far + migy_far
 
     # --- outputs -------------------------------------------------------------
     alive_own = alive[:P_own]
@@ -548,28 +720,37 @@ def _domain_physics(
     alive,
     bonds: BondState,
     size,
-    sl_fresh, sr_fresh, recv_l_col, recv_r_col, col_off_jkr, x_lo, x_hi,
+    sl_fresh, sr_fresh, sd_fresh, su_fresh,
+    recv_l_col, recv_r_col, recv_d_row, recv_u_row,
+    col_off_jkr, row_off_jkr, x_lo, x_hi, y_lo, y_hi,
 ):
-    """The 11 JKR+Stokes substeps under decomposition (XLA window path).
+    """The 11 JKR+Stokes substeps under decomposition.
 
     Design: the contact window (local grid + per-row candidate windows) and
     the halo membership are frozen together at each Verlet rebuild; between
-    rebuilds each substep ppermutes the positions of the SAME frozen band
+    rebuilds each substep exchanges the positions of the SAME frozen band
     rows (the sender carries its rebuild-time compaction indices in the scan,
     so refresh row h is by construction the agent behind halo row h — an O(H)
-    gather, replacing the O(H^2) id-join an earlier revision used), so every
-    candidate an own row sees carries its owner's current position — making
-    force sums bit-equal to the single-chip engine's (same candidates, same
-    order, same rebuild schedule). The rebuild predicate is pmax'd, so every
-    stripe agrees on whether a given exchange carries a fresh-membership pack
-    (rebuild) or a frozen-band refresh. At a rebuild the receiver freezes
-    only the fresh-pack rows inside its receive columns
-    (``recv_l_col``/``recv_r_col``) — the fresh send band is one column wider
-    on each side, so a frozen member can never drift out of coverage within a
-    window's lifetime (drift < skin/2 < one jkr column); ownership is fixed
-    during physics (migration runs at step end), so a frozen sender row
-    always remains resident and alive for the window's lifetime."""
+    gather), so every candidate an own row sees carries its owner's current
+    position — making force sums bit-equal to the single-chip engine's (same
+    candidates, same order, same rebuild schedule). The rebuild predicate is
+    pmax'd, so every tile agrees on whether a given exchange carries a
+    fresh-membership pack (rebuild) or a frozen-band refresh, and every
+    ppermute stays unconditional.
+
+    With a 2-D tile grid the exchange is dimension-ordered: the y phase runs
+    first (adjacent ty tiles' boundary bands), then the x phase — whose send
+    band includes the just-refreshed y-halo rows, so a diagonal tile's corner
+    agents are forwarded in two hops. At a rebuild the receiver freezes only
+    the fresh-pack rows inside its receive columns/rows — the fresh send band
+    is one bin wider on each side, so a frozen member can never drift out of
+    coverage within a window's lifetime (drift < skin/2 < one jkr bin);
+    ownership is fixed during physics (migration runs at step end), so a
+    frozen sender row always remains resident and alive for the window's
+    lifetime. For pure x-stripes (n_ty == 1) the y phase is statically absent
+    and the flow is the round-2 single ring exchange."""
     base = cfg.base
+    Tx, Ty = cfg.n_tx, cfg.n_ty
     P_own = cfg.per_stripe
     H = cfg.halo_cap
     C = cfg.local_capacity
@@ -584,47 +765,121 @@ def _domain_physics(
         c = jnp.floor(x / gspec.cell_size).astype(jnp.int32) + 1
         return jnp.clip(c, 0, gspec.nx - 1)
 
-    PK_LANES = 6  # x, y, z, radius, id, alive
+    def jrow(y):
+        c = jnp.floor(y / gspec.cell_size).astype(jnp.int32) + 1
+        return jnp.clip(c, 0, gspec.ny - 1)
 
-    def fresh_band_idx(pk):
-        """Compaction indices of the current fresh contact band (one column
-        wider than the frozen band) — the sender-side membership that gets
-        FROZEN into the scan carry at each rebuild."""
+    PK_LANES = 6  # x, y, z, radius, id, alive
+    # x-phase sources: own rows plus (when the y axis is decomposed) the two
+    # y-halo blocks, so corner rows get forwarded
+    x_src_n = P_own + (2 * H if Ty > 1 else 0)
+    x_blk = x_src_n  # first x halo block row (static)
+
+    def fresh_y_idx(pk):
+        """Fresh y-band membership (own rows near the tile's y boundaries) —
+        frozen into the scan carry at each rebuild."""
         own_alive = pk[:P_own, 5] > 0.0
-        cj = jcol(pk[:P_own, 0])
-        idxL, valL, cntL = _compact_idx(own_alive & (cj <= sl_fresh), H)
-        idxR, valR, cntR = _compact_idx(own_alive & (cj >= sr_fresh), H)
+        rj = jrow(pk[:P_own, 1])
+        idxD, valD, cntD = _compact_idx(own_alive & (rj <= sd_fresh), H)
+        idxU, valU, cntU = _compact_idx(own_alive & (rj >= su_fresh), H)
+        return (idxD, valD, idxU, valU), jnp.maximum(cntD, cntU)
+
+    def fresh_x_idx(pk):
+        """Fresh x-band membership over own + y-halo rows (one jkr column
+        wider than the neighbor's receive columns)."""
+        src_alive = pk[:x_src_n, 5] > 0.0
+        cj = jcol(pk[:x_src_n, 0])
+        idxL, valL, cntL = _compact_idx(src_alive & (cj <= sl_fresh), H)
+        idxR, valR, cntR = _compact_idx(src_alive & (cj >= sr_fresh), H)
         return (idxL, valL, idxR, valR), jnp.maximum(cntL, cntR)
 
-    def band_exchange(pk, frz):
-        """Exchange band packs gathered at the given (frozen or fresh)
-        indices."""
-        idxL, valL, idxR, valR = frz
-        packL = jnp.where(valL[:, None], pk[:P_own][idxL, :PK_LANES], 0.0)
-        packR = jnp.where(valR[:, None], pk[:P_own][idxR, :PK_LANES], 0.0)
-        return _ring_exchange(packL, packR, cfg.n_stripes)
+    def band_pack(pk, idx, val, n_src):
+        return jnp.where(val[:, None], pk[:n_src][idx, :PK_LANES], 0.0)
+
+    def apply_block(pk, start, recv, do_rebuild, keep):
+        """Unconditionally update one (H,) halo block: at a rebuild the
+        keep-filtered received pack REPLACES the block (filtered rows are
+        zeroed in place, preserving the positional sender order the refresh
+        path relies on); between rebuilds the received rows positionally
+        refresh the frozen rows' positions."""
+        fresh = jnp.where(keep[:, None], recv, 0.0)
+        fresh = jnp.pad(fresh, ((0, 0), (0, pk.shape[1] - PK_LANES)))
+        blk = pk[start:start + H]
+        blk_alive = blk[:, 5] > 0.0
+        refreshed = blk.at[:, :3].set(
+            jnp.where(blk_alive[:, None], recv[:, :3], blk[:, :3])
+        )
+        return pk.at[start:start + H].set(
+            jnp.where(do_rebuild, fresh, refreshed)
+        )
+
+    def _sel(do_rebuild, fresh, frozen):
+        return jax.tree_util.tree_map(
+            lambda f, o: jnp.where(do_rebuild, f, o), fresh, frozen
+        )
+
+    def exchange_and_update(pk, frz, do_rebuild):
+        """Per-substep band exchange + halo update, both phases. Returns the
+        updated pk, the (possibly re-frozen) membership carry, and the band
+        occupancy probe (counted at rebuilds only)."""
+        if Ty > 1:
+            frz_y, frz_x = frz
+            frz_y_f, cnt_y = fresh_y_idx(pk)
+            frz_y = _sel(do_rebuild, frz_y_f, frz_y)
+            fD, fU = _axis_exchange(
+                band_pack(pk, frz_y[0], frz_y[1], P_own),
+                band_pack(pk, frz_y[2], frz_y[3], P_own),
+                Tx, Ty, axis=1,
+            )
+            keepD = jrow(fD[:, 1]) >= recv_d_row
+            keepU = jrow(fU[:, 1]) <= recv_u_row
+            pk = apply_block(pk, P_own, fD, do_rebuild, keepD)
+            pk = apply_block(pk, P_own + H, fU, do_rebuild, keepU)
+            # x membership reads the just-updated y-halo rows
+            frz_x_f, cnt_x = fresh_x_idx(pk)
+            frz_x = _sel(do_rebuild, frz_x_f, frz_x)
+            fL, fR = _axis_exchange(
+                band_pack(pk, frz_x[0], frz_x[1], x_src_n),
+                band_pack(pk, frz_x[2], frz_x[3], x_src_n),
+                Tx, Ty, axis=0,
+            )
+            rL, rR = jrow(fL[:, 1]), jrow(fR[:, 1])
+            keepL = ((jcol(fL[:, 0]) >= recv_l_col)
+                     & (rL >= recv_d_row) & (rL <= recv_u_row))
+            keepR = ((jcol(fR[:, 0]) <= recv_r_col)
+                     & (rR >= recv_d_row) & (rR <= recv_u_row))
+            pk = apply_block(pk, x_blk, fL, do_rebuild, keepL)
+            pk = apply_block(pk, x_blk + H, fR, do_rebuild, keepR)
+            band_cnt = jnp.where(do_rebuild, jnp.maximum(cnt_y, cnt_x), 0)
+            return pk, (frz_y, frz_x), band_cnt
+        frz_f, cnt = fresh_x_idx(pk)
+        frz = _sel(do_rebuild, frz_f, frz)
+        fL, fR = _axis_exchange(
+            band_pack(pk, frz[0], frz[1], P_own),
+            band_pack(pk, frz[2], frz[3], P_own),
+            Tx, Ty, axis=0,
+        )
+        keepL = jcol(fL[:, 0]) >= recv_l_col
+        keepR = jcol(fR[:, 0]) <= recv_r_col
+        pk = apply_block(pk, P_own, fL, do_rebuild, keepL)
+        pk = apply_block(pk, P_own + H, fR, do_rebuild, keepR)
+        return pk, frz, jnp.where(do_rebuild, cnt, 0)
 
     use_pallas = base.use_pallas
     span = min(base.jkr_span, C)
     inv_base = jnp.arange(C, dtype=jnp.int32)
 
-    def rebuild(pk, from_left, from_right):
-        """Freeze new halo membership (fresh-pack rows inside the receive
-        columns) and rebuild the local grid + candidate windows (or, on the
-        Pallas path, the per-block span plan)."""
-        keep_l = jcol(from_left[:, 0]) >= recv_l_col
-        keep_r = jcol(from_right[:, 0]) <= recv_r_col
-        from_left = jnp.where(keep_l[:, None], from_left, 0.0)
-        from_right = jnp.where(keep_r[:, None], from_right, 0.0)
-        halo = jnp.concatenate([from_left, from_right], axis=0)  # (2H, 6)
-        pk = jnp.concatenate(
-            [pk[:P_own, :], jnp.pad(halo, ((0, 0), (0, pk.shape[1] - PK_LANES)))],
-            axis=0,
-        )
+    def rebuild_grid(pk):
+        """Rebuild the local grid + candidate windows (or, on the Pallas
+        path, the per-block span plan) over the updated own + halo rows."""
         alive_now = pk[:, 5] > 0.0
         gc = nbr_ops._bin_coords(gspec, pk[:, :3])
-        flat, coords_l = _local_flat(spec_l, gc, col_off_jkr, alive_now)
-        grid = nbr_ops.grid_from_flat_coords(flat, coords_l, pk[:, 4].astype(jnp.int32))
+        flat, coords_l = _local_flat(
+            spec_l, gc, col_off_jkr, row_off_jkr, alive_now
+        )
+        grid = nbr_ops.grid_from_flat_coords(
+            flat, coords_l, pk[:, 4].astype(jnp.int32)
+        )
         if use_pallas:
             # per-shard Pallas: block span plan over the LOCAL sorted layout;
             # the inverse permutation unsorts kernel outputs each substep
@@ -641,34 +896,10 @@ def _domain_physics(
                 jnp.zeros((), jnp.int32), (AXIS,), to="varying"
             )
             win = (grid.order, pos, valid, pk[:, :3])
-        return pk, win, max_run, span_needed
+        return win, max_run, span_needed
 
-    def refresh_positions(pk, from_left, from_right):
-        """Refresh frozen halo rows' positions: the sender resent its frozen
-        band rows in rebuild-time compaction order, so received row h IS the
-        agent behind halo row h (rows not kept by the rebuild filter have a
-        dead alive lane and are skipped) — one O(H) masked write."""
-        fresh = jnp.concatenate([from_left, from_right], axis=0)  # (2H, 6)
-        halo_alive = pk[P_own:, 5] > 0.0
-        halo_pos = jnp.where(halo_alive[:, None], fresh[:, :3], pk[P_own:, :3])
-        return pk.at[P_own:, :3].set(halo_pos)
-
-    # --- scan entry: unconditional build -------------------------------------
-    pk0 = pack_physics(arrays["locations"], arrays["radii"], arrays["ids"], alive)
-    frz0, band0 = fresh_band_idx(pk0)
-    fl0, fr0 = band_exchange(pk0, frz0)
-    pk0, win0, max_run0, span0 = rebuild(pk0, fl0, fr0)
-
-    store_radius = (None if base.bond_band_margin is None else
-                    bio.jkr_radius - base.bond_band_margin)
-
-    def drift_and_band(pk, win, frz):
-        """Shared per-substep prologue: pmax'd global drift predicate,
-        out-of-stripe probe, band pack selection + exchange. The pmax makes
-        the predicate globally uniform: every stripe sends the same pack
-        kind this substep (fresh membership at rebuilds, the frozen band
-        otherwise) — selected OUTSIDE the cond so the ppermute stays
-        unconditional."""
+    def drift_probe(pk, win):
+        """pmax'd global drift predicate + out-of-tile distance probe."""
         own_alive = pk[:P_own, 5] > 0.0
         drift2 = jnp.max(
             jnp.where(
@@ -682,14 +913,15 @@ def _domain_physics(
         exceed = jnp.max(
             jnp.where(own_alive, jnp.maximum(x_lo - x_own, x_own - x_hi), 0.0)
         )
-        do_rebuild = g_drift2 > (skin * 0.5) ** 2
-        frz_fresh, band_cnt_f = fresh_band_idx(pk)
-        frz = jax.tree_util.tree_map(
-            lambda f, o: jnp.where(do_rebuild, f, o), frz_fresh, frz
-        )
-        band_cnt = jnp.where(do_rebuild, band_cnt_f, 0)
-        from_left, from_right = band_exchange(pk, frz)
-        return do_rebuild, frz, band_cnt, exceed, from_left, from_right
+        if Ty > 1:
+            y_own = pk[:P_own, 1]
+            exceed = jnp.maximum(
+                exceed,
+                jnp.max(jnp.where(
+                    own_alive, jnp.maximum(y_lo - y_own, y_own - y_hi), 0.0
+                )),
+            )
+        return g_drift2 > (skin * 0.5) ** 2, exceed
 
     def integrate(pk, forces, dt):
         new_loc = stokes_integrate(
@@ -708,10 +940,24 @@ def _domain_physics(
     def zero_v():
         return jax.lax.pcast(jnp.zeros((), jnp.int32), (AXIS,), to="varying")
 
+    # --- scan entry: unconditional build -------------------------------------
+    pk0 = pack_physics(arrays["locations"], arrays["radii"], arrays["ids"], alive)
+
+    def zeros_frz4():
+        return (jnp.zeros((H,), jnp.int32), jnp.zeros((H,), bool),
+                jnp.zeros((H,), jnp.int32), jnp.zeros((H,), bool))
+
+    frz_init = (zeros_frz4(), zeros_frz4()) if Ty > 1 else zeros_frz4()
+    pk0, frz0, band0 = exchange_and_update(pk0, frz_init, jnp.asarray(True))
+    win0, max_run0, span0 = rebuild_grid(pk0)
+
+    store_radius = (None if base.bond_band_margin is None else
+                    bio.jkr_radius - base.bond_band_margin)
+
     if use_pallas:
         result = _domain_physics_pallas_scan(
-            cfg, bio, bonds, size, dts, pk0, win0, frz0, store_radius,
-            drift_and_band, rebuild, refresh_positions, integrate, zero_v,
+            cfg, bio, bonds, dts, pk0, win0, frz0, store_radius,
+            drift_probe, exchange_and_update, rebuild_grid, integrate, zero_v,
         )
     else:
         def contact_xla(pk, bonds, win):
@@ -724,26 +970,21 @@ def _domain_physics(
 
         def substep(carry, dt):
             pk, bonds, win, frz = carry
-            do_rebuild, frz, band_cnt, exceed, from_left, from_right = (
-                drift_and_band(pk, win, frz)
+            do_rebuild, exceed = drift_probe(pk, win)
+            pk, frz, band_cnt = exchange_and_update(pk, frz, do_rebuild)
+
+            def do_re(pk):
+                return rebuild_grid(pk)
+
+            def no_re(pk):
+                return win, zero_v(), zero_v()
+
+            win2, max_run, span_needed = jax.lax.cond(
+                do_rebuild, do_re, no_re, pk
             )
-
-            def do_re(args):
-                pk, win = args
-                pk, win, max_run, span_needed = rebuild(pk, from_left, from_right)
-                return pk, win, max_run, span_needed
-
-            def no_re(args):
-                pk, win = args
-                return (refresh_positions(pk, from_left, from_right), win,
-                        zero_v(), zero_v())
-
-            pk, win, max_run, span_needed = jax.lax.cond(
-                do_rebuild, do_re, no_re, (pk, win)
-            )
-            forces, bonds, max_degree = contact_xla(pk, bonds, win)
+            forces, bonds, max_degree = contact_xla(pk, bonds, win2)
             pk, move2 = integrate(pk, forces, dt)
-            return (pk, bonds, win, frz), (
+            return (pk, bonds, win2, frz), (
                 max_run, max_degree, band_cnt, exceed, span_needed, move2,
             )
 
@@ -768,13 +1009,13 @@ def _domain_physics(
 
 
 def _domain_physics_pallas_scan(
-    cfg, bio, bonds, size, dts, pk0, win0, frz0, store_radius,
-    drift_and_band, rebuild, refresh_positions, integrate, zero_v,
+    cfg, bio, bonds, dts, pk0, win0, frz0, store_radius,
+    drift_probe, exchange_and_update, rebuild_grid, integrate, zero_v,
 ):
-    """Per-stripe physics with **span-mask bonds** (VERDICT r2 item 2): the
-    single-chip engine's fast path, dropped into the decomposed scan.
+    """Per-tile physics with **span-mask bonds**: the single-chip engine's
+    fast path, dropped into the decomposed scan.
 
-    While a stripe's Verlet window (local sort order + span plan) is frozen,
+    While a tile's Verlet window (local sort order + span plan) is frozen,
     the bond set rides a persistent (C_loc, n_runs*span) int8 mask — one lane
     read for membership, one in-place write for storage — instead of the
     per-substep K-id membership scan + first-K compaction the round-2 path
@@ -783,7 +1024,9 @@ def _domain_physics_pallas_scan(
     (``compact_mask_bonds``), exactly mirroring
     ``engine._physics_scan_pallas``; the rebuild schedule (pmax'd drift) and
     candidate sequences are unchanged, so domain-vs-single-chip agreement is
-    preserved.
+    preserved. The compaction at a rebuild reads the PRE-exchange pk (the
+    mask's partner ids live in the rows the mask was built against; the
+    halo rows were just replaced).
 
     Halo rows carry empty bond rows and garbage masks — harmless by
     construction: eligibility reads only the ROW's own bond state, halo rows'
@@ -832,36 +1075,36 @@ def _domain_physics_pallas_scan(
 
     def substep(carry, dt):
         pk, mask, win, frz = carry
-        do_rebuild, frz, band_cnt, exceed, from_left, from_right = (
-            drift_and_band(pk, win, frz)
-        )
+        do_rebuild, exceed = drift_probe(pk, win)
+        pk_old = pk
+        pk, frz, band_cnt = exchange_and_update(pk, frz, do_rebuild)
 
         def do_re(args):
-            pk, mask, win = args
-            # mask -> id lists through the OLD window (the only bond
-            # representation that survives a re-sort), then freeze the new
-            # halo membership, re-plan, and seed the new window's mask
+            pk_old, pk, mask, win = args
+            # mask -> id lists through the OLD window over the PRE-exchange
+            # pk (the only bond representation that survives a re-sort, read
+            # from the rows the mask indexes), then re-plan and seed the new
+            # window's mask
             srt_bonds = compact_mask_bonds(
-                srt_of(pk, win), mask, win[2], win[3], **compact_kwargs
+                srt_of(pk_old, win), mask, win[2], win[3], **compact_kwargs
             )
             slot_bonds = srt_bonds[win[1]]
-            pk, win, max_run, span_needed = rebuild(pk, from_left, from_right)
-            force_deg, mask = contact_substep_ids_to_mask(
-                srt_of(pk, win), slot_bonds[win[0]], win[2], win[3],
+            win2, max_run, span_needed = rebuild_grid(pk)
+            force_deg, mask2 = contact_substep_ids_to_mask(
+                srt_of(pk, win2), slot_bonds[win2[0]], win2[2], win2[3],
                 **kern_kwargs,
             )
-            return force_deg, pk, mask, win, max_run, span_needed
+            return force_deg, mask2, win2, max_run, span_needed
 
         def no_re(args):
-            pk, mask, win = args
-            pk = refresh_positions(pk, from_left, from_right)
-            force_deg, mask = contact_substep_masked(
+            _pko, pk, mask, win = args
+            force_deg, mask2 = contact_substep_masked(
                 srt_of(pk, win), mask, win[2], win[3], **kern_kwargs
             )
-            return force_deg, pk, mask, win, zero_v(), zero_v()
+            return force_deg, mask2, win, zero_v(), zero_v()
 
-        force_deg, pk, mask, win, max_run, span_needed = jax.lax.cond(
-            do_rebuild, do_re, no_re, (pk, mask, win)
+        force_deg, mask, win, max_run, span_needed = jax.lax.cond(
+            do_rebuild, do_re, no_re, (pk_old, pk, mask, win)
         )
         max_degree = jnp.max(force_deg[:, 3]).astype(jnp.int32)
         pk, move2 = integrate(pk, force_deg[win[1]][:, :3], dt)
@@ -891,22 +1134,26 @@ def _domain_physics_pallas_scan(
     )
 
 
-def _migrate(cfg, base, arrays, alive, bonds, ncl, nch, prev_ncl, next_nch):
-    """Re-home own agents whose nbr-lattice column left the stripe: full-state
-    packs ppermute to the adjacent stripe and land in its free slots. The
-    single-chip engine has no analog (slots are global there); slot choice is
-    layout-local and identity rides the agent id, so dynamics are unaffected."""
+def _migrate(cfg, base, arrays, alive, bonds, ncl, nch, prev_ncl, next_nch,
+             axis=0):
+    """Re-home own agents whose nbr-lattice column (``axis=0``) or row
+    (``axis=1``) left the tile: full-state packs ppermute to the adjacent
+    tile along that axis and land in its free slots. Called once per
+    decomposed axis, x first (dimension-ordered routing: a diagonal crossing
+    is delivered in two hops). The single-chip engine has no analog (slots
+    are global there); slot choice is layout-local and identity rides the
+    agent id, so dynamics are unaffected."""
     P_own = cfg.per_stripe
     M = cfg.mig_cap
     C = cfg.local_capacity
     K = bonds.partners.shape[1]
 
     gcoords = nbr_ops._bin_coords(base.nbr_spec, arrays["locations"][:P_own])
-    col = gcoords[:, 0]
+    col = gcoords[:, axis]
     alive_own = alive[:P_own]
     out_left = alive_own & (col < ncl)
     out_right = alive_own & (col >= nch)
-    # pathology probe: an emigrant skipping a stripe cannot be delivered by
+    # pathology probe: an emigrant skipping a tile cannot be delivered by
     # one ring shift; drift_allowance growth cannot fix that — safe_step raises
     too_far = jnp.sum(out_left & (col < prev_ncl)) + jnp.sum(
         out_right & (col >= next_nch)
@@ -926,7 +1173,9 @@ def _migrate(cfg, base, arrays, alive, bonds, ncl, nch, prev_ncl, next_nch):
         pack = _gather_pack(lanes, idx, val)
         return jnp.concatenate([pack, val.astype(jnp.float32)[:, None]], axis=1)
 
-    from_left, from_right = _ring_exchange(build(idxL, valL), build(idxR, valR), cfg.n_stripes)
+    from_left, from_right = _axis_exchange(
+        build(idxL, valL), build(idxR, valR), cfg.n_tx, cfg.n_ty, axis
+    )
 
     # clear emigrant slots, then place immigrants into free own slots
     alive_own = alive_own & ~(out_left | out_right)
@@ -980,6 +1229,7 @@ def domain_config_to_meta(cfg: DomainConfig) -> dict:
     d = dataclasses.asdict(cfg)
     d["base"] = config_to_meta(cfg.base)
     d["col_bounds"] = list(cfg.col_bounds)
+    d["row_bounds"] = list(cfg.row_bounds)
     return d
 
 
@@ -989,6 +1239,11 @@ def domain_config_from_meta(meta: dict) -> DomainConfig:
     meta = dict(meta)
     meta["base"] = config_from_meta(meta["base"])
     meta["col_bounds"] = tuple(meta["col_bounds"])
+    # tiling fields absent from pre-tiling checkpoints: stripe defaults
+    meta.setdefault("n_ty", 1)
+    meta["row_bounds"] = tuple(meta.get("row_bounds", ()))
+    meta.setdefault("nbr_ny_local", 0)
+    meta.setdefault("jkr_ny_local", 0)
     return DomainConfig(**meta)
 
 
@@ -1013,6 +1268,7 @@ class DomainHipscEngine:
         diff: Optional[DiffusionParams] = None,
         mesh: Optional[Mesh] = None,
         n_stripes: Optional[int] = None,
+        tiles: Optional[Tuple[int, int]] = None,
         per_stripe: Optional[int] = None,
         halo_cap: int = 256,
         mig_cap: int = 128,
@@ -1028,11 +1284,20 @@ class DomainHipscEngine:
         self.xp = xp
         self.bio = bio or BiologyParams()
         self.diff = diff
+        if tiles is not None and n_stripes is not None:
+            raise ValueError("pass either tiles=(n_tx, n_ty) or n_stripes")
         if mesh is None:
-            n = n_stripes or jax.device_count()
+            n = (tiles[0] * tiles[1]) if tiles else (
+                n_stripes or jax.device_count()
+            )
             mesh = Mesh(np.array(jax.devices()[:n]), (AXIS,))
         self.mesh = mesh
         S = mesh.devices.size
+        n_ty = tiles[1] if tiles else 1
+        if S % n_ty != 0 or (tiles and tiles[0] * tiles[1] != S):
+            raise ValueError(
+                f"tiles {tiles} do not match the {S}-device mesh"
+            )
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
 
@@ -1056,94 +1321,139 @@ class DomainHipscEngine:
             # capacity keeps the Pallas span chunk-divisible)
             per_stripe = max(_round_up(int(n0 / S * 2.0), 256), 256)
         self.cfg = self._make_cfg(
-            base, S, per_stripe, halo_cap, mig_cap, drift_allowance
+            base, S, per_stripe, halo_cap, mig_cap, drift_allowance, n_ty=n_ty
         )
         self._compiled = {}
 
-    def _make_cfg(self, base, S, per_stripe, halo_cap, mig_cap, drift) -> DomainConfig:
+    def _axis_partition(self, base, n_parts, axis_i, drift, kind):
+        """Bin-boundary partition of one box axis with sizing checks; returns
+        (bounds, nbr_n_local, jkr_n_local)."""
         cell = base.nbr_spec.cell_size
-        size_x = self.gen.size[0]
-        col_min, col_max = 1, int(math.ceil(size_x / cell)) + 2
+        jcell = base.jkr_spec.cell_size
+        size_a = self.gen.size[axis_i]
+        lo, hi = 1, int(math.ceil(size_a / cell)) + 2
         bounds = tuple(
-            col_min + round(i * (col_max - col_min) / S) for i in range(S + 1)
+            lo + round(i * (hi - lo) / n_parts) for i in range(n_parts + 1)
         )
-        widths = [bounds[i + 1] - bounds[i] for i in range(S)]
+        widths = [bounds[i + 1] - bounds[i] for i in range(n_parts)]
         if min(widths) < 3:
             raise ValueError(
-                f"stripes need >= 3 neighbor-bin columns; box {size_x} um / "
-                f"{S} stripes gives widths {widths}"
+                f"{kind} need >= 3 neighbor-bin {'columns' if axis_i == 0 else 'rows'}; "
+                f"box {size_a} um / {n_parts} {kind} gives widths {widths}"
             )
-        jcell = base.jkr_spec.cell_size
         min_width_um = min(widths) * cell
         need = 2 * drift + 2 * jcell + cell
         if min_width_um <= need:
             raise ValueError(
-                f"stripe width {min_width_um:.0f} um must exceed "
-                f"2*drift + 2*contact bins = {need:.0f} um; use fewer stripes"
+                f"{kind} width {min_width_um:.0f} um must exceed "
+                f"2*drift + 2*contact bins = {need:.0f} um; use fewer {kind}"
             )
-        nbr_nx_local = max(widths) + 4
-        # local jkr lattice: cover [x_lo - drift, x_hi + drift] plus the two
+        nbr_n_local = max(widths) + 4
+        # local jkr lattice: cover [lo - drift, hi + drift] plus the two
         # receive bands and clip pads
-        jkr_nx_local = 0
-        for s in range(S):
-            x_lo = (bounds[s] - 1) * cell
-            x_hi = (bounds[s + 1] - 1) * cell
-            lo_col = math.floor((x_lo - drift) / jcell) + 1 - 4
-            hi_col = math.floor((x_hi + drift) / jcell) + 1 + 4
-            jkr_nx_local = max(jkr_nx_local, hi_col - lo_col + 1)
+        jkr_n_local = 0
+        for s in range(n_parts):
+            a_lo = (bounds[s] - 1) * cell
+            a_hi = (bounds[s + 1] - 1) * cell
+            lo_col = math.floor((a_lo - drift) / jcell) + 1 - 4
+            hi_col = math.floor((a_hi + drift) / jcell) + 1 + 4
+            jkr_n_local = max(jkr_n_local, hi_col - lo_col + 1)
+        return bounds, int(nbr_n_local), int(jkr_n_local)
+
+    def _make_cfg(
+        self, base, S, per_stripe, halo_cap, mig_cap, drift, n_ty=1
+    ) -> DomainConfig:
+        n_tx = S // n_ty
+        xb, nbr_nx_local, jkr_nx_local = self._axis_partition(
+            base, n_tx, 0, drift, "stripes"
+        )
+        if n_ty > 1:
+            yb, nbr_ny_local, jkr_ny_local = self._axis_partition(
+                base, n_ty, 1, drift, "y-tiles"
+            )
+        else:
+            yb, nbr_ny_local, jkr_ny_local = (), 0, 0
         return DomainConfig(
             base=base,
             n_stripes=S,
             per_stripe=int(per_stripe),
-            # 2*halo_cap must keep the local capacity block-aligned AND
-            # 256-divisible for the per-shard Pallas kernels (block = 128,
-            # chunk = 256: a capacity-clamped span must stay chunk-divisible)
+            # n_halo_blocks*halo_cap must keep the local capacity
+            # block-aligned AND 256-divisible for the per-shard Pallas
+            # kernels (block = 128, chunk = 256: a capacity-clamped span must
+            # stay chunk-divisible); 128-rounding covers 2 and 4 blocks
             halo_cap=_round_up(int(halo_cap), 128),
             mig_cap=int(mig_cap),
             div_cap=max(128, _round_up(int(per_stripe) // 32, 128)),
             drift_allowance=float(drift),
-            col_bounds=bounds,
-            nbr_nx_local=int(nbr_nx_local),
-            jkr_nx_local=int(jkr_nx_local),
+            col_bounds=xb,
+            nbr_nx_local=nbr_nx_local,
+            jkr_nx_local=jkr_nx_local,
+            n_ty=int(n_ty),
+            row_bounds=yb,
+            nbr_ny_local=nbr_ny_local,
+            jkr_ny_local=jkr_ny_local,
         )
 
     def _stripe_consts(self, cfg: DomainConfig):
-        """Per-stripe static constants as (S, n) device arrays (each device
-        reads its own row under shard_map)."""
+        """Per-tile static constants as (S, n) device arrays (each device
+        reads its own row under shard_map). One set per decomposed axis; for
+        pure x-stripes the y entries are benign full-range dummies (the y
+        phase is statically absent from the compiled step)."""
         base = cfg.base
         cell = base.nbr_spec.cell_size
         jcell = base.jkr_spec.cell_size
         D = cfg.drift_allowance
-        S = cfg.n_stripes
-        bounds = cfg.col_bounds
-        sci = np.zeros((S, 12), np.int32)
-        scf = np.zeros((S, 2), np.float32)
+        S, Ty = cfg.n_stripes, cfg.n_ty
+        Tx = cfg.n_tx
+        xb = cfg.col_bounds
+        yb = cfg.row_bounds
+        sci = np.zeros((S, 20), np.int32)
+        scf = np.zeros((S, 4), np.float32)
 
         def cjk(x):
             return math.floor(x / jcell) + 1
 
-        for s in range(S):
-            ncl, nch = bounds[s], bounds[s + 1]
-            x_lo = (ncl - 1) * cell
-            x_hi = (nch - 1) * cell
-            col_off_nbr = ncl - 2
-            col_off_jkr = cjk(x_lo - D) - 4
-            # receive columns (freeze filter): everything my own rows can
-            # probe given up-to-D out-of-stripe drift, one column of safety
-            recv_l_col = cjk(x_lo - D) - 2
-            recv_r_col = cjk(x_hi + D) + 2
-            # fresh send bands: one column wider than the adjacent stripe's
-            # receive columns so frozen members stay covered while drifting
-            sl_fresh = cjk(x_lo + D) + 3  # left neighbor's recv_r + 1
-            sr_fresh = cjk(x_hi - D) - 3  # right neighbor's recv_l - 1
-            sci[s] = [
-                ncl, nch, col_off_nbr, col_off_jkr,
-                0, sl_fresh, 0, sr_fresh,
-                bounds[s - 1] if s > 0 else 0,
-                bounds[s + 2] if s + 2 <= S else bounds[S],
-                recv_l_col, recv_r_col,
-            ]
-            scf[s] = [x_lo, x_hi]
+        def axis_consts(lo_b, hi_b, prev_b, next_b):
+            a_lo = (lo_b - 1) * cell
+            a_hi = (hi_b - 1) * cell
+            off_nbr = lo_b - 2
+            off_jkr = cjk(a_lo - D) - 4
+            # receive bins (freeze filter): everything my own rows can
+            # probe given up-to-D out-of-tile drift, one bin of safety
+            recv_lo = cjk(a_lo - D) - 2
+            recv_hi = cjk(a_hi + D) + 2
+            # fresh send bands: one bin wider than the adjacent tile's
+            # receive bins so frozen members stay covered while drifting
+            s_lo = cjk(a_lo + D) + 3  # lower neighbor's recv_hi + 1
+            s_hi = cjk(a_hi - D) - 3  # upper neighbor's recv_lo - 1
+            return (lo_b, hi_b, off_nbr, off_jkr, s_lo, s_hi,
+                    recv_lo, recv_hi, prev_b, next_b, a_lo, a_hi)
+
+        for tx in range(Tx):
+            xc = axis_consts(
+                xb[tx], xb[tx + 1],
+                xb[tx - 1] if tx > 0 else 0,
+                xb[tx + 2] if tx + 2 <= Tx else xb[Tx],
+            )
+            for ty in range(Ty):
+                if Ty > 1:
+                    yc = axis_consts(
+                        yb[ty], yb[ty + 1],
+                        yb[ty - 1] if ty > 0 else 0,
+                        yb[ty + 2] if ty + 2 <= Ty else yb[Ty],
+                    )
+                else:
+                    big = 1 << 20
+                    yc = (0, big, 0, 0, 0, big, 0, big, 0, big, -1e30, 1e30)
+                s = tx * Ty + ty
+                sci[s] = [
+                    xc[0], xc[1], yc[0], yc[1],  # ncl nch nrl nrh
+                    xc[2], yc[2], xc[3], yc[3],  # nbr/jkr offsets
+                    xc[4], xc[5], yc[4], yc[5],  # fresh send bands
+                    xc[6], xc[7], yc[6], yc[7],  # receive bins
+                    xc[8], xc[9], yc[8], yc[9],  # too-far bounds
+                ]
+                scf[s] = [xc[10], xc[11], yc[10], yc[11]]
         return jnp.asarray(sci), jnp.asarray(scf)
 
     # -- state construction ---------------------------------------------------
@@ -1161,9 +1471,10 @@ class DomainHipscEngine:
         return self.from_cell_state(cell_state)
 
     def from_cell_state(self, state: CellState) -> DomainState:
-        """Partition a flat CellState into the stripe-major layout."""
+        """Partition a flat CellState into the tile-major layout."""
         cfg = self.cfg
         S, Pn = cfg.n_stripes, cfg.per_stripe
+        Ty = cfg.n_ty
         K = state.bonds.partners.shape[1]
         locs = np.asarray(state.arrays["locations"])
         alive = np.asarray(state.alive)
@@ -1172,9 +1483,24 @@ class DomainHipscEngine:
             np.floor(locs[:, 0] / cell).astype(np.int64) + 1,
             0, cfg.base.nbr_spec.nx - 1,
         )
-        bounds = cfg.col_bounds
-        stripe = np.searchsorted(np.asarray(bounds[1:]), col, side="right")
-        stripe = np.clip(stripe, 0, S - 1)
+        tx = np.clip(
+            np.searchsorted(np.asarray(cfg.col_bounds[1:]), col, side="right"),
+            0, cfg.n_tx - 1,
+        )
+        if Ty > 1:
+            row = np.clip(
+                np.floor(locs[:, 1] / cell).astype(np.int64) + 1,
+                0, cfg.base.nbr_spec.ny - 1,
+            )
+            ty = np.clip(
+                np.searchsorted(
+                    np.asarray(cfg.row_bounds[1:]), row, side="right"
+                ),
+                0, Ty - 1,
+            )
+            stripe = tx * Ty + ty
+        else:
+            stripe = tx
 
         arrays = {
             k: np.zeros((S, Pn) + np.asarray(v).shape[1:], np.asarray(v).dtype)
@@ -1420,7 +1746,8 @@ class DomainHipscEngine:
             return None
         # re-derive partition-dependent statics (bands depend on drift)
         new = self._make_cfg(
-            base, cfg.n_stripes, per_stripe, halo_cap, mig_cap, drift
+            base, cfg.n_stripes, per_stripe, halo_cap, mig_cap, drift,
+            n_ty=cfg.n_ty,
         )
         return dataclasses.replace(new, div_cap=div_cap)
 
