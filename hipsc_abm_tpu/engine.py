@@ -559,7 +559,15 @@ def hipsc_step(
             m_ds[:, 7].astype(jnp.int32), bio,
         )
     if cfg.enable_diffusion and diff is not None:
-        dts = jnp.asarray(diffusion_dts_cached(bio.step_dt, diff.diffuse_dt))
+        np_dts = diffusion_dts_cached(bio.step_dt, diff.diffuse_dt)
+        dts = jnp.asarray(np_dts)
+        # the subcycle scan is dispatch-bound (~300 tiny stencil kernels);
+        # when the lattice fits VMEM, run ALL subcycles inside one Mosaic
+        # kernel (bit-identical arithmetic; see ops/pallas_diffusion.py)
+        from hipsc_abm_tpu.ops.pallas_diffusion import (
+            fits_vmem as _diff_fits_vmem,
+            ftcs_diffuse_pallas as _ftcs_pallas_fn,
+        )
         for gname in sorted(gradients):
             grid = gradients[gname]
             if diff.release_amount > 0.0 or diff.uptake_amount > 0.0:
@@ -574,10 +582,17 @@ def hipsc_step(
                 grid = diffusion_ops.deposit_morphogen(
                     grid, arrays["locations"], amounts, diff.spat_res
                 )
-            gradients[gname] = diffusion_ops.ftcs_diffuse(
-                grid, dts, diff.diffuse_const, diff.spat_res2,
-                diff.max_concentration, diff.degradation,
-            )
+            if cfg.use_pallas and _diff_fits_vmem(grid.shape):
+                gradients[gname] = _ftcs_pallas_fn(
+                    grid, np_dts, diff.diffuse_const, diff.spat_res2,
+                    diff.max_concentration, diff.degradation,
+                    interpret=cfg.pallas_interpret,
+                )
+            else:
+                gradients[gname] = diffusion_ops.ftcs_diffuse(
+                    grid, dts, diff.diffuse_const, diff.spat_res2,
+                    diff.max_concentration, diff.degradation,
+                )
 
     # --- cell_motility ---
     # post-fate candidate moments (current GATA6/NANOG/states and

@@ -1,0 +1,110 @@
+"""VMEM-resident multi-subcycle FTCS diffusion kernel (Mosaic/TPU).
+
+``ops.diffusion.ftcs_diffuse`` runs the subcycle schedule as a ``lax.scan``
+of ~300 tiny 5-point-stencil kernels; at production lattice sizes
+(~1000x1000 f32 = 4 MB) each pass is sub-millisecond of HBM traffic, so the
+wall cost is almost entirely per-kernel dispatch (~16 ms/step at the 500k
+bench shape, BENCHMARKS.md). This kernel holds the whole padded lattice in
+VMEM and runs ALL subcycles in one ``fori_loop`` inside one ``pallas_call``
+— one dispatch, zero HBM round-trips between subcycles.
+
+Semantics mirror ``ftcs_diffuse`` (reference ``cell_backend.py:175-204``):
+the same sequential edge reflection order, the same operand association in
+the stencil sum, the same trailing short substep. Agreement with the XLA
+scan is ulp-level, not bit-level — the backends fuse the a*x + b*y stencil
+arithmetic (FMA) differently (``tests/test_diffusion.py``,
+``tests_tpu/test_tpu_hw.py``). The subcycle dt schedule is static (``diffusion_dts``), which makes
+the FTCS coefficients compile-time constants: every subcycle uses
+``a_main`` except the last, which uses the remainder ``a_last``.
+
+The kernel is only eligible when the padded lattice fits VMEM with loop
+headroom (``fits_vmem``); callers fall back to the XLA scan otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+# padded f32 lattice bytes that safely leave fori_loop double-buffer +
+# reflection headroom inside the ~16 MB VMEM
+_VMEM_BUDGET_BYTES = 5 * 1024 * 1024
+
+
+def fits_vmem(shape) -> bool:
+    """True when the (nx, ny) lattice (plus ghost ring) is VMEM-resident."""
+    nx, ny = int(shape[0]), int(shape[1])
+    return (nx + 2) * (ny + 2) * 4 <= _VMEM_BUDGET_BYTES
+
+
+def _ftcs_kernel(base_ref, out_ref, *, steps, a_main, a_last, b_main, b_last):
+    base = base_ref[:]
+
+    def subcycle(i, base):
+        last = i == steps - 1
+        a = jnp.where(last, a_last, a_main)
+        b = jnp.where(last, b_last, b_main)
+        # reflecting boundary, same sequential order as cell_backend.py:192-195
+        # (corners take already-reflected values)
+        base = base.at[:, 0].set(base[:, 1])
+        base = base.at[:, -1].set(base[:, -2])
+        base = base.at[0, :].set(base[1, :])
+        base = base.at[-1, :].set(base[-2, :])
+        interior = base[1:-1, 1:-1]
+        temp = a * (
+            base[2:, 1:-1] + base[:-2, 1:-1] + base[1:-1, 2:] + base[1:-1, :-2]
+        )
+        return base.at[1:-1, 1:-1].set(b * interior + temp)
+
+    out_ref[:] = jax.lax.fori_loop(0, steps, subcycle, base)
+
+
+def _ftcs_pallas(
+    gradient,
+    dts_key,
+    diffuse_const,
+    spat_res2,
+    max_concentration,
+    degradation,
+    interpret,
+):
+    dts = np.asarray(dts_key)
+    steps = int(dts.shape[0])
+    a_main = float(dts[0]) * diffuse_const / spat_res2
+    a_last = float(dts[-1]) * diffuse_const / spat_res2
+    base = jnp.pad(jnp.clip(gradient, 0.0, max_concentration), 1)
+    out = pl.pallas_call(
+        functools.partial(
+            _ftcs_kernel,
+            steps=steps,
+            a_main=a_main,
+            a_last=a_last,
+            b_main=1.0 - 4.0 * a_main,
+            b_last=1.0 - 4.0 * a_last,
+        ),
+        out_shape=jax.ShapeDtypeStruct(base.shape, base.dtype),
+        interpret=interpret,
+    )(base)
+    return out[1:-1, 1:-1] * (1.0 - degradation)
+
+
+def ftcs_diffuse_pallas(
+    gradient: jnp.ndarray,  # (nx, ny)
+    dts,  # static (S,) subcycle dt schedule (numpy or tuple)
+    diffuse_const: float,
+    spat_res2: float,
+    max_concentration: float,
+    degradation: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ``ftcs_diffuse`` with a static dt schedule. The caller is
+    responsible for the ``fits_vmem`` eligibility check."""
+    dts_key = tuple(float(d) for d in np.asarray(dts))
+    return _ftcs_pallas(
+        gradient, dts_key, float(diffuse_const), float(spat_res2),
+        float(max_concentration), float(degradation), bool(interpret),
+    )

@@ -158,3 +158,25 @@ def test_field_coupled_pathway_drives_fate():
     assert float(jnp.sum(drained.gradients["fgf4_values"])) < float(
         jnp.sum(run(1.0, uptake=0.0).gradients["fgf4_values"])
     )
+
+
+def test_ftcs_pallas_interpret_matches_xla():
+    """The VMEM-resident multi-subcycle Mosaic kernel (interpret mode)
+    matches the XLA subcycle scan to ulp-level tolerance: same sequential
+    edge-reflection order, same stencil operand association, same trailing
+    short substep — residual diffs are backend fusion (FMA) only."""
+    from hipsc_abm_tpu.ops.diffusion import diffusion_dts, ftcs_diffuse
+    from hipsc_abm_tpu.ops.pallas_diffusion import (
+        fits_vmem,
+        ftcs_diffuse_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.random((97, 83)).astype(np.float32)) * 3.0
+    dts = diffusion_dts(39.0, 6.0)  # 6 full subcycles + remainder 3.0
+    assert fits_vmem(g.shape)
+    a = ftcs_diffuse(g, jnp.asarray(dts), 2.0, 400.0, 2.0, 0.1)
+    b = ftcs_diffuse_pallas(g, dts, 2.0, 400.0, 2.0, 0.1, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)
+    # a lattice too big for VMEM is rejected by the eligibility check
+    assert not fits_vmem((2000, 2000))

@@ -110,3 +110,23 @@ def test_pallas_vs_xla_distributional_long_run():
     assert abs(mx["nanog"] - mp["nanog"]) <= 0.05 * max(mx["nanog"], 50), (mx, mp)
     assert abs(mx["r_mean"] - mp["r_mean"]) <= 0.03 * mx["r_mean"], (mx, mp)
     assert abs(mx["r_std"] - mp["r_std"]) <= 0.06 * mx["r_std"], (mx, mp)
+
+
+@requires_tpu
+def test_compiled_ftcs_kernel_matches_xla():
+    """The VMEM-resident multi-subcycle FTCS kernel, COMPILED through Mosaic,
+    agrees with the XLA subcycle scan on the chip (ulp-level tolerance: the
+    backends may fuse the a*x+b*y stencil arithmetic differently)."""
+    from hipsc_abm_tpu.ops.diffusion import diffusion_dts, ftcs_diffuse
+    from hipsc_abm_tpu.ops.pallas_diffusion import (
+        fits_vmem,
+        ftcs_diffuse_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.random((1001, 1001)).astype(np.float32)) * 3.0
+    dts = diffusion_dts(1800.0, 6.0)  # the production schedule: 301 subcycles
+    assert fits_vmem(g.shape)
+    a = np.asarray(ftcs_diffuse(g, jnp.asarray(dts), 2.0, 400.0, 2.0, 0.1))
+    b = np.asarray(ftcs_diffuse_pallas(g, dts, 2.0, 400.0, 2.0, 0.1))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
