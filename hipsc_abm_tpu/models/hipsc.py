@@ -135,17 +135,38 @@ class CellSimulation(Simulation):
     # engine wiring
     # ------------------------------------------------------------------
 
-    def _make_engine(self) -> HipscEngine:
-        return HipscEngine(
-            self.general_params,
-            self.experimental_params,
-            self.biology_params,
-            self.diffusion_params,
+    def _make_engine(self):
+        flags = dict(
             enable_diffusion=self.enable_diffusion,
             enable_growth=self.enable_growth,
             enable_stochastic=self.enable_stochastic,
             enable_diff_surround=self.enable_diff_surround,
         )
+        if getattr(self, "domain_tiles", None):
+            # general.yaml extension key `domain_tiles`: the full lifecycle
+            # (modes 0-3, outputs, checkpoints) on the multi-chip domain
+            # engine — the reference has no such mode at all
+            from hipsc_abm_tpu.parallel.domain_engine import DomainHipscEngine
+
+            return DomainHipscEngine(
+                self.general_params,
+                self.experimental_params,
+                self.biology_params,
+                self.diffusion_params,
+                tiles=self.domain_tiles,
+                **flags,
+            )
+        return HipscEngine(
+            self.general_params,
+            self.experimental_params,
+            self.biology_params,
+            self.diffusion_params,
+            **flags,
+        )
+
+    @property
+    def _is_domain(self) -> bool:
+        return getattr(self, "domain_tiles", None) is not None
 
     def build_state(self) -> None:
         """Pack the registered host arrays into the device state PyTree."""
@@ -153,9 +174,10 @@ class CellSimulation(Simulation):
 
         if self.engine is None:
             self.engine = self._make_engine()
-        cfg = self.engine.cfg
+        is_domain = self._is_domain
+        cfg = self.engine.cfg.base if is_domain else self.engine.cfg
         n = self.number_agents
-        if n > cfg.capacity:
+        if not is_domain and n > cfg.capacity:
             self.engine.cfg = cfg = _dc.replace(
                 cfg, capacity=max(cfg.capacity, ((int(n * 1.5) + 127) // 128) * 128)
             )
@@ -165,8 +187,15 @@ class CellSimulation(Simulation):
         if cfg.uniform_radius is not None and not np.all(
             np.asarray(self.radii)[:n] == cfg.uniform_radius
         ):
-            self.engine.cfg = cfg = _dc.replace(cfg, uniform_radius=None)
-        C = cfg.capacity
+            cfg = _dc.replace(cfg, uniform_radius=None)
+            if is_domain:
+                self.engine.cfg = _dc.replace(self.engine.cfg, base=cfg)
+            else:
+                self.engine.cfg = cfg
+        # for the domain engine the flat CellState below is only a staging
+        # layout (from_cell_state re-partitions it tile-major); per-tile slot
+        # capacities rule, not cfg.capacity
+        C = max(cfg.capacity, ((n + 127) // 128) * 128) if is_domain else cfg.capacity
 
         arrays = {}
         for name, (dtype, vec) in HIPSC_ARRAY_SPECS.items():
@@ -195,6 +224,8 @@ class CellSimulation(Simulation):
             step=jax.numpy.asarray(self.beginning_step, dtype=jax.numpy.int32),
             next_id=jax.numpy.asarray(n, dtype=jax.numpy.int32),
         )
+        if is_domain:
+            self.state = self.engine.from_cell_state(self.state)
 
     def _sync_host(self) -> None:
         """Fetch the FULL device state to the host once per step and derive
@@ -205,8 +236,13 @@ class CellSimulation(Simulation):
         ~100 MB transfers per step through the tunneled backend, executed on
         the output worker where they contend with the next step's dispatch
         (measured 1.5-3.6 s/step as ``temp`` at 500k)."""
+        dev_state = self.state
+        if self._is_domain:
+            # flatten tile-major blocks; the cached host copy stays a
+            # CellState so every checkpoint writer is engine-agnostic
+            dev_state = self.engine.to_cell_state(dev_state)
         host_state = jax.tree_util.tree_map(
-            np.asarray, jax.device_get(self.state)
+            np.asarray, jax.device_get(dev_state)
         )
         self._host_state = host_state
         alive = host_state.alive
@@ -329,12 +365,22 @@ class CellSimulation(Simulation):
             state = getattr(self, "_host_state", None)
             if state is None:
                 state = self.state  # immutable PyTree: safe snapshot
+                if self._is_domain:
+                    state = self.engine.to_cell_state(state)
             path = os.path.join(self.main_path, f"{self.name}_state.npz")
             meta = {
                 "current_step": self.current_step,
                 "name": self.name,
-                "engine_config": config_to_meta(self.engine.cfg),
             }
+            if self._is_domain:
+                from hipsc_abm_tpu.parallel.domain_engine import (
+                    domain_config_to_meta,
+                )
+
+                meta["engine_config"] = config_to_meta(self.engine.cfg.base)
+                meta["domain_config"] = domain_config_to_meta(self.engine.cfg)
+            else:
+                meta["engine_config"] = config_to_meta(self.engine.cfg)
             io_utils.submit_output(lambda: save_state(path, state, meta=meta))
 
     # ------------------------------------------------------------------
@@ -348,16 +394,24 @@ class CellSimulation(Simulation):
         state["engine"] = None  # holds jit caches; rebuilt lazily
         # the static config must survive: window widths feed RNG draw shapes,
         # so bit-exact resume needs the exact same EngineConfig
-        state["_engine_cfg"] = (
-            config_to_meta(self.engine.cfg) if self.engine is not None else None
-        )
+        if self.engine is None:
+            state["_engine_cfg"] = None
+        elif self._is_domain:
+            from hipsc_abm_tpu.parallel.domain_engine import (
+                domain_config_to_meta,
+            )
+
+            state["_engine_cfg"] = ("domain", domain_config_to_meta(self.engine.cfg))
+        else:
+            state["_engine_cfg"] = ("single", config_to_meta(self.engine.cfg))
         if self.state is not None:
             host = getattr(self, "_host_state", None)
             if host is None:  # no fetch cached for this step — pull one
-                host = jax.tree_util.tree_map(
-                    np.asarray, jax.device_get(self.state)
-                )
-            state["state"] = host
+                dev = self.state
+                if self._is_domain:
+                    dev = self.engine.to_cell_state(dev)
+                host = jax.tree_util.tree_map(np.asarray, jax.device_get(dev))
+            state["state"] = host  # always the flat CellState layout
         state["_host_state"] = None  # never persist the cache itself
         return state
 
@@ -370,8 +424,16 @@ class CellSimulation(Simulation):
             self.state = jax.tree_util.tree_map(jax.numpy.asarray, self.state)
         self.engine = self._make_engine()
         if cfg_meta is not None:
-            self.engine.cfg = config_from_meta(cfg_meta)
-        elif self.state is not None:
+            if isinstance(cfg_meta, tuple) and cfg_meta[0] == "domain":
+                from hipsc_abm_tpu.parallel.domain_engine import (
+                    domain_config_from_meta,
+                )
+
+                self.engine.cfg = domain_config_from_meta(cfg_meta[1])
+            else:
+                meta = cfg_meta[1] if isinstance(cfg_meta, tuple) else cfg_meta
+                self.engine.cfg = config_from_meta(meta)
+        elif self.state is not None and not self._is_domain:
             import dataclasses as _dc
 
             self.engine.cfg = _dc.replace(
@@ -379,3 +441,7 @@ class CellSimulation(Simulation):
                 capacity=self.state.alive.shape[0],
                 bond_cap=self.state.bonds.partners.shape[1],
             )
+        if self._is_domain and self.state is not None:
+            # the pickle carries the flat layout; re-partition tile-major
+            # (dynamics are layout-independent, so resume stays bit-exact)
+            self.state = self.engine.from_cell_state(self.state)

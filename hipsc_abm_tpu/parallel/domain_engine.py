@@ -1502,6 +1502,16 @@ class DomainHipscEngine:
         else:
             stripe = tx
 
+        # a denser-than-headroom initial partition grows per_stripe up front
+        # (the in-step mig_shortfall/deferral probes only cover growth DURING
+        # a run); 256-rounding keeps the Pallas span chunk-divisible
+        need = int(np.bincount(stripe[alive], minlength=S).max()) if alive.any() else 0
+        if need > Pn:
+            self.cfg = cfg = dataclasses.replace(
+                cfg, per_stripe=_round_up(int(need * 1.5), 256)
+            )
+            Pn = cfg.per_stripe
+
         arrays = {
             k: np.zeros((S, Pn) + np.asarray(v).shape[1:], np.asarray(v).dtype)
             for k, v in state.arrays.items()

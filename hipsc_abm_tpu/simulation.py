@@ -182,6 +182,15 @@ class Simulation:
         self.video_quality = keys["video_quality"]
         self.fps = keys["fps"]
         self.seed = keys.get("seed", 0)  # optional extension (bit-exact runs)
+        # optional extension: run the model on the multi-chip domain engine.
+        # int N = N x-stripes; [n_tx, n_ty] = a 2-D tile grid. Absent/null =
+        # single chip (the reference's only mode).
+        tiles = keys.get("domain_tiles")
+        if tiles is not None:
+            tiles = (int(tiles), 1) if np.isscalar(tiles) else (
+                int(tiles[0]), int(tiles[1])
+            )
+        self.domain_tiles = tiles
         self.general_params = GeneralParams.from_dict({**keys, "size": list(keys["size"])})
 
         self._np_rng = np.random.default_rng(self.seed)

@@ -1,0 +1,107 @@
+"""Full model lifecycle on the MULTI-CHIP domain engine, driven entirely from
+the reference-compatible surface: the ``domain_tiles`` general.yaml extension
+key routes ``CellSimulation`` onto ``DomainHipscEngine`` (tile-decomposed
+steps, O(boundary) collectives) while every output, checkpoint, and CLI mode
+behaves exactly as the single-chip lifecycle. The reference has no
+multi-device mode at all — this is the pod-scale extension of its mode-0/1
+contract (``simulation.py:496-549``)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+requires_multi = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+def write_templates(tmp_path, domain_tiles, end_step=2, name_seed=0):
+    tdir = tmp_path / "templates"
+    tdir.mkdir(exist_ok=True)
+    gen = {
+        "num_to_start": 700, "cuda": False, "end_step": end_step,
+        "size": [1500, 1500, 0], "output_values": True, "output_images": True,
+        "record_initial_step": True, "image_quality": 100, "video_quality": 80,
+        "fps": 5, "seed": name_seed,
+    }
+    if domain_tiles is not None:
+        gen["domain_tiles"] = domain_tiles
+    (tdir / "general.yaml").write_text(yaml.dump(gen))
+    (tdir / "experimental.yaml").write_text(yaml.dump({
+        "num_gata6": 70, "output_tda": True, "output_gradients": False,
+        "group": 0, "dox_step": 1, "guye_move": True, "lonely_thresh": 2,
+        "color_mode": True,
+    }))
+
+
+def by_id(state):
+    alive = np.asarray(state.alive)
+    ids = np.asarray(state.arrays["ids"])[alive]
+    order = np.argsort(ids)
+    out = {"ids": ids[order]}
+    for k, v in state.arrays.items():
+        if k != "ids":
+            out[k] = np.asarray(v)[alive][order]
+    return out
+
+
+@requires_multi
+def test_domain_lifecycle_outputs_and_continuation(tmp_path, monkeypatch):
+    from hipsc_abm_tpu.models.hipsc import CellSimulation
+
+    write_templates(tmp_path, domain_tiles=[2, 2])
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "outputs"
+    out.mkdir()
+    env = str(out) + os.sep
+
+    sim = CellSimulation.start(env, argv=["-n", "dl", "-m", "0"])
+    assert sim._is_domain and sim.engine.cfg.n_ty == 2
+    base = os.path.join(env, "dl")
+    assert sim.number_agents > 0
+    for step in (0, 1, 2):
+        assert os.path.isfile(os.path.join(base, "dl_values", f"dl_values_{step}.csv"))
+        assert os.path.isfile(os.path.join(base, "dl_images", f"dl_image_{step}.png"))
+    assert os.path.isfile(os.path.join(base, "dl_temp.pkl"))
+    assert os.path.isfile(os.path.join(base, "dl_state.npz"))
+    assert os.path.isfile(os.path.join(base, "dl_video.mp4"))
+
+    # the npz carries the domain config for engine-level resume
+    from hipsc_abm_tpu.utils.checkpoint import load_state
+
+    _, meta = load_state(os.path.join(base, "dl_state.npz"))
+    assert "domain_config" in meta and meta["domain_config"]["n_ty"] == 2
+
+    # mode 1 continuation re-partitions from the pickle and keeps stepping
+    sim2 = CellSimulation.start(env, argv=["-n", "dl", "-m", "1", "-fs", "4"])
+    assert sim2.current_step == 4
+    assert sim2._is_domain
+    assert os.path.isfile(os.path.join(base, "dl_values", "dl_values_4.csv"))
+
+
+@requires_multi
+def test_domain_lifecycle_matches_single_chip(tmp_path, monkeypatch):
+    """The tile-decomposed lifecycle produces the IDENTICAL colony to the
+    single-chip lifecycle — same seed, same steps, bit-equal by agent id."""
+    from hipsc_abm_tpu.models.hipsc import CellSimulation
+
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "outputs"
+    out.mkdir()
+    env = str(out) + os.sep
+
+    write_templates(tmp_path, domain_tiles=None, end_step=3)
+    sim_s = CellSimulation.start(env, argv=["-n", "sc", "-m", "0"])
+    write_templates(tmp_path, domain_tiles=[2, 2], end_step=3)
+    sim_d = CellSimulation.start(env, argv=["-n", "dc", "-m", "0"])
+
+    flat_d = sim_d.engine.to_cell_state(sim_d.state)
+    a = by_id(sim_s.state)
+    b = by_id(flat_d)
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert sim_s.number_agents == sim_d.number_agents
