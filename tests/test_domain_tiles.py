@@ -295,3 +295,45 @@ def test_tiles_collectives_are_boundary_sized():
     state2 = dom2.init_state(seed=1)
     big = collective_bytes(dom2, state2)
     assert big == small, (small, big)
+
+
+@requires_multi
+def test_tiles_soak_with_growth_events():
+    """Tile-grid soak: 16 steps at colony density with deliberately
+    undersized halo/migration/drift capacities, forcing Verlet rebuilds,
+    per-step migrations on both axes, and probe-driven growth — still
+    bit-exact against the single-chip engine."""
+    gen = GeneralParams(num_to_start=1000, end_step=24, size=(1500.0, 1500.0, 0.0))
+    xp = ExperimentalParams(num_gata6=100, dox_step=2)
+    dom = DomainHipscEngine(
+        gen, xp, tiles=(2, 2), halo_cap=64, mig_cap=8, drift_allowance=4.0,
+    )
+    single = HipscEngine(gen, xp, cfg=dom.cfg.base, use_pallas=False)
+
+    dstate = dom.init_state(seed=5)
+    sstate = single.init_state(seed=5)
+    single.cfg = dom.cfg.base
+
+    cfg0 = dom.cfg
+    migrations = 0
+    for _ in range(16):
+        dstate, dinfo = dom.safe_step(dstate)
+        sstate, _ = single.safe_step(sstate)
+        migrations += int(dinfo.mig_out_max)
+
+    assert migrations > 0, "soak never migrated an agent"
+    grew = (
+        dom.cfg.halo_cap > cfg0.halo_cap
+        or dom.cfg.mig_cap > cfg0.mig_cap
+        or dom.cfg.drift_allowance > cfg0.drift_allowance
+        or dom.cfg.per_stripe > cfg0.per_stripe
+    )
+    assert grew, "undersized capacities never grew — soak too gentle"
+
+    a = by_id(dom.to_cell_state(dstate))
+    b = by_id(sstate)
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert bond_sets(dom.to_cell_state(dstate)) == bond_sets(sstate)
+    assert_resident(dom.cfg, dstate)
