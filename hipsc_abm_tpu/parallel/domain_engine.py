@@ -1325,16 +1325,25 @@ class DomainHipscEngine:
         )
         self._compiled = {}
 
-    def _axis_partition(self, base, n_parts, axis_i, drift, kind):
+    def _axis_partition(self, base, n_parts, axis_i, drift, kind, bounds=None):
         """Bin-boundary partition of one box axis with sizing checks; returns
-        (bounds, nbr_n_local, jkr_n_local)."""
+        (bounds, nbr_n_local, jkr_n_local). ``bounds=None`` splits the box
+        uniformly; an explicit (n_parts+1,) tuple (e.g. the quantile bounds
+        of ``balanced_bounds``) is validated against the same width rules."""
         cell = base.nbr_spec.cell_size
         jcell = base.jkr_spec.cell_size
         size_a = self.gen.size[axis_i]
         lo, hi = 1, int(math.ceil(size_a / cell)) + 2
-        bounds = tuple(
-            lo + round(i * (hi - lo) / n_parts) for i in range(n_parts + 1)
-        )
+        if bounds is None:
+            bounds = tuple(
+                lo + round(i * (hi - lo) / n_parts) for i in range(n_parts + 1)
+            )
+        else:
+            bounds = tuple(int(b) for b in bounds)
+            if len(bounds) != n_parts + 1 or bounds[0] != lo or bounds[-1] != hi:
+                raise ValueError(
+                    f"explicit {kind} bounds must span [{lo}, {hi}]: {bounds}"
+                )
         widths = [bounds[i + 1] - bounds[i] for i in range(n_parts)]
         if min(widths) < 3:
             raise ValueError(
@@ -1361,15 +1370,16 @@ class DomainHipscEngine:
         return bounds, int(nbr_n_local), int(jkr_n_local)
 
     def _make_cfg(
-        self, base, S, per_stripe, halo_cap, mig_cap, drift, n_ty=1
+        self, base, S, per_stripe, halo_cap, mig_cap, drift, n_ty=1,
+        col_bounds=None, row_bounds=None,
     ) -> DomainConfig:
         n_tx = S // n_ty
         xb, nbr_nx_local, jkr_nx_local = self._axis_partition(
-            base, n_tx, 0, drift, "stripes"
+            base, n_tx, 0, drift, "stripes", bounds=col_bounds
         )
         if n_ty > 1:
             yb, nbr_ny_local, jkr_ny_local = self._axis_partition(
-                base, n_ty, 1, drift, "y-tiles"
+                base, n_ty, 1, drift, "y-tiles", bounds=row_bounds
             )
         else:
             yb, nbr_ny_local, jkr_ny_local = (), 0, 0
@@ -1455,6 +1465,72 @@ class DomainHipscEngine:
                 ]
                 scf[s] = [xc[10], xc[11], yc[10], yc[11]]
         return jnp.asarray(sci), jnp.asarray(scf)
+
+    # -- load balancing --------------------------------------------------------
+
+    def _balanced_axis_bounds(self, vals_um, n_parts, axis_i, drift):
+        """Equal-agent-count quantile bounds for one axis (bin-boundary
+        integers), nudged to satisfy the minimum-width rules."""
+        base = self.cfg.base
+        cell = base.nbr_spec.cell_size
+        jcell = base.jkr_spec.cell_size
+        lo = 1
+        hi = int(math.ceil(self.gen.size[axis_i] / cell)) + 2
+        cols = np.clip(
+            np.floor(np.asarray(vals_um) / cell).astype(np.int64) + 1, lo, hi - 1
+        )
+        qs = np.quantile(cols, np.linspace(0.0, 1.0, n_parts + 1)[1:-1])
+        bounds = [lo] + [int(round(q)) + 1 for q in qs] + [hi]
+        # enforce monotone bounds with the engine's minimum width (in bins):
+        # > 2*drift + 2*contact bins of um, and >= 3 nbr columns
+        min_bins = max(
+            3, int(math.floor((2 * drift + 2 * jcell + cell) / cell)) + 1
+        )
+        if (hi - lo) < n_parts * min_bins:
+            raise ValueError(
+                f"axis {axis_i} has {hi - lo} bins; {n_parts} parts need "
+                f">= {n_parts * min_bins}"
+            )
+        for i in range(1, n_parts):  # push up
+            bounds[i] = max(bounds[i], bounds[i - 1] + min_bins)
+        for i in range(n_parts - 1, 0, -1):  # pull back from the top
+            bounds[i] = min(bounds[i], bounds[i + 1] - min_bins)
+        return tuple(bounds)
+
+    def rebalance(self, dstate: DomainState) -> DomainState:
+        """Re-partition the tile grid at equal-agent-count quantiles of the
+        CURRENT colony (x bounds by x-quantiles; the shared y bounds by
+        global y-quantiles) and re-home every agent.
+
+        Spatially uniform bounds waste per-tile slots on clustered colonies
+        — the model's actual regime (colonies grow from seeded centers).
+        Dynamics are partition-independent (the bit-exactness contract), so
+        rebalancing at any step boundary leaves the trajectory unchanged
+        (``tests/test_domain_tiles.py::test_rebalance_*``). Host-side; call
+        sparingly (each new partition is a fresh compiled step)."""
+        cfg = self.cfg
+        cell_state = self.to_cell_state(dstate)
+        locs = np.asarray(cell_state.arrays["locations"])
+        alive = np.asarray(cell_state.alive)
+        pts = locs[alive]
+        if pts.shape[0] == 0:
+            return dstate
+        xb = self._balanced_axis_bounds(
+            pts[:, 0], cfg.n_tx, 0, cfg.drift_allowance
+        )
+        yb = (
+            self._balanced_axis_bounds(
+                pts[:, 1], cfg.n_ty, 1, cfg.drift_allowance
+            )
+            if cfg.n_ty > 1 else None
+        )
+        self.cfg = self._make_cfg(
+            cfg.base, cfg.n_stripes, cfg.per_stripe, cfg.halo_cap,
+            cfg.mig_cap, cfg.drift_allowance, n_ty=cfg.n_ty,
+            col_bounds=xb, row_bounds=yb,
+        )
+        self.cfg = dataclasses.replace(self.cfg, div_cap=cfg.div_cap)
+        return self.from_cell_state(cell_state)
 
     # -- state construction ---------------------------------------------------
 
@@ -1754,10 +1830,13 @@ class DomainHipscEngine:
             changed = True
         if not changed:
             return None
-        # re-derive partition-dependent statics (bands depend on drift)
+        # re-derive partition-dependent statics (bands depend on drift),
+        # keeping the existing — possibly load-balanced — bounds
         new = self._make_cfg(
             base, cfg.n_stripes, per_stripe, halo_cap, mig_cap, drift,
             n_ty=cfg.n_ty,
+            col_bounds=cfg.col_bounds,
+            row_bounds=cfg.row_bounds if cfg.n_ty > 1 else None,
         )
         return dataclasses.replace(new, div_cap=div_cap)
 

@@ -337,3 +337,61 @@ def test_tiles_soak_with_growth_events():
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
     assert bond_sets(dom.to_cell_state(dstate)) == bond_sets(sstate)
     assert_resident(dom.cfg, dstate)
+
+
+@requires_multi
+def test_rebalance_preserves_trajectory():
+    """Quantile re-partitioning mid-run changes the layout only: 3 steps +
+    rebalance + 3 steps == the single-chip engine's 6 steps, bit-exact."""
+    dom, single = make_engines(tiles=(4, 2), n=1000, gata6=100, box=1500.0)
+    dstate = dom.init_state(seed=9)
+    sstate = single.init_state(seed=9)
+    single.cfg = dom.cfg.base
+
+    for _ in range(3):
+        dstate, _ = dom.safe_step(dstate)
+        sstate, _ = single.safe_step(sstate)
+    bounds_before = dom.cfg.col_bounds
+    dstate = dom.rebalance(dstate)
+    assert_resident(dom.cfg, dstate)
+    for _ in range(3):
+        dstate, _ = dom.safe_step(dstate)
+        sstate, _ = single.safe_step(sstate)
+
+    a = by_id(dom.to_cell_state(dstate))
+    b = by_id(sstate)
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert bond_sets(dom.to_cell_state(dstate)) == bond_sets(sstate)
+    # at least the partition machinery ran (bounds may legitimately differ)
+    assert len(dom.cfg.col_bounds) == len(bounds_before)
+
+
+@requires_multi
+def test_rebalance_evens_out_clustered_colony():
+    """A center-clustered colony (the model's actual regime) overloads the
+    middle tiles of a uniform partition; quantile bounds even the per-tile
+    populations out."""
+    gen = GeneralParams(num_to_start=1200, end_step=8, size=(2400.0, 2400.0, 0.0))
+    xp = ExperimentalParams(num_gata6=0, dox_step=2)
+    dom = DomainHipscEngine(gen, xp, tiles=(4, 2))
+    rng = np.random.default_rng(2)
+    # gaussian blob in the box center, ~1/6 box sigma
+    locs = rng.normal(1200.0, 260.0, size=(1200, 3)).clip(60.0, 2340.0)
+    locs[:, 2] = 0.0
+    state = dom.init_state(seed=2, locations=locs)
+
+    def per_tile(state):
+        return np.asarray(jnp.sum(state.alive, axis=1))
+
+    spread_uniform = per_tile(state)
+    state = dom.rebalance(state)
+    spread_balanced = per_tile(state)
+    assert spread_balanced.max() < spread_uniform.max() * 0.75, (
+        spread_uniform.tolist(), spread_balanced.tolist(),
+    )
+    # the balanced partition still steps correctly
+    state, info = dom.safe_step(state)
+    assert int(info.num_agents) > 0
+    assert int(info.mig_too_far) == 0
