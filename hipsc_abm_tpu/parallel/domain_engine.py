@@ -604,7 +604,12 @@ def _domain_step_body(
 
     # --- morphogen diffusion (replicated lattice, psum'd deposits) ----------
     if base.enable_diffusion and diff is not None:
-        dts_d = jnp.asarray(diffusion_dts_cached(bio.step_dt, diff.diffuse_dt))
+        np_dts_d = diffusion_dts_cached(bio.step_dt, diff.diffuse_dt)
+        dts_d = jnp.asarray(np_dts_d)
+        from hipsc_abm_tpu.ops.pallas_diffusion import (
+            fits_vmem as _diff_fits_vmem,
+            ftcs_diffuse_pallas as _ftcs_pallas_fn,
+        )
         new_gradients = {}
         for gname in sorted(gradients):
             grid_g = gradients[gname]
@@ -619,10 +624,20 @@ def _domain_step_body(
                     diff.spat_res,
                 )
                 grid_g = grid_g + jax.lax.psum(delta, AXIS)
-            new_gradients[gname] = diffusion_ops.ftcs_diffuse(
-                grid_g, dts_d, diff.diffuse_const, diff.spat_res2,
-                diff.max_concentration, diff.degradation,
-            )
+            # every device runs the identical subcycle loop on its replica;
+            # the VMEM-resident kernel saves the same ~300 dispatches per
+            # device as on the single-chip path (see ops/pallas_diffusion.py)
+            if base.use_pallas and _diff_fits_vmem(grid_g.shape):
+                new_gradients[gname] = _ftcs_pallas_fn(
+                    grid_g, np_dts_d, diff.diffuse_const, diff.spat_res2,
+                    diff.max_concentration, diff.degradation,
+                    interpret=base.pallas_interpret,
+                )
+            else:
+                new_gradients[gname] = diffusion_ops.ftcs_diffuse(
+                    grid_g, dts_d, diff.diffuse_const, diff.spat_res2,
+                    diff.max_concentration, diff.degradation,
+                )
         gradients = new_gradients
 
     # --- cell_motility ---
