@@ -1677,12 +1677,34 @@ class DomainHipscEngine:
             meta={"domain_config": domain_config_to_meta(self.cfg)},
         )
 
+    def save_checkpoint_sharded(self, path: str, dstate: DomainState) -> None:
+        """Per-tile checkpoint shards (``path/shard_{s}.npz`` + manifest) —
+        the pod-scale save path: no O(colony) flatten; on a multi-host pod
+        each host serializes only its local shards. Resume via
+        ``load_checkpoint_sharded`` is bit-exact (layout-independent
+        dynamics; re-partition on load)."""
+        from hipsc_abm_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_domain_sharded(
+            path, dstate,
+            meta={"domain_config": domain_config_to_meta(self.cfg)},
+        )
+
+    def load_checkpoint_sharded(self, path: str) -> DomainState:
+        from hipsc_abm_tpu.utils import checkpoint as ckpt
+
+        state, meta = ckpt.load_domain_sharded(path)
+        return self._adopt_and_partition(state, meta)
+
     def load_checkpoint(self, path: str) -> DomainState:
         """Restore a DomainState; adopts the checkpoint's static configuration
         (capacities, probe caps, drift allowance) so resume is bit-exact."""
         from hipsc_abm_tpu.utils import checkpoint as ckpt
 
         state, meta = ckpt.load_state(path)
+        return self._adopt_and_partition(state, meta)
+
+    def _adopt_and_partition(self, state: CellState, meta: dict) -> DomainState:
         if "domain_config" in meta:
             cfg = domain_config_from_meta(meta["domain_config"])
             if cfg.n_stripes != self.mesh.devices.size:

@@ -76,3 +76,95 @@ def load_state(path: str) -> Tuple[CellState, dict]:
             next_id=jax.numpy.asarray(data["next_id"]),
         )
     return state, meta
+
+
+# ---------------------------------------------------------------------------
+# sharded (per-tile) checkpoints for the domain engine
+# ---------------------------------------------------------------------------
+#
+# ``DomainHipscEngine.save_checkpoint`` flattens to one CellState npz — fine
+# on one host, O(colony) gather per save on a pod. The sharded format writes
+# one npz PER TILE from that tile's own slot block (on a multi-host pod each
+# host serializes only its local shards) plus a tiny manifest; resume
+# reassembles and re-partitions, which is bit-exact because dynamics are
+# layout-independent (the same property the flat round-trip relies on).
+
+
+def save_domain_sharded(path: str, dstate, meta: dict | None = None) -> None:
+    """Write a DomainState as ``path/`` with ``shard_{s}.npz`` per tile and
+    ``manifest.json``. Replicated leaves (gradients, key, step, next_id) and
+    the metadata ride the manifest's ``shard_0`` sidecar."""
+    host = jax.device_get(dstate)
+    S = int(np.asarray(host.alive).shape[0])
+    os.makedirs(path, exist_ok=True)
+    for s in range(S):
+        payload = {
+            f"arrays/{k}": np.asarray(v[s]) for k, v in host.arrays.items()
+        }
+        payload["alive"] = np.asarray(host.alive[s])
+        payload["bonds/partners"] = np.asarray(host.bonds.partners[s])
+        payload["bonds/mask"] = np.asarray(host.bonds.mask[s])
+        if s == 0:
+            for name, grid in host.gradients.items():
+                payload[f"gradients/{name}"] = np.asarray(grid)
+            payload["key"] = np.asarray(host.key)
+            payload["step"] = np.asarray(host.step)
+            payload["next_id"] = np.asarray(host.next_id)
+        tmp = os.path.join(path, f"shard_{s}.npz.tmp")
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **payload)
+        os.replace(tmp, os.path.join(path, f"shard_{s}.npz"))
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "n_shards": S,
+        **(meta or {}),
+    }
+    tmp = os.path.join(path, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+
+
+def load_domain_sharded(path: str) -> Tuple[CellState, dict]:
+    """Reassemble a sharded domain checkpoint into a flat CellState (the
+    caller re-partitions via ``DomainHipscEngine.from_cell_state``) plus the
+    manifest metadata."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        meta = json.load(f)
+    S = int(meta["n_shards"])
+    arrays_parts: dict = {}
+    alive_parts = []
+    partners_parts = []
+    mask_parts = []
+    gradients = {}
+    key = step = next_id = None
+    for s in range(S):
+        with np.load(os.path.join(path, f"shard_{s}.npz")) as data:
+            for k in data.files:
+                if k.startswith("arrays/"):
+                    arrays_parts.setdefault(k.split("/", 1)[1], []).append(data[k])
+                elif k.startswith("gradients/"):
+                    gradients[k.split("/", 1)[1]] = data[k]
+            alive_parts.append(data["alive"])
+            partners_parts.append(data["bonds/partners"])
+            mask_parts.append(data["bonds/mask"])
+            if s == 0:
+                key = data["key"]
+                step = data["step"]
+                next_id = data["next_id"]
+    state = CellState(
+        arrays={
+            k: jax.numpy.asarray(np.concatenate(v, axis=0))
+            for k, v in arrays_parts.items()
+        },
+        alive=jax.numpy.asarray(np.concatenate(alive_parts, axis=0)),
+        bonds=BondState(
+            partners=jax.numpy.asarray(np.concatenate(partners_parts, axis=0)),
+            mask=jax.numpy.asarray(np.concatenate(mask_parts, axis=0)),
+        ),
+        gradients={k: jax.numpy.asarray(v) for k, v in gradients.items()},
+        key=jax.numpy.asarray(key),
+        step=jax.numpy.asarray(step),
+        next_id=jax.numpy.asarray(next_id),
+    )
+    return state, meta

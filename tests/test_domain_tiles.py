@@ -395,3 +395,40 @@ def test_rebalance_evens_out_clustered_colony():
     state, info = dom.safe_step(state)
     assert int(info.num_agents) > 0
     assert int(info.mig_too_far) == 0
+
+
+@requires_multi
+def test_sharded_checkpoint_resume_bit_exact(tmp_path):
+    """The per-tile sharded checkpoint (pod-scale save path: no O(colony)
+    flatten) round-trips the tile config and resumes bit-exactly, matching
+    the flat-npz resume."""
+    dom, _ = make_engines(tiles=(2, 2), n=900, gata6=90, box=1500.0)
+    state = dom.init_state(seed=11)
+    for _ in range(2):
+        state, _ = dom.safe_step(state)
+
+    import os
+    shard_dir = str(tmp_path / "dom_shards")
+    dom.save_checkpoint_sharded(shard_dir, state)
+    assert os.path.isfile(os.path.join(shard_dir, "manifest.json"))
+    assert os.path.isfile(os.path.join(shard_dir, "shard_3.npz"))
+
+    for _ in range(2):
+        state, _ = dom.safe_step(state)
+
+    gen = GeneralParams(num_to_start=900, end_step=8, size=(1500.0, 1500.0, 0.0))
+    xp = ExperimentalParams(num_gata6=90, dox_step=2)
+    dom2 = DomainHipscEngine(gen, xp, tiles=(2, 2))
+    restored = dom2.load_checkpoint_sharded(shard_dir)
+    assert dom2.cfg == dom.cfg
+    for _ in range(2):
+        restored, _ = dom2.safe_step(restored)
+
+    a = by_id(dom.to_cell_state(state))
+    b = by_id(dom2.to_cell_state(restored))
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert bond_sets(dom.to_cell_state(state)) == bond_sets(
+        dom2.to_cell_state(restored)
+    )
