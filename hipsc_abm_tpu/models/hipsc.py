@@ -357,7 +357,8 @@ class CellSimulation(Simulation):
         from hipsc_abm_tpu.engine import config_to_meta
         from hipsc_abm_tpu.utils.checkpoint import save_state
 
-        super().temp.__wrapped__(self)  # the pickle, un-re-timed
+        if getattr(self, "temp_pickle", True):
+            super().temp.__wrapped__(self)  # the pickle, un-re-timed
         if self.state is not None:
             # prefer this step's cached host fetch (see _sync_host) so the
             # worker writes from host memory instead of re-pulling the state
@@ -386,6 +387,41 @@ class CellSimulation(Simulation):
     # ------------------------------------------------------------------
     # pickling (mode-1 continuation)
     # ------------------------------------------------------------------
+
+    @classmethod
+    def resume_from_npz(cls, name, output_dir):
+        """Mode-1 resume without the per-step pickle (``temp_pickle: false``
+        runs): rebuild the sim from the templates and restore the bit-exact
+        npz state checkpoint. Assumes the templates are unchanged since the
+        run started — the pickle path carries its own config and has no such
+        assumption."""
+        from hipsc_abm_tpu.engine import config_from_meta
+        from hipsc_abm_tpu.utils.checkpoint import load_state
+
+        sim = cls(name, output_dir)
+        sim.agent_initials()  # registers the host array surface; the
+        # resulting colony/rng draws are discarded by the npz restore below
+        state, meta = load_state(
+            os.path.join(sim.main_path, f"{name}_state.npz")
+        )
+        if "domain_config" in meta:
+            from hipsc_abm_tpu.parallel.domain_engine import (
+                domain_config_from_meta,
+            )
+
+            cfgd = domain_config_from_meta(meta["domain_config"])
+            sim.domain_tiles = (cfgd.n_tx, cfgd.n_ty)
+            sim.engine = sim._make_engine()
+            sim.engine.cfg = cfgd
+            sim.state = sim.engine.from_cell_state(state)
+        else:
+            sim.domain_tiles = None
+            sim.engine = sim._make_engine()
+            sim.engine.cfg = config_from_meta(meta["engine_config"])
+            sim.state = state
+        sim.current_step = int(meta["current_step"])
+        sim._sync_host()
+        return sim
 
     def __getstate__(self):
         from hipsc_abm_tpu.engine import config_to_meta

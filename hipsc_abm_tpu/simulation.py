@@ -182,6 +182,10 @@ class Simulation:
         self.video_quality = keys["video_quality"]
         self.fps = keys["fps"]
         self.seed = keys.get("seed", 0)  # optional extension (bit-exact runs)
+        # optional extension: skip the reference's per-step pickle (the
+        # dominant host serialization cost at 500k+ — BENCHMARKS.md); mode-1
+        # resume then rides the bit-exact npz state checkpoint instead
+        self.temp_pickle = bool(keys.get("temp_pickle", True))
         # optional extension: run the model on the multi-chip domain engine.
         # int N = N x-stripes; [n_tx, n_ty] = a 2-D tile grid. Absent/null =
         # single chip (the reference's only mode).
@@ -427,6 +431,17 @@ class Simulation:
             self.step_values()
             self.step_image()
 
+    @classmethod
+    def resume_from_npz(cls, name: str, output_dir: str) -> "Simulation":
+        """Mode-1 fallback when no ``_temp.pkl`` exists. The base framework
+        has only the pickle mechanism (reference parity); models with an npz
+        state checkpoint (``CellSimulation``) override this."""
+        raise FileNotFoundError(
+            f"no {name}_temp.pkl found and {cls.__name__} has no npz resume "
+            "path — was the run made with temp_pickle: false on a model "
+            "without a state checkpoint?"
+        )
+
     # pickling: drop anything device-side or unpicklable
     _unpicklable = ("_np_rng_state_placeholder",)
 
@@ -476,8 +491,12 @@ class Simulation:
         name = cli.check_previous_sim(name, output_dir)
         if mode == 1:
             file_name = output_dir + name + os.sep + name + "_temp.pkl"
-            with open(file_name, "rb") as file:
-                sim = pickle.load(file)
+            if os.path.isfile(file_name):
+                with open(file_name, "rb") as file:
+                    sim = pickle.load(file)
+            else:
+                # runs with temp_pickle: false checkpoint only the npz state
+                sim = cls.resume_from_npz(name, output_dir)
             sim.beginning_step = sim.current_step + 1
             sim.end_step = cli.get_final_step(argv)
             sim.steps()

@@ -96,3 +96,37 @@ def test_resume_is_bit_exact(model_env, tmp_path):
             err_msg=name,
         )
     np.testing.assert_array_equal(np.asarray(sim_a.state.key), np.asarray(sim_b.state.key))
+
+
+def test_resume_from_npz_without_pickle(model_env):
+    """temp_pickle: false drops the reference's per-step pickle (the dominant
+    host serialization cost at 500k+); mode 1 then resumes from the bit-exact
+    npz state checkpoint and matches the uninterrupted run exactly."""
+    from hipsc_abm_tpu.models.hipsc import CellSimulation
+
+    gen = yaml.safe_load(open("templates/general.yaml"))
+    gen["temp_pickle"] = False
+    gen["end_step"] = 4
+    open("templates/general.yaml", "w").write(yaml.dump(gen))
+    sim_a = CellSimulation.start(model_env, argv=["-n", "np_a", "-m", "0"])
+
+    gen["end_step"] = 2
+    open("templates/general.yaml", "w").write(yaml.dump(gen))
+    CellSimulation.start(model_env, argv=["-n", "np_b", "-m", "0"])
+    base_b = os.path.join(model_env, "np_b")
+    assert not os.path.isfile(os.path.join(base_b, "np_b_temp.pkl"))
+    assert os.path.isfile(os.path.join(base_b, "np_b_state.npz"))
+
+    sim_b = CellSimulation.start(model_env, argv=["-n", "np_b", "-m", "1", "-fs", "4"])
+    np.testing.assert_array_equal(
+        np.asarray(sim_a.state.alive), np.asarray(sim_b.state.alive)
+    )
+    for name in sim_a.agent_array_names:
+        np.testing.assert_array_equal(
+            np.asarray(sim_a.state.arrays[name]),
+            np.asarray(sim_b.state.arrays[name]),
+            err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(sim_a.state.key), np.asarray(sim_b.state.key)
+    )
