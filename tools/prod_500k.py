@@ -22,6 +22,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_tpu")
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 CELLS = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+# HIPSC_TEMP_PICKLE=0 drops the per-step pickle (npz mode-1 resume instead)
+TEMP_PICKLE = os.environ.get("HIPSC_TEMP_PICKLE", "1") != "0"
 ROOT = "/tmp/prod500k"
 NAME = "p500"
 
@@ -41,6 +43,7 @@ record_initial_step: true
 image_quality: 2000
 video_quality: 1500
 fps: 6
+temp_pickle: {str(TEMP_PICKLE).lower()}
 """)
     with open(f"{ROOT}/templates/experimental.yaml", "w") as f:
         f.write(f"""num_gata6: {CELLS // 10}
