@@ -432,3 +432,35 @@ def test_sharded_checkpoint_resume_bit_exact(tmp_path):
     assert bond_sets(dom.to_cell_state(state)) == bond_sets(
         dom2.to_cell_state(restored)
     )
+
+
+@requires_multi
+def test_tiles_pallas_with_diffusion_matches_xla():
+    """The VMEM-resident FTCS kernel dispatched INSIDE shard_map (per-tile
+    replica) agrees with the XLA-scan domain path, gradients included."""
+    from hipsc_abm_tpu.models.params import DiffusionParams
+
+    gen = GeneralParams(num_to_start=700, end_step=8, size=(1400.0, 1400.0, 0.0))
+    xp = ExperimentalParams(num_gata6=70, dox_step=1)
+    diff = DiffusionParams(spat_res=25.0, diffuse_dt=6.0, diffuse_const=2.0,
+                           max_concentration=2.0, degradation=0.1,
+                           release_amount=0.02)
+    dom_x = DomainHipscEngine(gen, xp, diff=diff, tiles=(2, 2),
+                              enable_diffusion=True)
+    dom_p = DomainHipscEngine(gen, xp, diff=diff, tiles=(2, 2),
+                              enable_diffusion=True,
+                              use_pallas=True, pallas_interpret=True)
+    sx = dom_x.init_state(seed=5)
+    sp = dom_p.init_state(seed=5)
+    for _ in range(2):
+        sx, _ = dom_x.safe_step(sx)
+        sp, _ = dom_p.safe_step(sp)
+
+    gx = np.asarray(sx.gradients["fgf4_values"])
+    gp = np.asarray(sp.gradients["fgf4_values"])
+    assert gx.max() > 0
+    np.testing.assert_allclose(gx, gp, atol=1e-5)
+    a = by_id(dom_x.to_cell_state(sx))
+    b = by_id(dom_p.to_cell_state(sp))
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    np.testing.assert_allclose(a["locations"], b["locations"], atol=1e-3)
