@@ -105,3 +105,33 @@ def test_domain_lifecycle_matches_single_chip(tmp_path, monkeypatch):
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
     assert sim_s.number_agents == sim_d.number_agents
+
+
+@requires_multi
+def test_domain_lifecycle_npz_resume_without_pickle(tmp_path, monkeypatch):
+    """A tile-decomposed production run with temp_pickle: false resumes in
+    mode 1 from the npz checkpoint alone: the domain engine is rebuilt from
+    the saved domain_config and the state re-partitioned."""
+    from hipsc_abm_tpu.models.hipsc import CellSimulation
+
+    write_templates(tmp_path, domain_tiles=[2, 2], end_step=2)
+    import yaml as _yaml
+    gpath = tmp_path / "templates" / "general.yaml"
+    gen = _yaml.safe_load(gpath.read_text())
+    gen["temp_pickle"] = False
+    gpath.write_text(_yaml.dump(gen))
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "outputs"
+    out.mkdir()
+    env = str(out) + os.sep
+
+    CellSimulation.start(env, argv=["-n", "dn", "-m", "0"])
+    base = os.path.join(env, "dn")
+    assert not os.path.isfile(os.path.join(base, "dn_temp.pkl"))
+    assert os.path.isfile(os.path.join(base, "dn_state.npz"))
+
+    sim = CellSimulation.start(env, argv=["-n", "dn", "-m", "1", "-fs", "4"])
+    assert sim.current_step == 4
+    assert sim._is_domain and sim.engine.cfg.n_ty == 2
+    assert sim.number_agents > 0
+    assert os.path.isfile(os.path.join(base, "dn_values", "dn_values_4.csv"))
