@@ -464,3 +464,40 @@ def test_tiles_pallas_with_diffusion_matches_xla():
     b = by_id(dom_p.to_cell_state(sp))
     np.testing.assert_array_equal(a["ids"], b["ids"])
     np.testing.assert_allclose(a["locations"], b["locations"], atol=1e-3)
+
+
+@requires_multi
+def test_tiles_optional_phases_and_diffusion_match_single():
+    """Growth (per-agent radii through the halo packs), stochastic updates,
+    diff_surround, and diffusion all stay bit-exact under a 2-D tile grid."""
+    from hipsc_abm_tpu.models.params import DiffusionParams
+
+    gen = GeneralParams(num_to_start=700, end_step=8, size=(1400.0, 1400.0, 0.0))
+    xp = ExperimentalParams(num_gata6=70, dox_step=1)
+    diff = DiffusionParams(spat_res=25.0, diffuse_dt=6.0, diffuse_const=2.0,
+                           max_concentration=2.0, degradation=0.1,
+                           release_amount=0.02)
+    flags = dict(enable_diffusion=True, enable_growth=True,
+                 enable_stochastic=True, enable_diff_surround=True)
+    dom = DomainHipscEngine(gen, xp, diff=diff, tiles=(2, 2), **flags)
+    single = HipscEngine(gen, xp, diff=diff, cfg=dom.cfg.base, use_pallas=False)
+
+    dstate = dom.init_state(seed=23)
+    sstate = single.init_state(seed=23)
+    single.cfg = dom.cfg.base
+
+    for _ in range(3):
+        dstate, _ = dom.safe_step(dstate)
+        sstate, _ = single.safe_step(sstate)
+
+    a = by_id(dom.to_cell_state(dstate))
+    b = by_id(sstate)
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for k in ("GATA6", "NANOG", "states", "div_counters"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    np.testing.assert_array_equal(a["locations"], b["locations"])
+    np.testing.assert_array_equal(a["radii"], b["radii"])  # growth active
+    ga = np.asarray(dstate.gradients["fgf4_values"])
+    gb = np.asarray(sstate.gradients["fgf4_values"])
+    np.testing.assert_allclose(ga, gb, atol=1e-5)
+    assert ga.max() > 0
