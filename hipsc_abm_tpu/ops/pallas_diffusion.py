@@ -36,7 +36,14 @@ _VMEM_BUDGET_BYTES = 5 * 1024 * 1024
 
 
 def fits_vmem(shape) -> bool:
-    """True when the (nx, ny) lattice (plus ghost ring) is VMEM-resident."""
+    """True when the (nx, ny) lattice (plus ghost ring) is VMEM-resident.
+    ``HIPSC_NO_PALLAS_FTCS=1`` force-disables the kernel (engines then run
+    the XLA subcycle scan) — the escape hatch if a Mosaic lowering issue
+    surfaces on a backend this kernel has not been validated on."""
+    import os
+
+    if os.environ.get("HIPSC_NO_PALLAS_FTCS") == "1":
+        return False
     nx, ny = int(shape[0]), int(shape[1])
     return (nx + 2) * (ny + 2) * 4 <= _VMEM_BUDGET_BYTES
 
