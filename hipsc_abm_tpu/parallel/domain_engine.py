@@ -1795,14 +1795,34 @@ class DomainHipscEngine:
                     "an agent crossed an entire stripe in one step; the "
                     "decomposition cannot deliver it — use fewer stripes"
                 )
-            grown = self._grown_cfg(self._cfg_for_state(state), info)
+            cfg_now = self._cfg_for_state(state)
+            try:
+                grown = self._grown_cfg(cfg_now, info)
+            except ValueError:
+                # a grown drift allowance can push the minimum tile width
+                # past a tight (load-balanced) partition's narrowest tile:
+                # re-derive the partition under the new constraints — first
+                # uniform (always feasible if the box supports the grid at
+                # the new drift; loud otherwise), then re-balance — and
+                # re-home the colony into it
+                self.cfg = cfg_now
+                flat = self.to_cell_state(state)
+                self.cfg = self._grown_cfg(cfg_now, info, drop_bounds=True)
+                state = self.from_cell_state(flat)
+                try:
+                    state = self.rebalance(state)
+                except ValueError:
+                    pass  # keep the uniform partition
+                continue
             if grown is None:
                 return new_state, info
             self.cfg = grown
             state = self.repad_state(state, grown)
         raise RuntimeError("capacity growth failed to converge")
 
-    def _grown_cfg(self, cfg: DomainConfig, info: DomainStepInfo) -> Optional[DomainConfig]:
+    def _grown_cfg(
+        self, cfg: DomainConfig, info: DomainStepInfo, drop_bounds: bool = False
+    ) -> Optional[DomainConfig]:
         changed = False
         base = cfg.base
         if int(info.nbr_max_in_bin) > base.nbr_spec.run_cap:
@@ -1868,12 +1888,14 @@ class DomainHipscEngine:
         if not changed:
             return None
         # re-derive partition-dependent statics (bands depend on drift),
-        # keeping the existing — possibly load-balanced — bounds
+        # keeping the existing — possibly load-balanced — bounds unless the
+        # caller asked for a fresh uniform partition (``drop_bounds``: the
+        # grown drift rejected the custom bounds; safe_step re-homes)
         new = self._make_cfg(
             base, cfg.n_stripes, per_stripe, halo_cap, mig_cap, drift,
             n_ty=cfg.n_ty,
-            col_bounds=cfg.col_bounds,
-            row_bounds=cfg.row_bounds if cfg.n_ty > 1 else None,
+            col_bounds=None if drop_bounds else cfg.col_bounds,
+            row_bounds=None if (drop_bounds or cfg.n_ty == 1) else cfg.row_bounds,
         )
         return dataclasses.replace(new, div_cap=div_cap)
 

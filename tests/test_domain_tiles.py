@@ -501,3 +501,38 @@ def test_tiles_optional_phases_and_diffusion_match_single():
     gb = np.asarray(sstate.gradients["fgf4_values"])
     np.testing.assert_allclose(ga, gb, atol=1e-5)
     assert ga.max() > 0
+
+
+@requires_multi
+def test_balanced_bounds_property():
+    """Quantile bounds stay monotone with legal widths for adversarial
+    colonies (all-in-one-bin, bimodal, uniform), and the re-partition always
+    fits (per_stripe auto-grows on overflow)."""
+    dom, _ = make_engines(tiles=(4, 2), n=800, gata6=0, box=2400.0)
+    cfg = dom.cfg
+    cell = cfg.base.nbr_spec.cell_size
+    hi = int(np.ceil(2400.0 / cell)) + 2
+    rng = np.random.default_rng(0)
+    cases = [
+        np.full(800, 1200.0),                       # single bin
+        np.concatenate([rng.normal(200, 20, 400),   # bimodal
+                        rng.normal(2200, 20, 400)]).clip(10, 2390),
+        rng.uniform(10, 2390, 800),                 # uniform
+    ]
+    for vals in cases:
+        xb = dom._balanced_axis_bounds(vals, cfg.n_tx, 0, cfg.drift_allowance)
+        assert xb[0] == 1 and xb[-1] == hi
+        widths = np.diff(xb)
+        assert (widths >= 3).all(), xb
+        assert ((widths * cell) > (2 * cfg.drift_allowance
+                                   + 2 * cfg.base.jkr_spec.cell_size + cell)).all()
+
+    # a maximally clustered colony still re-partitions and steps
+    locs = np.zeros((800, 3))
+    locs[:, 0] = rng.normal(1200.0, 30.0, 800).clip(60, 2340)
+    locs[:, 1] = rng.normal(1200.0, 30.0, 800).clip(60, 2340)
+    state = dom.init_state(seed=4, locations=locs)
+    state = dom.rebalance(state)
+    assert_resident(dom.cfg, state)
+    state, info = dom.safe_step(state)
+    assert int(info.num_agents) > 0
