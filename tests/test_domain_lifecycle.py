@@ -135,3 +135,18 @@ def test_domain_lifecycle_npz_resume_without_pickle(tmp_path, monkeypatch):
     assert sim._is_domain and sim.engine.cfg.n_ty == 2
     assert sim.number_agents > 0
     assert os.path.isfile(os.path.join(base, "dn_values", "dn_values_4.csv"))
+
+
+@requires_multi
+def test_domain_tiles_scalar_means_stripes(tmp_path, monkeypatch):
+    """``domain_tiles: 2`` (an int) is 2 x-stripes."""
+    from hipsc_abm_tpu.models.hipsc import CellSimulation
+
+    write_templates(tmp_path, domain_tiles=2, end_step=1)
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "outputs"
+    out.mkdir()
+    sim = CellSimulation.start(str(out) + os.sep, argv=["-n", "ds", "-m", "0"])
+    assert sim._is_domain
+    assert sim.engine.cfg.n_stripes == 2 and sim.engine.cfg.n_ty == 1
+    assert sim.number_agents > 0
