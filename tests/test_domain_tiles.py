@@ -536,3 +536,28 @@ def test_balanced_bounds_property():
     assert_resident(dom.cfg, state)
     state, info = dom.safe_step(state)
     assert int(info.num_agents) > 0
+
+
+@requires_multi
+def test_tiles_3d_pallas_matches_tiles_xla():
+    """3D tiles on the Pallas span path (9-run stencil with BOTH local-axis
+    offsets in the flat run strides) agree with the tile XLA window path."""
+    gen = GeneralParams(num_to_start=600, end_step=8, size=(600.0, 600.0, 220.0))
+    xp = ExperimentalParams(num_gata6=60, dox_step=2)
+    dom_x = DomainHipscEngine(gen, xp, tiles=(2, 2))
+    dom_p = DomainHipscEngine(gen, xp, tiles=(2, 2),
+                              use_pallas=True, pallas_interpret=True)
+    sx = dom_x.init_state(seed=5)
+    sp = dom_p.init_state(seed=5)
+    for _ in range(2):
+        sx, ix = dom_x.safe_step(sx)
+        sp, ip = dom_p.safe_step(sp)
+        assert int(ix.num_added) == int(ip.num_added)
+
+    a = by_id(dom_x.to_cell_state(sx))
+    b = by_id(dom_p.to_cell_state(sp))
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for k in ("GATA6", "NANOG", "states", "div_counters"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    np.testing.assert_allclose(a["locations"], b["locations"], atol=1e-3)
+    assert bond_sets(dom_x.to_cell_state(sx)) == bond_sets(dom_p.to_cell_state(sp))
