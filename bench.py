@@ -19,6 +19,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -29,6 +32,45 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_tpu")
 
 N_CELLS = 100_000
 PROXY_CELLS = 12_500
+
+
+def _wait_for_backend(max_wait_s: float) -> bool:
+    """Probe the accelerator backend in disposable subprocesses.
+
+    A tunneled TPU backend can wedge after an interrupted job: the next
+    PJRT init hangs forever (not an exception). Probing in a subprocess
+    with a timeout — BEFORE this process runs its first jax op — turns
+    that failure mode into a bounded wait. Returns True once a trivial
+    device op succeeds, False when max_wait_s elapses first.
+    """
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((8, 8)))))")
+    deadline = time.monotonic() + max_wait_s
+
+    def _probe_once(timeout_s: float) -> bool:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", probe], stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, start_new_session=True)
+        try:
+            return proc.wait(timeout=timeout_s) == 0
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            try:
+                proc.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                pass  # stuck in an uninterruptible PJRT call — abandon it
+            return False
+
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_once(min(120.0, max(10.0, max_wait_s))):
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        print(f"bench: backend probe {attempt} failed, retrying "
+              f"({int(deadline - time.monotonic())}s left)", file=sys.stderr)
+        time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
 
 
 def bench_tpu(n_cells: int, steps_timed: int = 8):
@@ -166,6 +208,20 @@ REF_BASELINE_SOURCE = (
 )
 
 if __name__ == "__main__":
+    wait_s = float(os.environ.get("HIPSC_BENCH_BACKEND_WAIT_S", "1800"))
+    if not _wait_for_backend(wait_s):
+        # Nothing honest to report: the device never answered. Emit a
+        # self-describing failure line rather than hanging the driver.
+        print(json.dumps({
+            "metric": f"steps_per_sec_{N_CELLS // 1000}k_cells_forces_diffusion_fate",
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": 0.0,
+            "error": ("accelerator backend unreachable after "
+                      f"{int(wait_s)}s of probing (tunneled TPU wedge; "
+                      "see BENCHMARKS.md ops note) — no measurement taken"),
+        }))
+        sys.exit(0)
     tpu_sps = bench_tpu(N_CELLS)
     tpu_500k = bench_tpu(500_000, steps_timed=4)
     proxy_sps = bench_numpy_proxy()
