@@ -85,6 +85,7 @@ from hipsc_abm_tpu.engine import (
     EngineConfig,
     HIPSC_ARRAY_SPECS,
     HipscEngine,
+    _MASK_HBM_BUDGET,
     _physics_dts,
     _round_up,
     diffusion_dts_cached,
@@ -1317,7 +1318,10 @@ class DomainHipscEngine:
             use_pallas = jax.default_backend() == "tpu"
 
         n0 = gen.num_to_start + xp.num_gata6
-        capacity = max(_round_up(int(n0 * 1.3), 128), 256)  # headroom for several steps of growth before a recompile
+        # 256-aligned like the single-chip engine: EngineConfig.create clamps
+        # jkr_span to capacity, and a capacity-clamped span must stay
+        # pallas_chunk-divisible (see engine.py) or effective_chunk collapses
+        capacity = max(_round_up(int(n0 * 1.3), 256), 256)  # headroom for several steps of growth before a recompile
         base = EngineConfig.create(
             gen.size,
             capacity=capacity,  # informational; per-stripe caps rule below
@@ -1880,11 +1884,29 @@ class DomainHipscEngine:
                     base = dataclasses.replace(base, bond_band_margin=new_margin)
                     changed = True
         if base.use_pallas and int(info.jkr_span_needed) > base.jkr_span:
+            # grown spans stay chunk-divisible (same invariant as the
+            # single-chip engine: a non-multiple span collapses
+            # effective_chunk to one whole-span chunk in the mask kernels,
+            # and the 9-run 3D staging scratch then blows VMEM)
+            span_q = max(base.pallas_chunk, 128)
             base = dataclasses.replace(
                 base,
-                jkr_span=_round_up(int(info.jkr_span_needed) * 1.25, 128),
+                jkr_span=_round_up(int(info.jkr_span_needed) * 1.25, span_q),
             )
             changed = True
+        if changed and base.use_pallas:
+            # mirror the single-chip guards (engine.py _grown_cfg): extreme
+            # contact degrees blow the K-unrolled kernel's VMEM frame, and
+            # the persistent (C_loc, n_runs*span) int8 bond mask is bounded
+            # in HBM bytes — past either, the per-tile scan falls back to
+            # the XLA path rather than growing without bound
+            n_halo = 2 if cfg.n_ty == 1 else 4
+            local_cap = per_stripe + n_halo * halo_cap
+            n_runs = len(base.jkr_spec.flat_run_offsets)
+            mask_bytes = local_cap * n_runs * base.jkr_span
+            if (base.bond_cap > 32 or base.jkr_span > 8192
+                    or mask_bytes > _MASK_HBM_BUDGET):
+                base = dataclasses.replace(base, use_pallas=False)
         if not changed:
             return None
         # re-derive partition-dependent statics (bands depend on drift),

@@ -445,6 +445,33 @@ class Simulation:
     # pickling: drop anything device-side or unpicklable
     _unpicklable = ("_np_rng_state_placeholder",)
 
+    def __copy__(self):
+        """The ``temp()`` snapshot clone. Without this, ``copy.copy`` routes
+        through ``__getstate__``/``__setstate__`` (written for the resume
+        pickle), which re-uploads the state PyTree to the device and rebuilds
+        the engine — synchronously, on the step loop — exactly the cost
+        ``temp()`` exists to move off-loop. The clone shares bindings (the
+        step loop REBINDS host arrays, never mutates them in place) with two
+        exceptions, both mutated in place on the live object while the
+        background worker still holds the clone:
+
+        - the numpy RNG (every draw advances it) is snapshotted eagerly;
+        - the engine reference is shallow-copied (capacity growth rebinds
+          ``engine.cfg`` on the shared engine object, and the checkpoint
+          must carry THIS step's config — window widths feed RNG draw
+          shapes, so bit-exact resume depends on it).
+        """
+        cls = self.__class__
+        clone = cls.__new__(cls)
+        clone.__dict__.update(self.__dict__)
+        clone._np_rng = pickle.loads(pickle.dumps(self._np_rng))
+        eng = clone.__dict__.get("engine")
+        if eng is not None:
+            eng_clone = type(eng).__new__(type(eng))
+            eng_clone.__dict__.update(eng.__dict__)
+            clone.engine = eng_clone
+        return clone
+
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_np_rng"] = pickle.dumps(self._np_rng)

@@ -84,45 +84,70 @@ def load_state(path: str) -> Tuple[CellState, dict]:
 #
 # ``DomainHipscEngine.save_checkpoint`` flattens to one CellState npz — fine
 # on one host, O(colony) gather per save on a pod. The sharded format writes
-# one npz PER TILE from that tile's own slot block (on a multi-host pod each
-# host serializes only its local shards) plus a tiny manifest; resume
-# reassembles and re-partitions, which is bit-exact because dynamics are
-# layout-independent (the same property the flat round-trip relies on).
+# one npz PER TILE from that tile's own slot block, fetched shard-by-shard
+# via ``addressable_shards`` (no global gather is ever materialized, and on
+# a multi-host pod each process can only fetch — and therefore only writes —
+# its local tiles; the directory is assumed shared, as for any pod-scale
+# checkpoint format). Resume reassembles and re-partitions, which is
+# bit-exact because dynamics are layout-independent (the same property the
+# flat round-trip relies on). Multi-host behavior is design-validated only:
+# this environment has a single process.
+
+
+def _tile_shards(arr, n_tiles: int) -> dict:
+    """tile index -> host array for every tile this process can address,
+    fetched per device shard (leading axis = tile axis, no global gather)."""
+    shards = getattr(arr, "addressable_shards", None)
+    if shards is None:  # plain numpy input (already on host)
+        a = np.asarray(arr)
+        return {s: a[s] for s in range(n_tiles)}
+    out: dict = {}
+    for sh in shards:
+        idx = sh.index[0] if sh.index else slice(None)
+        start = 0 if idx.start is None else int(idx.start)
+        data = np.asarray(sh.data)
+        for off in range(data.shape[0]):
+            out.setdefault(start + off, data[off])
+    return out
 
 
 def save_domain_sharded(path: str, dstate, meta: dict | None = None) -> None:
     """Write a DomainState as ``path/`` with ``shard_{s}.npz`` per tile and
     ``manifest.json``. Replicated leaves (gradients, key, step, next_id) and
-    the metadata ride the manifest's ``shard_0`` sidecar."""
-    host = jax.device_get(dstate)
-    S = int(np.asarray(host.alive).shape[0])
+    the metadata ride ``shard_0`` as a sidecar (written by whichever process
+    addresses tile 0); the manifest is written by process 0."""
+    S = int(dstate.alive.shape[0])
     os.makedirs(path, exist_ok=True)
-    for s in range(S):
-        payload = {
-            f"arrays/{k}": np.asarray(v[s]) for k, v in host.arrays.items()
-        }
-        payload["alive"] = np.asarray(host.alive[s])
-        payload["bonds/partners"] = np.asarray(host.bonds.partners[s])
-        payload["bonds/mask"] = np.asarray(host.bonds.mask[s])
+    leaves = {("arrays", k): _tile_shards(v, S) for k, v in dstate.arrays.items()}
+    leaves[("alive",)] = _tile_shards(dstate.alive, S)
+    leaves[("bonds", "partners")] = _tile_shards(dstate.bonds.partners, S)
+    leaves[("bonds", "mask")] = _tile_shards(dstate.bonds.mask, S)
+    local_tiles = sorted(leaves[("alive",)])
+    for s in local_tiles:
+        payload = {}
+        for key, per_tile in leaves.items():
+            name = "arrays/" + key[1] if key[0] == "arrays" else "/".join(key)
+            payload[name] = per_tile[s]
         if s == 0:
-            for name, grid in host.gradients.items():
-                payload[f"gradients/{name}"] = np.asarray(grid)
-            payload["key"] = np.asarray(host.key)
-            payload["step"] = np.asarray(host.step)
-            payload["next_id"] = np.asarray(host.next_id)
+            for name, grid in dstate.gradients.items():
+                payload[f"gradients/{name}"] = np.asarray(jax.device_get(grid))
+            payload["key"] = np.asarray(jax.device_get(dstate.key))
+            payload["step"] = np.asarray(jax.device_get(dstate.step))
+            payload["next_id"] = np.asarray(jax.device_get(dstate.next_id))
         tmp = os.path.join(path, f"shard_{s}.npz.tmp")
         with open(tmp, "wb") as f:
             np.savez_compressed(f, **payload)
         os.replace(tmp, os.path.join(path, f"shard_{s}.npz"))
-    manifest = {
-        "format_version": _FORMAT_VERSION,
-        "n_shards": S,
-        **(meta or {}),
-    }
-    tmp = os.path.join(path, "manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "manifest.json"))
+    if jax.process_index() == 0:
+        manifest = {
+            "format_version": _FORMAT_VERSION,
+            "n_shards": S,
+            **(meta or {}),
+        }
+        tmp = os.path.join(path, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(path, "manifest.json"))
 
 
 def load_domain_sharded(path: str) -> Tuple[CellState, dict]:

@@ -15,7 +15,11 @@ import pytest
 
 from hipsc_abm_tpu.engine import HipscEngine
 from hipsc_abm_tpu.models.params import ExperimentalParams, GeneralParams
-from hipsc_abm_tpu.parallel.domain_engine import AXIS, DomainHipscEngine
+from hipsc_abm_tpu.parallel.domain_engine import (
+    AXIS,
+    DomainHipscEngine,
+    DomainStepInfo,
+)
 
 requires_multi = pytest.mark.skipif(
     jax.device_count() < 8, reason="needs the 8-device CPU mesh"
@@ -423,3 +427,33 @@ def test_domain_matches_single_engine_3d():
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
     assert bond_sets(dom.to_cell_state(dstate)) == bond_sets(sstate)
     assert migrations > 0
+
+
+@requires_multi
+def test_grown_cfg_span_quantum_and_pallas_fallback():
+    """Span growth keeps the pallas_chunk-divisibility invariant (a
+    non-multiple span collapses effective_chunk to one whole-span chunk in
+    the mask kernels, and the 9-run 3D staging scratch then blows VMEM) and
+    extreme growth flips the per-tile scan to the XLA path — the VMEM /
+    mask-HBM guards mirroring the single-chip ``engine._grown_cfg``."""
+    dom, _ = make_engines(
+        n=300, gata6=30, box=900.0, use_pallas=True, pallas_interpret=True
+    )
+    cfg = dom.cfg
+    # capacity 256-aligned so a capacity-clamped span stays chunk-divisible
+    assert cfg.base.capacity % 256 == 0
+    q = max(cfg.base.pallas_chunk, 128)
+    zeros = DomainStepInfo(*[np.int32(0)] * len(DomainStepInfo._fields))
+
+    grown = dom._grown_cfg(
+        cfg, zeros._replace(jkr_span_needed=np.int32(cfg.base.jkr_span + 1))
+    )
+    assert grown is not None and grown.base.use_pallas
+    assert grown.base.jkr_span > cfg.base.jkr_span
+    assert grown.base.jkr_span % q == 0
+
+    wide = dom._grown_cfg(cfg, zeros._replace(jkr_span_needed=np.int32(9000)))
+    assert wide is not None and not wide.base.use_pallas
+
+    degree = dom._grown_cfg(cfg, zeros._replace(jkr_max_degree=np.int32(40)))
+    assert degree is not None and not degree.base.use_pallas
