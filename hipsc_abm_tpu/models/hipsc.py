@@ -91,6 +91,11 @@ class CellSimulation(Simulation):
                 max_concentration=float(keys.get("max_concentration", 2.0)),
                 degradation=float(keys.get("degradation", 0.1)),
                 release_amount=float(keys.get("release_amount", 0.0)),
+                # gradient -> fate coupling: perceived FGF4 in the pathway
+                # comes from the morphogen field at the cell's position
+                # (reference get_concentration semantics) instead of the
+                # neighbor count
+                field_coupling=bool(keys.get("field_coupling", False)),
             )
             if self.enable_diffusion
             else None
