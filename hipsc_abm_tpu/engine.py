@@ -563,7 +563,8 @@ def hipsc_step(
         dts = jnp.asarray(np_dts)
         # the subcycle scan is dispatch-bound (~300 tiny stencil kernels);
         # when the lattice fits VMEM, run ALL subcycles inside one Mosaic
-        # kernel (bit-identical arithmetic; see ops/pallas_diffusion.py)
+        # kernel (ulp-level agreement with the XLA scan — the backends fuse
+        # the stencil FMA differently; see ops/pallas_diffusion.py)
         from hipsc_abm_tpu.ops.pallas_diffusion import (
             fits_vmem as _diff_fits_vmem,
             ftcs_diffuse_pallas as _ftcs_pallas_fn,
@@ -582,7 +583,8 @@ def hipsc_step(
                 grid = diffusion_ops.deposit_morphogen(
                     grid, arrays["locations"], amounts, diff.spat_res
                 )
-            if cfg.use_pallas and _diff_fits_vmem(grid.shape):
+            if cfg.use_pallas and _diff_fits_vmem(grid.shape,
+                                                  grid.dtype.itemsize):
                 gradients[gname] = _ftcs_pallas_fn(
                     grid, np_dts, diff.diffuse_const, diff.spat_res2,
                     diff.max_concentration, diff.degradation,

@@ -31,6 +31,23 @@ def diffusion_dts(step_dt: float, diffuse_dt: float) -> np.ndarray:
     return np.array([diffuse_dt] * int(steps) + [last_dt], dtype=np.float32)
 
 
+def ftcs_subcycle(base: jnp.ndarray, a, b) -> jnp.ndarray:
+    """One FTCS subcycle on the padded lattice: sequential edge reflection
+    (the reference order, ``cell_backend.py:192-195`` — corners take
+    already-reflected values), then the 5-point stencil with coefficients
+    ``a = dt*D/h^2``, ``b = 1-4a``. Shared by the XLA scan below and the
+    VMEM-resident Pallas kernel (``ops.pallas_diffusion``): the ulp-level
+    agreement between the two rests on both tracing THIS exact operand
+    association."""
+    base = base.at[:, 0].set(base[:, 1])
+    base = base.at[:, -1].set(base[:, -2])
+    base = base.at[0, :].set(base[1, :])
+    base = base.at[-1, :].set(base[-2, :])
+    interior = base[1:-1, 1:-1]
+    temp = a * (base[2:, 1:-1] + base[:-2, 1:-1] + base[1:-1, 2:] + base[1:-1, :-2])
+    return base.at[1:-1, 1:-1].set(b * interior + temp)
+
+
 def ftcs_diffuse(
     gradient: jnp.ndarray,  # (nx, ny)
     dts: jnp.ndarray,  # (S,) subcycle dt schedule
@@ -45,15 +62,7 @@ def ftcs_diffuse(
 
     def subcycle(base, dt):
         a = dt * diffuse_const / spat_res2
-        b = 1.0 - 4.0 * a
-        # reflecting boundary, same sequential order as cell_backend.py:192-195
-        base = base.at[:, 0].set(base[:, 1])
-        base = base.at[:, -1].set(base[:, -2])
-        base = base.at[0, :].set(base[1, :])
-        base = base.at[-1, :].set(base[-2, :])
-        interior = base[1:-1, 1:-1]
-        temp = a * (base[2:, 1:-1] + base[:-2, 1:-1] + base[1:-1, 2:] + base[1:-1, :-2])
-        return base.at[1:-1, 1:-1].set(b * interior + temp), None
+        return ftcs_subcycle(base, a, 1.0 - 4.0 * a), None
 
     base, _ = jax.lax.scan(subcycle, base, dts)
     return base[1:-1, 1:-1] * (1.0 - degradation)

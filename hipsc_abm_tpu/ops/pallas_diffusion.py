@@ -35,68 +35,36 @@ from jax.experimental import pallas as pl
 _VMEM_BUDGET_BYTES = 5 * 1024 * 1024
 
 
-def fits_vmem(shape) -> bool:
+def fits_vmem(shape, itemsize: int = 4) -> bool:
     """True when the (nx, ny) lattice (plus ghost ring) is VMEM-resident.
-    ``HIPSC_NO_PALLAS_FTCS=1`` force-disables the kernel (engines then run
-    the XLA subcycle scan) — the escape hatch if a Mosaic lowering issue
-    surfaces on a backend this kernel has not been validated on."""
+    ``itemsize`` is the lattice element width in bytes (pass
+    ``grid.dtype.itemsize``; defaults to f32). ``HIPSC_NO_PALLAS_FTCS=1``
+    force-disables the kernel (engines then run the XLA subcycle scan) —
+    the escape hatch if a Mosaic lowering issue surfaces on a backend this
+    kernel has not been validated on."""
     import os
 
     if os.environ.get("HIPSC_NO_PALLAS_FTCS") == "1":
         return False
     nx, ny = int(shape[0]), int(shape[1])
-    return (nx + 2) * (ny + 2) * 4 <= _VMEM_BUDGET_BYTES
+    return (nx + 2) * (ny + 2) * int(itemsize) <= _VMEM_BUDGET_BYTES
 
 
 def _ftcs_kernel(base_ref, out_ref, *, steps, a_main, a_last, b_main, b_last):
+    from hipsc_abm_tpu.ops.diffusion import ftcs_subcycle
+
     base = base_ref[:]
 
     def subcycle(i, base):
         last = i == steps - 1
         a = jnp.where(last, a_last, a_main)
         b = jnp.where(last, b_last, b_main)
-        # reflecting boundary, same sequential order as cell_backend.py:192-195
-        # (corners take already-reflected values)
-        base = base.at[:, 0].set(base[:, 1])
-        base = base.at[:, -1].set(base[:, -2])
-        base = base.at[0, :].set(base[1, :])
-        base = base.at[-1, :].set(base[-2, :])
-        interior = base[1:-1, 1:-1]
-        temp = a * (
-            base[2:, 1:-1] + base[:-2, 1:-1] + base[1:-1, 2:] + base[1:-1, :-2]
-        )
-        return base.at[1:-1, 1:-1].set(b * interior + temp)
+        # the shared body (ops.diffusion.ftcs_subcycle) keeps the reflection
+        # order and stencil operand association structurally identical to
+        # the XLA scan — the ulp-level agreement contract
+        return ftcs_subcycle(base, a, b)
 
     out_ref[:] = jax.lax.fori_loop(0, steps, subcycle, base)
-
-
-def _ftcs_pallas(
-    gradient,
-    dts_key,
-    diffuse_const,
-    spat_res2,
-    max_concentration,
-    degradation,
-    interpret,
-):
-    dts = np.asarray(dts_key)
-    steps = int(dts.shape[0])
-    a_main = float(dts[0]) * diffuse_const / spat_res2
-    a_last = float(dts[-1]) * diffuse_const / spat_res2
-    base = jnp.pad(jnp.clip(gradient, 0.0, max_concentration), 1)
-    out = pl.pallas_call(
-        functools.partial(
-            _ftcs_kernel,
-            steps=steps,
-            a_main=a_main,
-            a_last=a_last,
-            b_main=1.0 - 4.0 * a_main,
-            b_last=1.0 - 4.0 * a_last,
-        ),
-        out_shape=jax.ShapeDtypeStruct(base.shape, base.dtype),
-        interpret=interpret,
-    )(base)
-    return out[1:-1, 1:-1] * (1.0 - degradation)
 
 
 def ftcs_diffuse_pallas(
@@ -108,10 +76,34 @@ def ftcs_diffuse_pallas(
     degradation: float,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in for ``ftcs_diffuse`` with a static dt schedule. The caller is
-    responsible for the ``fits_vmem`` eligibility check."""
-    dts_key = tuple(float(d) for d in np.asarray(dts))
-    return _ftcs_pallas(
-        gradient, dts_key, float(diffuse_const), float(spat_res2),
-        float(max_concentration), float(degradation), bool(interpret),
-    )
+    """Drop-in for ``ftcs_diffuse`` with a STATIC dt schedule of the
+    ``diffusion_dts`` shape: all subcycles equal except an optional shorter
+    last one (validated — any other schedule raises rather than silently
+    diffusing with the wrong coefficients). The caller is responsible for
+    the ``fits_vmem`` eligibility check."""
+    dts = np.asarray(dts, dtype=np.float64)
+    steps = int(dts.shape[0])
+    degradation = float(degradation)
+    if steps == 0:  # degenerate schedule: match the XLA scan's no-op
+        return jnp.clip(gradient, 0.0, max_concentration) * (1.0 - degradation)
+    if steps > 1 and not np.allclose(dts[:-1], dts[0], rtol=0.0, atol=0.0):
+        raise ValueError(
+            "ftcs_diffuse_pallas needs a diffusion_dts-shaped schedule "
+            f"(uniform dts + optional short last); got {dts!r}"
+        )
+    a_main = float(dts[0]) * float(diffuse_const) / float(spat_res2)
+    a_last = float(dts[-1]) * float(diffuse_const) / float(spat_res2)
+    base = jnp.pad(jnp.clip(gradient, 0.0, max_concentration), 1)
+    out = pl.pallas_call(
+        functools.partial(
+            _ftcs_kernel,
+            steps=steps,
+            a_main=a_main,
+            a_last=a_last,
+            b_main=1.0 - 4.0 * a_main,
+            b_last=1.0 - 4.0 * a_last,
+        ),
+        out_shape=jax.ShapeDtypeStruct(base.shape, base.dtype),
+        interpret=bool(interpret),
+    )(base)
+    return out[1:-1, 1:-1] * (1.0 - degradation)

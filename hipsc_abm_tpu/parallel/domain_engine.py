@@ -628,7 +628,8 @@ def _domain_step_body(
             # every device runs the identical subcycle loop on its replica;
             # the VMEM-resident kernel saves the same ~300 dispatches per
             # device as on the single-chip path (see ops/pallas_diffusion.py)
-            if base.use_pallas and _diff_fits_vmem(grid_g.shape):
+            if base.use_pallas and _diff_fits_vmem(grid_g.shape,
+                                                   grid_g.dtype.itemsize):
                 new_gradients[gname] = _ftcs_pallas_fn(
                     grid_g, np_dts_d, diff.diffuse_const, diff.spat_res2,
                     diff.max_concentration, diff.degradation,

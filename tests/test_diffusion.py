@@ -180,3 +180,35 @@ def test_ftcs_pallas_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)
     # a lattice too big for VMEM is rejected by the eligibility check
     assert not fits_vmem((2000, 2000))
+
+
+def test_ftcs_pallas_schedule_guards():
+    """The kernel validates its static-schedule assumption instead of
+    silently diffusing with wrong coefficients, degrades like the XLA scan
+    on an empty schedule, and sizes VMEM eligibility by element width."""
+    import pytest
+
+    from hipsc_abm_tpu.ops.diffusion import ftcs_diffuse
+    from hipsc_abm_tpu.ops.pallas_diffusion import (
+        fits_vmem,
+        ftcs_diffuse_pallas,
+    )
+
+    rng = np.random.default_rng(1)
+    g = jnp.asarray(rng.random((33, 29)).astype(np.float32)) * 3.0
+
+    # empty schedule: clip + degradation only, both implementations
+    a = ftcs_diffuse(g, jnp.zeros((0,)), 2.0, 400.0, 2.0, 0.1)
+    b = ftcs_diffuse_pallas(g, np.zeros((0,)), 2.0, 400.0, 2.0, 0.1,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # non-uniform schedules (legal for the XLA scan) are rejected loudly
+    with pytest.raises(ValueError, match="diffusion_dts-shaped"):
+        ftcs_diffuse_pallas(g, np.asarray([0.5, 0.3, 0.2]), 2.0, 400.0,
+                            2.0, 0.1, interpret=True)
+
+    # eligibility accounts for the element width, not a hardcoded f32
+    shape = (1100, 1100)
+    assert fits_vmem(shape, 4)
+    assert not fits_vmem(shape, 8)
