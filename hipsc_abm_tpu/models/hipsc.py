@@ -91,6 +91,7 @@ class CellSimulation(Simulation):
                 max_concentration=float(keys.get("max_concentration", 2.0)),
                 degradation=float(keys.get("degradation", 0.1)),
                 release_amount=float(keys.get("release_amount", 0.0)),
+                uptake_amount=float(keys.get("uptake_amount", 0.0)),
                 # gradient -> fate coupling: perceived FGF4 in the pathway
                 # comes from the morphogen field at the cell's position
                 # (reference get_concentration semantics) instead of the

@@ -71,7 +71,7 @@ def test_cell_simulation_diffusion_outputs(tmp_path, monkeypatch):
         "color_mode": True,
         "enable_diffusion": True, "spat_res": 10.0, "diffuse_dt": 6.0,
         "diffuse_const": 2.0, "max_concentration": 2.0, "degradation": 0.1,
-        "release_amount": 0.05, "field_coupling": True,
+        "release_amount": 0.05, "uptake_amount": 0.001, "field_coupling": True,
     }))
     monkeypatch.chdir(tmp_path)
     out = tmp_path / "outputs"
@@ -85,6 +85,7 @@ def test_cell_simulation_diffusion_outputs(tmp_path, monkeypatch):
     # surface (gradient -> pathway uptake coupling, engine.py cell_pathway)
     assert sim.diffusion_params.field_coupling
     assert sim.engine.diff.field_coupling
+    assert sim.engine.diff.uptake_amount == 0.001
     for step in (1, 2):
         path = out / "dif" / "dif_gradients" / "fgf4_values" / f"dif_fgf4_values_{step}.csv"
         assert path.is_file(), path
