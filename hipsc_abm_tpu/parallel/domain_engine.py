@@ -1630,15 +1630,33 @@ class DomainHipscEngine:
             partners[s, :n] = src_p[idx]
             bmask[s, :n] = src_m[idx]
 
+        tile = P(AXIS)
+        repl = P()
         return DomainState(
-            arrays={k: jnp.asarray(v) for k, v in arrays.items()},
-            alive=jnp.asarray(alive_out),
-            bonds=BondState(partners=jnp.asarray(partners), mask=jnp.asarray(bmask)),
-            gradients=dict(state.gradients),
-            key=state.key,
-            step=state.step,
-            next_id=state.next_id,
+            arrays={k: self._to_global(v, tile) for k, v in arrays.items()},
+            alive=self._to_global(alive_out, tile),
+            bonds=BondState(
+                partners=self._to_global(partners, tile),
+                mask=self._to_global(bmask, tile),
+            ),
+            gradients={
+                k: self._to_global(v, repl) for k, v in state.gradients.items()
+            },
+            key=self._to_global(state.key, repl),
+            step=self._to_global(state.step, repl),
+            next_id=self._to_global(state.next_id, repl),
         )
+
+    def _to_global(self, value, spec) -> jax.Array:
+        """A mesh-global array from a host value every process holds
+        identically. Under multi-controller JAX (one process per host of a
+        pod) each process contributes only the shards it addresses — this
+        is what lets ``from_cell_state``/``load_checkpoint_sharded`` build a
+        pod-wide DomainState without any process owning the whole colony's
+        device memory. Single-process it is equivalent to a device_put."""
+        a = np.asarray(value)
+        sharding = jax.sharding.NamedSharding(self.mesh, spec)
+        return jax.make_array_from_callback(a.shape, sharding, lambda i: a[i])
 
     def to_cell_state(self, dstate: DomainState, capacity: Optional[int] = None) -> CellState:
         """Flatten to a CellState (stripe-major slot order; agent identity is
@@ -1762,7 +1780,17 @@ class DomainHipscEngine:
 
     def step(self, state: DomainState) -> Tuple[DomainState, DomainStepInfo]:
         cfg = self._cfg_for_state(state)
-        sci, scf = self._stripe_consts(cfg)
+        # per-tile constants as mesh-global arrays (multi-controller: a
+        # plain numpy jit argument cannot satisfy a mesh-spanning in_spec);
+        # cached per config object so steady-state steps skip the transfer
+        cached = getattr(self, "_consts_global", None)
+        if cached is not None and cached[0] is cfg:
+            sci, scf = cached[1], cached[2]
+        else:
+            sci_np, scf_np = self._stripe_consts(cfg)
+            sci = self._to_global(sci_np, P(AXIS))
+            scf = self._to_global(scf_np, P(AXIS))
+            self._consts_global = (cfg, sci, scf)
         out = self._step_fn(cfg)(
             state.arrays, state.alive, state.bonds.partners, state.bonds.mask,
             state.gradients, state.key, state.step, state.next_id, sci, scf,
