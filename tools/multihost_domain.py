@@ -74,6 +74,27 @@ def main(pid: int, nproc: int, port: int, workdir: str) -> None:
     dom.save_checkpoint_sharded(ckpt_dir, dstate)
     multihost_utils.sync_global_devices("checkpoint written")
 
+    # multi-host RESUME: every process reassembles the checkpoint from the
+    # shared directory and re-materializes only its addressable shards,
+    # then the resumed engine steps in lockstep with the original
+    dom2 = DomainHipscEngine(gen, xp, tiles=(2 * nproc, 2))
+    rstate = dom2.load_checkpoint_sharded(ckpt_dir)
+    rstate, rinfo = dom2.safe_step(rstate)
+    dstate, dinfo = dom.safe_step(dstate)
+    assert int(rinfo.num_agents) == int(dinfo.num_agents)
+    assert int(rinfo.num_added) == int(dinfo.num_added)
+    print(f"proc {pid} resume step: {int(rinfo.num_agents)} agents", flush=True)
+
+    # probe-driven growth across processes: undersized halo/migration caps
+    # must grow via repad_state + recompile on the mesh-global arrays
+    domg = DomainHipscEngine(gen, xp, tiles=(2 * nproc, 2), halo_cap=8,
+                             mig_cap=8)
+    gstate = domg.init_state(seed=11)
+    gstate, ginfo = domg.safe_step(gstate)
+    assert domg.cfg.halo_cap > 8, "growth path never tripped"
+    assert int(ginfo.num_agents) > 0
+    print(f"proc {pid} growth: halo_cap 8 -> {domg.cfg.halo_cap}", flush=True)
+
     if pid == 0:
         from hipsc_abm_tpu.utils import checkpoint as ckpt
 
