@@ -1529,7 +1529,7 @@ class DomainHipscEngine:
         (``tests/test_domain_tiles.py::test_rebalance_*``). Host-side; call
         sparingly (each new partition is a fresh compiled step)."""
         cfg = self.cfg
-        cell_state = self.to_cell_state(dstate)
+        cell_state = self._host_replicated(self.to_cell_state(dstate))
         locs = np.asarray(cell_state.arrays["locations"])
         alive = np.asarray(cell_state.alive)
         pts = locs[alive]
@@ -1568,6 +1568,7 @@ class DomainHipscEngine:
 
     def from_cell_state(self, state: CellState) -> DomainState:
         """Partition a flat CellState into the tile-major layout."""
+        state = self._host_replicated(state)  # host partitioner needs bytes
         cfg = self.cfg
         S, Pn = cfg.n_stripes, cfg.per_stripe
         Ty = cfg.n_ty
@@ -1647,6 +1648,22 @@ class DomainHipscEngine:
             next_id=self._to_global(state.next_id, repl),
         )
 
+    def _host_replicated(self, tree):
+        """A PyTree whose every leaf each process can read on the host. A
+        cross-process (non-fully-addressable) leaf is resharded to fully
+        replicated first — one collective gather per leaf, O(colony) per
+        process by construction. This is what makes the rare full-colony
+        host paths (drift-recovery re-partition, ``rebalance``, the flat
+        parity checkpoint) work under multi-controller execution; the
+        pod-scale steady-state paths (step, sharded checkpoints) never
+        call it."""
+        leaves = jax.tree_util.tree_leaves(tree)
+        if all(getattr(l, "is_fully_addressable", True) for l in leaves):
+            return tree
+        repl = jax.sharding.NamedSharding(self.mesh, P())
+        shardings = jax.tree_util.tree_map(lambda _: repl, tree)
+        return jax.jit(lambda x: x, out_shardings=shardings)(tree)
+
     def _to_global(self, value, spec) -> jax.Array:
         """A mesh-global array from a host value every process holds
         identically. Under multi-controller JAX (one process per host of a
@@ -1696,7 +1713,7 @@ class DomainHipscEngine:
         from hipsc_abm_tpu.utils import checkpoint as ckpt
 
         ckpt.save_state(
-            path, self.to_cell_state(dstate),
+            path, self._host_replicated(self.to_cell_state(dstate)),
             meta={"domain_config": domain_config_to_meta(self.cfg)},
         )
 

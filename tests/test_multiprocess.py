@@ -20,8 +20,18 @@ PAYLOAD = os.path.join(
 )
 
 
+def _free_port() -> int:
+    # a bound-then-released port: avoids cross-talk when two instances of
+    # this test (or another distributed job) run concurrently on the host
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_domain_run_bit_exact(tmp_path):
-    port = 12500 + os.getpid() % 2000
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, PAYLOAD, str(pid), "2", str(port), str(tmp_path)],

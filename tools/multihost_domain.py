@@ -95,6 +95,14 @@ def main(pid: int, nproc: int, port: int, workdir: str) -> None:
     assert int(ginfo.num_agents) > 0
     print(f"proc {pid} growth: halo_cap 8 -> {domg.cfg.halo_cap}", flush=True)
 
+    # full-colony host path across processes: rebalance() gathers via a
+    # replicate-reshard (collectives), re-partitions at quantile bounds,
+    # and re-homes — then the new partition steps
+    gstate = domg.rebalance(gstate)
+    gstate, ginfo2 = domg.safe_step(gstate)
+    assert int(ginfo2.num_agents) > 0
+    print(f"proc {pid} rebalance + step ok", flush=True)
+
     if pid == 0:
         from hipsc_abm_tpu.utils import checkpoint as ckpt
 
