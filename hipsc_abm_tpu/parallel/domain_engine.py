@@ -72,7 +72,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Dict, NamedTuple, Optional, Tuple
+import os
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1735,6 +1736,37 @@ class DomainHipscEngine:
 
         state, meta = ckpt.load_domain_sharded(path)
         return self._adopt_and_partition(state, meta)
+
+    def write_values_sharded(
+        self, dir_path: str, name: str, step: int, dstate: DomainState,
+        order: Optional[Sequence[str]] = None,
+    ) -> list:
+        """Pod-scale value-CSV output: one ``{name}_values_{step}.shard{s}.csv``
+        per tile, written by the process that addresses it (alive rows only,
+        slot order, the parity ``name[i]`` headers, the native serialization
+        tier per file) — no O(colony) gather anywhere. Merge into the
+        reference's one-file format with ``utils.io.merge_sharded_values``
+        wherever the single file is wanted. Returns the shard paths this
+        process wrote. Closes docs/SCALING.md's "per-host output sharding"
+        item."""
+        from hipsc_abm_tpu.utils import checkpoint as ckpt
+        from hipsc_abm_tpu.utils import io as io_utils
+
+        os.makedirs(dir_path, exist_ok=True)
+        S = int(dstate.alive.shape[0])
+        order = list(order) if order is not None else sorted(dstate.arrays)
+        alive_sh = ckpt._tile_shards(dstate.alive, S)
+        leaf_sh = {k: ckpt._tile_shards(dstate.arrays[k], S) for k in order}
+        written = []
+        for s in sorted(alive_sh):
+            mask = alive_sh[s]
+            rows = {k: leaf_sh[k][s][mask] for k in order}
+            path = os.path.join(
+                dir_path, f"{name}_values_{step}.shard{s}.csv"
+            )
+            io_utils.write_values_csv(path, rows, order)
+            written.append(path)
+        return written
 
     def load_checkpoint(self, path: str) -> DomainState:
         """Restore a DomainState; adopts the checkpoint's static configuration

@@ -97,6 +97,40 @@ def write_values_csv(
         writer.writerows(np.hstack(data))
 
 
+def merge_sharded_values(dir_path: str, name: str, step: int,
+                         out_path: Optional[str] = None) -> str:
+    """Concatenate per-tile value-CSV shards (ascending tile index) into the
+    reference's one-file format. The shards are written by
+    ``DomainHipscEngine.write_values_sharded`` — one per tile, each by the
+    process that addresses it — so this merge is the only O(colony) I/O
+    and runs wherever the single file is actually wanted."""
+    import shutil
+
+    pattern = re.compile(
+        rf"^{re.escape(name)}_values_{step}\.shard(\d+)\.csv$"
+    )
+    shards = sorted(
+        (int(m.group(1)), f)
+        for f in os.listdir(dir_path)
+        if (m := pattern.match(f))
+    )
+    if not shards:
+        raise FileNotFoundError(
+            f"no {name}_values_{step}.shard*.csv under {dir_path}"
+        )
+    out_path = out_path or os.path.join(
+        dir_path, f"{name}_values_{step}.csv"
+    )
+    with open(out_path, "w", newline="") as out:
+        for i, (_s, fname) in enumerate(shards):
+            with open(os.path.join(dir_path, fname)) as f:
+                header = f.readline()
+                if i == 0:
+                    out.write(header)
+                shutil.copyfileobj(f, out)
+    return out_path
+
+
 def _native_savetxt_e18(path: str, matrix: np.ndarray) -> bool:
     """C++ fast path matching ``np.savetxt(fmt='%.18e', delimiter=',')``."""
     from hipsc_abm_tpu import native

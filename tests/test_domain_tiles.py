@@ -561,3 +561,39 @@ def test_tiles_3d_pallas_matches_tiles_xla():
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
     np.testing.assert_allclose(a["locations"], b["locations"], atol=1e-3)
     assert bond_sets(dom_x.to_cell_state(sx)) == bond_sets(dom_p.to_cell_state(sp))
+
+
+@requires_multi
+def test_sharded_values_output_matches_flat(tmp_path):
+    """Pod-scale value-CSV output: per-tile shards (written from addressable
+    shards only, no O(colony) gather) merge into the reference's one-file
+    format with exactly the flat writer's rows (as a set — tile order vs
+    flat slot order differ by design)."""
+    import os
+
+    from hipsc_abm_tpu.utils import io as io_utils
+
+    dom, _ = make_engines(tiles=(2, 2), n=900, gata6=90, box=1500.0)
+    state = dom.init_state(seed=7)
+    state, info = dom.safe_step(state)
+
+    out = str(tmp_path / "vals")
+    order = sorted(state.arrays)
+    shards = dom.write_values_sharded(out, "pod", 1, state, order=order)
+    assert len(shards) == 4
+    merged = io_utils.merge_sharded_values(out, "pod", 1)
+
+    # flat parity writer over the same colony
+    flat = dom.to_cell_state(state)
+    alive = np.asarray(flat.alive)
+    rows = {k: np.asarray(v)[alive] for k, v in flat.arrays.items()}
+    flat_path = os.path.join(out, "flat.csv")
+    io_utils.write_values_csv(flat_path, rows, order)
+
+    with open(merged) as f:
+        m_header, m_rows = f.readline(), sorted(f.readlines())
+    with open(flat_path) as f:
+        f_header, f_rows = f.readline(), sorted(f.readlines())
+    assert m_header == f_header
+    assert len(m_rows) == int(info.num_agents)
+    assert m_rows == f_rows

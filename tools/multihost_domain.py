@@ -72,7 +72,20 @@ def main(pid: int, nproc: int, port: int, workdir: str) -> None:
     # pod-style checkpoint: each process writes only its addressable tiles
     ckpt_dir = os.path.join(workdir, "ck")
     dom.save_checkpoint_sharded(ckpt_dir, dstate)
+
+    # pod-style value-CSV output: per-tile shards from addressable data only
+    vals_dir = os.path.join(workdir, "vals")
+    written = dom.write_values_sharded(vals_dir, "pod", 4, dstate)
+    assert len(written) == (2 * nproc * 2) // nproc  # this process's tiles
     multihost_utils.sync_global_devices("checkpoint written")
+    if pid == 0:
+        from hipsc_abm_tpu.utils import io as io_utils
+
+        merged = io_utils.merge_sharded_values(vals_dir, "pod", 4)
+        with open(merged) as f:
+            n_rows = sum(1 for _ in f) - 1
+        assert n_rows == int(dinfo.num_agents), (n_rows, int(dinfo.num_agents))
+        print(f"proc 0 sharded values merged: {n_rows} rows", flush=True)
 
     # multi-host RESUME: every process reassembles the checkpoint from the
     # shared directory and re-materializes only its addressable shards,
