@@ -171,9 +171,18 @@ class EngineConfig:
         flags.setdefault("jkr_span", 512)
         flags.setdefault("nbr_span", 512)
         chunk_q = int(flags.get("pallas_chunk", 256))
+        block_q = int(flags.get("pallas_block", 128))
+        # capacity must be a block multiple (the span planner reshapes the
+        # sorted layout into (capacity/block, block)) and a chunk multiple
+        # (so capacity-clamped spans stay chunk-divisible)
+        capacity = _round_up(int(capacity), max(chunk_q, block_q))
         for span_key in ("jkr_span", "nbr_span"):
-            v = min(int(flags[span_key]), int(capacity))
-            flags[span_key] = v if v == int(capacity) else _round_up(v, chunk_q)
+            v = min(int(flags[span_key]), capacity)
+            if v != capacity:
+                # clamp AFTER rounding: rounding up must not push a span
+                # past capacity (pl.ds would read out of range)
+                v = min(_round_up(v, chunk_q), capacity)
+            flags[span_key] = v
         nbr_spec = GridSpec.from_box(size, bio.neighbor_radius, nbr_run_cap)
         # bin size covers every force-active pair (fresh contacts within
         # jkr_radius AND persisted bonds out to + jkr_break_band, with 2x
@@ -269,7 +278,7 @@ def make_bio_moments_xla(
         & alive[:, None]
     )
 
-    def bio_moments(curr_loc, f0, f1, f2, alive_now):
+    def bio_moments(curr_loc, f0, f1, f2, alive_now, mode="full"):
         pack = jnp.concatenate(
             [
                 curr_loc,
@@ -284,15 +293,30 @@ def make_bio_moments_xla(
         cand = pack[nbr_grid.order][nbr_pos]  # (C, W, 8)
         m = base_mask & (cand[..., 6] > 0)
         mf = m.astype(jnp.float32)
+        count = jnp.sum(mf, axis=1, keepdims=True)
+        # trim per mode like the Pallas kernel: the class-filtered (C, W, 3)
+        # displacement reductions are the expensive lanes — skip them for
+        # count-only and pathway calls
+        if mode == "count":
+            return jnp.concatenate(
+                [count, jnp.zeros((capacity, 15), jnp.float32)], axis=1
+            )
         cf0 = cand[..., 3]
+        f0_sum = jnp.sum(mf * cf0, axis=1, keepdims=True)
+        f0_sq = jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True)
+        if mode == "pathway":
+            return jnp.concatenate(
+                [count, f0_sum, f0_sq,
+                 jnp.zeros((capacity, 13), jnp.float32)], axis=1
+            )
         disp = cand[..., :3] - curr_loc[:, None, :]
         a = mf * (cand[..., 4] > cand[..., 3]).astype(jnp.float32)
         b = mf * (cand[..., 5] != 0).astype(jnp.float32)
         return jnp.concatenate(
             [
-                jnp.sum(mf, axis=1, keepdims=True),
-                jnp.sum(mf * cf0, axis=1, keepdims=True),
-                jnp.sum(mf * cf0 * cf0, axis=1, keepdims=True),
+                count,
+                f0_sum,
+                f0_sq,
                 jnp.sum(a, axis=1, keepdims=True),
                 jnp.sum(a[..., None] * disp, axis=1),  # (C, 3)
                 jnp.sum(b, axis=1, keepdims=True),
@@ -473,7 +497,7 @@ def hipsc_step(
         )
 
         def bio_moments(curr_loc, f0, f1, f2, alive_now, mode="full"):
-            return bio_moments_full(curr_loc, f0, f1, f2, alive_now)
+            return bio_moments_full(curr_loc, f0, f1, f2, alive_now, mode=mode)
 
     zero_i = jnp.zeros((capacity,), jnp.int32)
     m1 = bio_moments(loc0, zero_i, zero_i, zero_i, alive, mode="count")
@@ -571,7 +595,11 @@ def hipsc_step(
         )
         for gname in sorted(gradients):
             grid = gradients[gname]
-            if diff.release_amount > 0.0 or diff.uptake_amount > 0.0:
+            # the secretion/uptake rule is FGF4 biology — key it to the
+            # FGF4 lattice (any other registered morphogen only diffuses)
+            if gname == "fgf4_values" and (
+                diff.release_amount > 0.0 or diff.uptake_amount > 0.0
+            ):
                 # NANOG-high cells secrete FGF4 (the coupling the reference
                 # sketches via adjust_morphogens, cell_methods.py:485-521);
                 # every alive cell consumes uptake_amount through the same
@@ -895,7 +923,9 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
         jnp.concatenate([max_run0[None], j_bins]),
         jnp.concatenate([deg0[None], j_degs]),
         jnp.concatenate([span_needed0[None], j_spans]),
-        jnp.sqrt(jnp.maximum(jnp.max(moves2), move2_0)),
+        # moves2 is empty when the schedule has a single substep
+        # (step_dt <= move_dt): jnp.max has no identity on a zero-size array
+        jnp.sqrt(jnp.max(jnp.concatenate([move2_0[None], moves2]))),
         jnp.zeros((), jnp.float32),  # every eval is Verlet-valid (cond)
     )
 
@@ -909,7 +939,7 @@ def _round_up(x: int, m: int) -> int:
     return ((int(x) + m - 1) // m) * m
 
 
-def _initial_run_cap(locations: np.ndarray, spec, size) -> int:
+def _initial_run_cap(locations: np.ndarray, spec) -> int:
     """Max live agents in any 3-bin stencil run of `spec`, from data, with
     25% headroom (rounded to 8)."""
     locations = np.asarray(locations)
@@ -998,6 +1028,11 @@ class HipscEngine:
                 # custom radii clear this (CellSimulation.build_state)
                 uniform_radius=None if enable_growth else self.bio.max_radius,
             )
+        elif use_pallas is not None and use_pallas != cfg.use_pallas:
+            # an explicit kernel-path choice must not be silently ignored
+            # just because the caller also supplied a config (the common
+            # "adopt this cfg's caps but run the XLA path" pattern)
+            cfg = dataclasses.replace(cfg, use_pallas=bool(use_pallas))
         self.cfg = cfg
         self._compiled = {}
 
@@ -1047,11 +1082,11 @@ class HipscEngine:
             cfg,
             nbr_spec=dataclasses.replace(
                 cfg.nbr_spec,
-                run_cap=_initial_run_cap(locations, cfg.nbr_spec, gen.size),
+                run_cap=_initial_run_cap(locations, cfg.nbr_spec),
             ),
             jkr_spec=dataclasses.replace(
                 cfg.jkr_spec,
-                run_cap=_initial_run_cap(locations, cfg.jkr_spec, gen.size),
+                run_cap=_initial_run_cap(locations, cfg.jkr_spec),
             ),
         )
 

@@ -55,11 +55,6 @@ def normalize_rows(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mag > 0, v / jnp.where(mag > 0, mag, 1.0), 0.0)
 
 
-def coin_flips(key: jax.Array, n: int) -> jnp.ndarray:
-    """Vector of randint(0, 1) increments (``cell_methods.py:65,239``)."""
-    return jax.random.bernoulli(key, 0.5, (n,)).astype(jnp.int32)
-
-
 # ---------------------------------------------------------------------------
 # death / division (population dynamics over masked slots)
 # ---------------------------------------------------------------------------
@@ -265,7 +260,10 @@ def cell_division(
     """
     capacity = alive.shape[0]
     if next_id is None:
-        next_id = jnp.max(jnp.where(alive, arrays["ids"], -1)) + 1
+        # max over ALL slot ids, not just alive ones: a dead slot keeps its
+        # stale id until recycled, so this never reassigns a dead agent's id
+        # (id-keyed RNG and stale bond entries rely on ids never recurring)
+        next_id = jnp.max(arrays["ids"]) + 1
     if div_cap is None:
         div_cap = capacity
 
@@ -324,8 +322,6 @@ def cell_pathway(
     with the same multiplicative ``(1 + g)`` noise applied to the single
     term, floored and clamped identically.
     """
-    capacity = FGF4.shape[0]
-
     active = alive & (current_step >= xp.dox_step)
 
     g = rng.normal(key, ids, salt=0)
@@ -478,23 +474,21 @@ def cell_motility(
     - undecided: random walk.
     """
     free_to_move = alive & (nbr_count < p.motility_crowd_neighbors)
-    sum_nanog = sum_nanog_disp
-    sum_diff = sum_diff_disp
 
     rand = rng.unit_vectors(key, ids, two_d).astype(locations.dtype)
     away_nanog = jnp.where(
         (cnt_nanog > 0)[:, None],
-        normalize_rows(sum_nanog) * -0.8 + rand * 0.2,
+        normalize_rows(sum_nanog_disp) * -0.8 + rand * 0.2,
         rand,
     )
     toward_nanog = jnp.where(
         (cnt_nanog > 0)[:, None],
-        normalize_rows(sum_nanog) * 0.8 + rand * 0.2,
+        normalize_rows(sum_nanog_disp) * 0.8 + rand * 0.2,
         rand,
     )
     toward_diff = jnp.where(
         (cnt_diff > 0)[:, None],
-        normalize_rows(sum_diff) * 0.8 + rand * 0.2,
+        normalize_rows(sum_diff_disp) * 0.8 + rand * 0.2,
         rand,
     )
 

@@ -475,7 +475,7 @@ def _domain_step_body(
     )
 
     zero_i = jnp.zeros((C,), jnp.int32)
-    m1 = bio_moments(loc0, zero_i, zero_i, zero_i, alive)
+    m1 = bio_moments(loc0, zero_i, zero_i, zero_i, alive, mode="count")
     nbr_count = m1[:, 0].astype(jnp.int32)
 
     # --- cell_division (globally consistent daughter ids) -------------------
@@ -554,7 +554,8 @@ def _domain_step_body(
     bio_refresh()
 
     # --- cell_pathway ---
-    m2 = bio_moments(arrays["locations"], arrays["FGF4"], zero_i, zero_i, alive)
+    m2 = bio_moments(arrays["locations"], arrays["FGF4"], zero_i, zero_i, alive,
+                     mode="pathway")
     count2 = m2[:, 0].astype(jnp.int32)
     # field coupling: the lattice is replicated and locations are global, so
     # the nearest-gridpoint sample is local and bit-equal on every stripe
@@ -615,7 +616,10 @@ def _domain_step_body(
         new_gradients = {}
         for gname in sorted(gradients):
             grid_g = gradients[gname]
-            if diff.release_amount > 0.0 or diff.uptake_amount > 0.0:
+            # FGF4 biology stays keyed to the FGF4 lattice (see engine.py)
+            if gname == "fgf4_values" and (
+                diff.release_amount > 0.0 or diff.uptake_amount > 0.0
+            ):
                 secreting = alive & owned & (arrays["NANOG"] > arrays["GATA6"])
                 amounts = jnp.where(secreting, diff.release_amount, 0.0)
                 amounts = amounts - jnp.where(
@@ -1563,8 +1567,15 @@ class DomainHipscEngine:
             cfg=self.cfg.base, use_pallas=False,
         )
         cell_state = helper.init_state(seed=seed, locations=locations)
-        # adopt the data-driven run caps the helper derived
-        self.cfg = dataclasses.replace(self.cfg, base=helper.cfg)
+        # adopt the data-driven run caps the helper derived — but NOT its
+        # kernel-path choice (the helper is forced onto the XLA path above;
+        # this engine keeps its own use_pallas)
+        self.cfg = dataclasses.replace(
+            self.cfg,
+            base=dataclasses.replace(
+                helper.cfg, use_pallas=self.cfg.base.use_pallas
+            ),
+        )
         return self.from_cell_state(cell_state)
 
     def from_cell_state(self, state: CellState) -> DomainState:

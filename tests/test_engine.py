@@ -228,3 +228,49 @@ def test_population_extinction_ok():
         state, info = eng.safe_step(state)
     assert int(info.num_agents) == 0
     assert np.isfinite(np.asarray(state.arrays["locations"])).all()
+
+
+def test_engine_config_create_normalizes_spans_and_capacity():
+    """EngineConfig.create is the public constructor: arbitrary capacities
+    are rounded to the block/chunk quantum (the span planner reshapes the
+    sorted layout into block rows) and explicit spans are rounded to the
+    chunk quantum but NEVER past capacity (pl.ds would read out of range)."""
+    from hipsc_abm_tpu.engine import EngineConfig
+
+    bio = BiologyParams()
+    cfg = EngineConfig.create((400.0, 400.0, 0.0), capacity=5000, bio=bio,
+                              use_pallas=True, jkr_span=300)
+    q = max(cfg.pallas_chunk, cfg.pallas_block)
+    assert cfg.capacity % q == 0 and cfg.capacity >= 5000
+    assert cfg.jkr_span <= cfg.capacity
+    assert cfg.jkr_span == cfg.capacity or cfg.jkr_span % cfg.pallas_chunk == 0
+
+    cfg2 = EngineConfig.create((400.0, 400.0, 0.0), capacity=384, bio=bio,
+                               use_pallas=True, jkr_span=300)
+    assert cfg2.jkr_span <= cfg2.capacity
+
+
+def test_single_substep_schedule_runs_on_pallas_path():
+    """step_dt <= move_dt gives a one-entry physics schedule; the Pallas
+    scan peels substep 0 and must not reduce over the empty remainder."""
+    import dataclasses
+
+    gen = GeneralParams(num_to_start=150, end_step=3, size=(300.0, 300.0, 0.0))
+    xp = ExperimentalParams(num_gata6=15, dox_step=1)
+    bio = BiologyParams(step_dt=100.0, move_dt=200.0)
+    eng = HipscEngine(gen, xp, bio, use_pallas=True)
+    eng.cfg = dataclasses.replace(eng.cfg, pallas_interpret=True)
+    state = eng.init_state(seed=3)
+    state, info = eng.safe_step(state)
+    assert int(info.num_agents) > 0
+    assert np.isfinite(np.asarray(state.arrays["locations"])).all()
+
+
+def test_explicit_use_pallas_overrides_provided_cfg():
+    """HipscEngine(cfg=..., use_pallas=False) must honor the kernel-path
+    choice (the 'adopt this cfg's caps, run XLA' debugging pattern)."""
+    gen = GeneralParams(num_to_start=150, end_step=3, size=(300.0, 300.0, 0.0))
+    xp = ExperimentalParams(num_gata6=15, dox_step=1)
+    ref = HipscEngine(gen, xp, use_pallas=True)
+    eng = HipscEngine(gen, xp, cfg=ref.cfg, use_pallas=False)
+    assert ref.cfg.use_pallas and not eng.cfg.use_pallas
