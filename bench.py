@@ -207,20 +207,47 @@ REF_BASELINE_SOURCE = (
     "CPUs; see BASELINE.md"
 )
 
+# Last TPU-hardware measurements of this exact bench workload (one v5e via
+# the axon tunnel, 2026-08-17, BENCHMARKS.md "Full-model steps/sec by scale"
+# round-3 table). Reported as provenance in the CPU-fallback JSON only —
+# never as `value`, which is always measured in the current run.
+LAST_TPU_MEASURED = {
+    "100k_steps_per_sec": 11.1,
+    "500k_steps_per_sec": 2.08,
+    "measured": "2026-08-17, one v5e (axon tunnel), BENCHMARKS.md round-3 table",
+}
+
+
+def _bench_cpu_fallback(wait_s: float):
+    """The tunnel never answered: measure the same workload on the XLA CPU
+    backend (clearly labeled) instead of emitting a dead 0.0. jax is
+    imported but no backend is initialized yet, so switching platforms
+    in-process is safe (env JAX_PLATFORMS is too late — sitecustomize
+    registers the axon plugin at interpreter start)."""
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_cpu")
+    cpu_sps = bench_tpu(N_CELLS, steps_timed=3)
+    print(json.dumps({
+        "metric": f"steps_per_sec_{N_CELLS // 1000}k_cells_forces_diffusion_fate",
+        "value": round(cpu_sps, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(cpu_sps / REF_MEASURED_100K, 2),
+        "platform": "cpu-fallback",
+        "error": ("TPU backend unreachable after "
+                  f"{int(wait_s)}s of probing (tunneled TPU wedge; see "
+                  "BENCHMARKS.md ops note) — value is the SAME workload on "
+                  "the XLA CPU backend, not a TPU number"),
+        "last_tpu_measured": LAST_TPU_MEASURED,
+        "ref_baseline_steps_per_sec": {"100k": REF_MEASURED_100K,
+                                       "500k": REF_MEASURED_500K},
+        "ref_baseline_source": REF_BASELINE_SOURCE,
+    }))
+
+
 if __name__ == "__main__":
     wait_s = float(os.environ.get("HIPSC_BENCH_BACKEND_WAIT_S", "1800"))
     if not _wait_for_backend(wait_s):
-        # Nothing honest to report: the device never answered. Emit a
-        # self-describing failure line rather than hanging the driver.
-        print(json.dumps({
-            "metric": f"steps_per_sec_{N_CELLS // 1000}k_cells_forces_diffusion_fate",
-            "value": 0.0,
-            "unit": "steps/sec",
-            "vs_baseline": 0.0,
-            "error": ("accelerator backend unreachable after "
-                      f"{int(wait_s)}s of probing (tunneled TPU wedge; "
-                      "see BENCHMARKS.md ops note) — no measurement taken"),
-        }))
+        _bench_cpu_fallback(wait_s)
         sys.exit(0)
     tpu_sps = bench_tpu(N_CELLS)
     tpu_500k = bench_tpu(500_000, steps_timed=4)
