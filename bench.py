@@ -226,7 +226,22 @@ def _bench_cpu_fallback(wait_s: float):
     registers the axon plugin at interpreter start)."""
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_cpu")
-    cpu_sps = bench_tpu(N_CELLS, steps_timed=3)
+    try:
+        cpu_sps = bench_tpu(N_CELLS, steps_timed=3)
+    except Exception as e:
+        # the driver parses ONE JSON line — never leave it a bare traceback
+        print(json.dumps({
+            "metric": (f"steps_per_sec_{N_CELLS // 1000}k_cells_"
+                       "forces_diffusion_fate"),
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": 0.0,
+            "error": ("TPU backend unreachable after "
+                      f"{int(wait_s)}s AND the CPU-backend fallback "
+                      f"measurement failed: {type(e).__name__}: {e}"),
+            "last_tpu_measured": LAST_TPU_MEASURED,
+        }))
+        return
     print(json.dumps({
         "metric": f"steps_per_sec_{N_CELLS // 1000}k_cells_forces_diffusion_fate",
         "value": round(cpu_sps, 3),

@@ -173,9 +173,11 @@ class EngineConfig:
         chunk_q = int(flags.get("pallas_chunk", 256))
         block_q = int(flags.get("pallas_block", 128))
         # capacity must be a block multiple (the span planner reshapes the
-        # sorted layout into (capacity/block, block)) and a chunk multiple
-        # (so capacity-clamped spans stay chunk-divisible)
-        capacity = _round_up(int(capacity), max(chunk_q, block_q))
+        # sorted layout into (capacity/block, block)) AND a chunk multiple
+        # (so capacity-clamped spans stay chunk-divisible) — the lcm, not the
+        # max: when neither quantum divides the other, a max-multiple
+        # violates the other invariant (e.g. chunk 192 / block 128)
+        capacity = _round_up(int(capacity), math.lcm(chunk_q, block_q))
         for span_key in ("jkr_span", "nbr_span"):
             v = min(int(flags[span_key]), capacity)
             if v != capacity:

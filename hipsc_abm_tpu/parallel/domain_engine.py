@@ -1149,8 +1149,13 @@ def _domain_physics_pallas_scan(
         pk, bonds,
         jnp.concatenate([(zv * 0)[None], runs]),  # entry window probed by caller
         jnp.concatenate([deg0[None], degs]),
-        bands,
-        exceeds,
+        # bands/exceeds also need the entry element: a single-substep
+        # schedule (step_dt <= move_dt) scans zero times and jnp.max has no
+        # identity on a zero-size array (the entry exchange's band count is
+        # already merged by the caller as band0; entry rebuild is
+        # unconditional so its drift-exceed is structurally zero)
+        jnp.concatenate([zv[None], bands]),
+        jnp.concatenate([zv[None], exceeds]),
         jnp.concatenate([zv[None], spans]),
         jnp.concatenate([move2_0[None], moves2]),
     )
@@ -1349,6 +1354,7 @@ class DomainHipscEngine:
             base, S, per_stripe, halo_cap, mig_cap, drift_allowance, n_ty=n_ty
         )
         self._compiled = {}
+        self._repl_jit = {}
 
     def _axis_partition(self, base, n_parts, axis_i, drift, kind, bounds=None):
         """Bin-boundary partition of one box axis with sizing checks; returns
@@ -1672,9 +1678,17 @@ class DomainHipscEngine:
         leaves = jax.tree_util.tree_leaves(tree)
         if all(getattr(l, "is_fully_addressable", True) for l in leaves):
             return tree
-        repl = jax.sharding.NamedSharding(self.mesh, P())
-        shardings = jax.tree_util.tree_map(lambda _: repl, tree)
-        return jax.jit(lambda x: x, out_shardings=shardings)(tree)
+        # cache the jitted gather per tree structure: a fresh lambda per call
+        # would never hit the jit cache, recompiling on every rebalance /
+        # drift-recovery re-partition / flat checkpoint
+        key = jax.tree_util.tree_structure(tree)
+        fn = self._repl_jit.get(key)
+        if fn is None:
+            repl = jax.sharding.NamedSharding(self.mesh, P())
+            shardings = jax.tree_util.tree_map(lambda _: repl, tree)
+            fn = jax.jit(lambda x: x, out_shardings=shardings)
+            self._repl_jit[key] = fn
+        return fn(tree)
 
     def _to_global(self, value, spec) -> jax.Array:
         """A mesh-global array from a host value every process holds
@@ -1775,7 +1789,10 @@ class DomainHipscEngine:
             path = os.path.join(
                 dir_path, f"{name}_values_{step}.shard{s}.csv"
             )
-            io_utils.write_values_csv(path, rows, order)
+            # atomic publish: a concurrent merge must never see a
+            # half-written shard (same discipline as save_domain_sharded)
+            io_utils.write_values_csv(path + ".tmp", rows, order)
+            os.replace(path + ".tmp", path)
             written.append(path)
         return written
 

@@ -118,12 +118,23 @@ def merge_sharded_values(dir_path: str, name: str, step: int,
         raise FileNotFoundError(
             f"no {name}_values_{step}.shard*.csv under {dir_path}"
         )
+    # a missing tile must fail loudly, not merge into a silently smaller
+    # colony (a pod host that died before flushing leaves a gap)
+    indices = [s for s, _ in shards]
+    if indices != list(range(len(indices))):
+        raise FileNotFoundError(
+            f"{name}_values_{step} shard set is not contiguous 0..N: "
+            f"found {indices} under {dir_path}"
+        )
     out_path = out_path or os.path.join(
         dir_path, f"{name}_values_{step}.csv"
     )
-    with open(out_path, "w", newline="") as out:
+    # binary copy: the shards carry the parity writer's CRLF row endings;
+    # text mode would rewrite them and break byte-identity with the
+    # reference's one-file format
+    with open(out_path, "wb") as out:
         for i, (_s, fname) in enumerate(shards):
-            with open(os.path.join(dir_path, fname)) as f:
+            with open(os.path.join(dir_path, fname), "rb") as f:
                 header = f.readline()
                 if i == 0:
                     out.write(header)

@@ -457,3 +457,22 @@ def test_grown_cfg_span_quantum_and_pallas_fallback():
 
     degree = dom._grown_cfg(cfg, zeros._replace(jkr_max_degree=np.int32(40)))
     assert degree is not None and not degree.base.use_pallas
+
+
+@requires_multi
+def test_domain_single_substep_schedule_pallas():
+    """step_dt <= move_dt gives a one-entry physics schedule; the domain
+    Pallas scan peels substep 0 and must give every probe column its entry
+    element (jnp.max has no identity on a zero-size array)."""
+    from hipsc_abm_tpu.models.params import BiologyParams
+
+    gen = GeneralParams(num_to_start=300, end_step=3, size=(900.0, 900.0, 0.0))
+    xp = ExperimentalParams(num_gata6=30, dox_step=1)
+    bio = BiologyParams(step_dt=100.0, move_dt=200.0)
+    dom = DomainHipscEngine(gen, xp, bio=bio, use_pallas=True,
+                            pallas_interpret=True)
+    state = dom.init_state(seed=3)
+    state, info = dom.safe_step(state)
+    assert int(info.num_agents) > 0
+    flat = dom.to_cell_state(state)
+    assert np.isfinite(np.asarray(flat.arrays["locations"])).all()

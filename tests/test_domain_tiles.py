@@ -590,10 +590,20 @@ def test_sharded_values_output_matches_flat(tmp_path):
     flat_path = os.path.join(out, "flat.csv")
     io_utils.write_values_csv(flat_path, rows, order)
 
-    with open(merged) as f:
+    # BYTE-level comparison (binary mode): the merge must preserve the
+    # parity writer's CRLF row endings, not rewrite them through text mode
+    with open(merged, "rb") as f:
         m_header, m_rows = f.readline(), sorted(f.readlines())
-    with open(flat_path) as f:
+    with open(flat_path, "rb") as f:
         f_header, f_rows = f.readline(), sorted(f.readlines())
     assert m_header == f_header
     assert len(m_rows) == int(info.num_agents)
     assert m_rows == f_rows
+
+    # a missing tile shard must fail loudly, never merge into a silently
+    # smaller colony
+    os.remove(shards[1])
+    with pytest.raises(FileNotFoundError, match="not contiguous"):
+        io_utils.merge_sharded_values(out, "pod", 1, out_path=str(
+            tmp_path / "gap.csv"
+        ))
