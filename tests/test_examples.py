@@ -71,3 +71,19 @@ def test_chemotaxis_example(tmp_path, monkeypatch):
     # food is a registered agent array -> it rides the standard CSV output
     header = vals.read_text().splitlines()[0]
     assert "food" in header
+
+
+def test_spheroid_3d_example(tmp_path):
+    mod = _load("example_spheroid_3d", "spheroid_3d.py")
+    out = tmp_path / "out3d"
+    eng, state, stats = mod.run(n_cells=220, n_gata6=36, steps=3,
+                                out_dir=str(out), seed=0)
+    assert eng.cfg.two_d is False
+    assert stats["population"] >= 220  # death needs 144 lonely steps
+    # the over-packed ball relaxed outward but stayed a 3D cloud
+    assert 0.0 < stats["z_extent_um"] < mod.BOX / 2.0
+    assert stats["mean_radius_um"] > 0.0
+    locs = np.asarray(state.arrays["locations"])[np.asarray(state.alive)]
+    assert (locs >= 0.0).all() and (locs <= mod.BOX).all()
+    assert (out / "spheroid_xy.png").is_file()
+    assert (out / "spheroid_xz.png").is_file()
