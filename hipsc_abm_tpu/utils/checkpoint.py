@@ -138,6 +138,14 @@ def save_domain_sharded(path: str, dstate, meta: dict | None = None) -> None:
         with open(tmp, "wb") as f:
             np.savez_compressed(f, **payload)
         os.replace(tmp, os.path.join(path, f"shard_{s}.npz"))
+    if jax.process_count() > 1:
+        # manifest presence must imply ALL shards are complete: without a
+        # barrier, process 0 can publish the manifest while another
+        # process's shard write is still in flight — a crash in that
+        # window leaves a manifest pointing at a torn checkpoint
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("save_domain_sharded_shards")
     if jax.process_index() == 0:
         manifest = {
             "format_version": _FORMAT_VERSION,

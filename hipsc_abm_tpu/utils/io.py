@@ -98,7 +98,8 @@ def write_values_csv(
 
 
 def merge_sharded_values(dir_path: str, name: str, step: int,
-                         out_path: Optional[str] = None) -> str:
+                         out_path: Optional[str] = None,
+                         n_shards: Optional[int] = None) -> str:
     """Concatenate per-tile value-CSV shards (ascending tile index) into the
     reference's one-file format. The shards are written by
     ``DomainHipscEngine.write_values_sharded`` — one per tile, each by the
@@ -119,12 +120,15 @@ def merge_sharded_values(dir_path: str, name: str, step: int,
             f"no {name}_values_{step}.shard*.csv under {dir_path}"
         )
     # a missing tile must fail loudly, not merge into a silently smaller
-    # colony (a pod host that died before flushing leaves a gap)
+    # colony (a pod host that died before flushing leaves a gap). Pass
+    # n_shards (the engine's tile count) to also catch missing TRAILING
+    # shards — without it only interior gaps are detectable.
     indices = [s for s, _ in shards]
-    if indices != list(range(len(indices))):
+    expected = list(range(n_shards if n_shards is not None else len(indices)))
+    if indices != expected:
         raise FileNotFoundError(
-            f"{name}_values_{step} shard set is not contiguous 0..N: "
-            f"found {indices} under {dir_path}"
+            f"{name}_values_{step} shard set is incomplete: found {indices}, "
+            f"expected {expected} under {dir_path}"
         )
     out_path = out_path or os.path.join(
         dir_path, f"{name}_values_{step}.csv"

@@ -600,10 +600,19 @@ def test_sharded_values_output_matches_flat(tmp_path):
     assert len(m_rows) == int(info.num_agents)
     assert m_rows == f_rows
 
-    # a missing tile shard must fail loudly, never merge into a silently
-    # smaller colony
+    # a missing TRAILING shard is only detectable with the expected count
+    # (the found set [0,1,2] is otherwise indistinguishable from a complete
+    # 3-tile run); a dead last-tile host must not merge silently smaller
+    os.remove(shards[3])
+    io_utils.merge_sharded_values(out, "pod", 1, out_path=str(
+        tmp_path / "trail_undetectable.csv"))  # count-free: cannot know
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        io_utils.merge_sharded_values(out, "pod", 1, out_path=str(
+            tmp_path / "trail.csv"), n_shards=4)
+
+    # a missing INTERIOR tile shard must fail loudly even without the count
     os.remove(shards[1])
-    with pytest.raises(FileNotFoundError, match="not contiguous"):
+    with pytest.raises(FileNotFoundError, match="incomplete"):
         io_utils.merge_sharded_values(out, "pod", 1, out_path=str(
             tmp_path / "gap.csv"
         ))

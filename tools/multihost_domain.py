@@ -81,7 +81,8 @@ def main(pid: int, nproc: int, port: int, workdir: str) -> None:
     if pid == 0:
         from hipsc_abm_tpu.utils import io as io_utils
 
-        merged = io_utils.merge_sharded_values(vals_dir, "pod", 4)
+        merged = io_utils.merge_sharded_values(vals_dir, "pod", 4,
+                                               n_shards=2 * nproc * 2)
         with open(merged) as f:
             n_rows = sum(1 for _ in f) - 1
         assert n_rows == int(dinfo.num_agents), (n_rows, int(dinfo.num_agents))
