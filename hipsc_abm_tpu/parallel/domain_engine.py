@@ -1756,11 +1756,11 @@ class DomainHipscEngine:
             meta={"domain_config": domain_config_to_meta(self.cfg)},
         )
 
-    def load_checkpoint_sharded(self, path: str) -> DomainState:
+    def load_checkpoint_sharded(self, path: str, elastic: bool = False) -> DomainState:
         from hipsc_abm_tpu.utils import checkpoint as ckpt
 
         state, meta = ckpt.load_domain_sharded(path)
-        return self._adopt_and_partition(state, meta)
+        return self._adopt_and_partition(state, meta, elastic=elastic)
 
     def write_values_sharded(
         self, dir_path: str, name: str, step: int, dstate: DomainState,
@@ -1796,23 +1796,49 @@ class DomainHipscEngine:
             written.append(path)
         return written
 
-    def load_checkpoint(self, path: str) -> DomainState:
+    def load_checkpoint(self, path: str, elastic: bool = False) -> DomainState:
         """Restore a DomainState; adopts the checkpoint's static configuration
-        (capacities, probe caps, drift allowance) so resume is bit-exact."""
+        (capacities, probe caps, drift allowance) so resume is bit-exact.
+        ``elastic=True`` instead resumes onto THIS engine's tiling (any
+        device count — the recovery path when a pod host is lost): the
+        checkpoint's base dynamics configuration is adopted, the
+        decomposition is this engine's, and the result is still bit-exact
+        because the dynamics are layout-independent (the same property the
+        domain-vs-single-chip equivalence tests pin)."""
         from hipsc_abm_tpu.utils import checkpoint as ckpt
 
         state, meta = ckpt.load_state(path)
-        return self._adopt_and_partition(state, meta)
+        return self._adopt_and_partition(state, meta, elastic=elastic)
 
-    def _adopt_and_partition(self, state: CellState, meta: dict) -> DomainState:
+    def _adopt_and_partition(
+        self, state: CellState, meta: dict, elastic: bool = False
+    ) -> DomainState:
         if "domain_config" in meta:
             cfg = domain_config_from_meta(meta["domain_config"])
-            if cfg.n_stripes != self.mesh.devices.size:
-                raise ValueError(
-                    f"checkpoint has {cfg.n_stripes} stripes; mesh has "
-                    f"{self.mesh.devices.size} devices"
+            if elastic:
+                # keep THIS engine's decomposition; adopt the checkpoint's
+                # base dynamics config (bond width K must match the saved
+                # partner matrix; spans/caps/feature gates must match the
+                # run being resumed) — but kernel-path flags stay this
+                # engine's: they are a platform choice, not dynamics
+                base = dataclasses.replace(
+                    cfg.base,
+                    use_pallas=self.cfg.base.use_pallas,
+                    pallas_interpret=self.cfg.base.pallas_interpret,
                 )
-            self.cfg = cfg
+                self.cfg = self._make_cfg(
+                    base, self.cfg.n_stripes, self.cfg.per_stripe,
+                    self.cfg.halo_cap, self.cfg.mig_cap,
+                    self.cfg.drift_allowance, n_ty=self.cfg.n_ty,
+                )
+            else:
+                if cfg.n_stripes != self.mesh.devices.size:
+                    raise ValueError(
+                        f"checkpoint has {cfg.n_stripes} stripes; mesh has "
+                        f"{self.mesh.devices.size} devices (pass "
+                        "elastic=True to re-partition onto this mesh)"
+                    )
+                self.cfg = cfg
         return self.from_cell_state(state)
 
     # -- stepping --------------------------------------------------------------

@@ -616,3 +616,42 @@ def test_sharded_values_output_matches_flat(tmp_path):
         io_utils.merge_sharded_values(out, "pod", 1, out_path=str(
             tmp_path / "gap.csv"
         ))
+
+
+@requires_multi
+def test_elastic_resume_on_different_tile_count(tmp_path):
+    """Elastic recovery (SURVEY §5.3): a sharded checkpoint written by a
+    4-tile run resumes on a 2-stripe engine (half the devices — the
+    lost-pod-host scenario) and on an 8-stripe engine (scale-up),
+    bit-exact vs the uninterrupted 4-tile run. Layout independence is what
+    makes this exact, not approximate."""
+    import os
+
+    dom, _ = make_engines(tiles=(2, 2), n=900, gata6=90, box=1500.0)
+    state = dom.init_state(seed=13)
+    for _ in range(2):
+        state, _ = dom.safe_step(state)
+    shard_dir = str(tmp_path / "elastic_shards")
+    dom.save_checkpoint_sharded(shard_dir, state)
+    for _ in range(2):
+        state, _ = dom.safe_step(state)
+    ref = by_id(dom.to_cell_state(state))
+    ref_bonds = bond_sets(dom.to_cell_state(state))
+
+    gen = GeneralParams(num_to_start=900, end_step=8, size=(1500.0, 1500.0, 0.0))
+    xp = ExperimentalParams(num_gata6=90, dox_step=2)
+    for n_stripes in (2, 8):
+        dom2 = DomainHipscEngine(gen, xp, n_stripes=n_stripes)
+        # a mismatched mesh without elastic stays a loud error
+        with pytest.raises(ValueError, match="elastic"):
+            dom2.load_checkpoint_sharded(shard_dir)
+        restored = dom2.load_checkpoint_sharded(shard_dir, elastic=True)
+        assert dom2.cfg.n_stripes == n_stripes
+        assert dom2.cfg.base.bond_cap == dom.cfg.base.bond_cap
+        for _ in range(2):
+            restored, _ = dom2.safe_step(restored)
+        got = by_id(dom2.to_cell_state(restored))
+        np.testing.assert_array_equal(ref["ids"], got["ids"])
+        for k in ref:
+            np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+        assert bond_sets(dom2.to_cell_state(restored)) == ref_bonds
