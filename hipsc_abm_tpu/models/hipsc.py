@@ -410,20 +410,51 @@ class CellSimulation(Simulation):
         state, meta = load_state(
             os.path.join(sim.main_path, f"{name}_state.npz")
         )
+        tiles_tmpl = sim.domain_tiles  # the template's CURRENT value
         if "domain_config" in meta:
             from hipsc_abm_tpu.parallel.domain_engine import (
                 domain_config_from_meta,
             )
 
             cfgd = domain_config_from_meta(meta["domain_config"])
-            sim.domain_tiles = (cfgd.n_tx, cfgd.n_ty)
-            sim.engine = sim._make_engine()
-            sim.engine.cfg = cfgd
-            sim.state = sim.engine.from_cell_state(state)
+            ckpt_tiles = (cfgd.n_tx, cfgd.n_ty)
         else:
-            sim.domain_tiles = None
+            cfgd, ckpt_tiles = None, None
+
+        if tiles_tmpl == ckpt_tiles:
+            # unchanged decomposition: adopt the checkpoint's exact static
+            # configuration (probe caps feed growth state — bit-exact)
             sim.engine = sim._make_engine()
-            sim.engine.cfg = config_from_meta(meta["engine_config"])
+            if cfgd is not None:
+                sim.engine.cfg = cfgd
+                sim.state = sim.engine.from_cell_state(state)
+            else:
+                sim.engine.cfg = config_from_meta(meta["engine_config"])
+                sim.state = state
+        elif tiles_tmpl is not None:
+            # ELASTIC resume: the template's domain_tiles changed since the
+            # checkpoint (incl. single-chip -> domain) — re-partition onto
+            # the new decomposition; bit-exact by layout independence
+            sim.engine = sim._make_engine()
+            sim.state = sim.engine._adopt_and_partition(
+                state, meta, elastic=True
+            )
+        else:
+            # domain checkpoint, domain_tiles removed: continue single-chip.
+            # engine_config carries the base dynamics config; the capacity
+            # must match the flat state's slot axis, and kernel-path flags
+            # stay this platform's
+            import dataclasses as _dcs
+
+            fresh = sim._make_engine()
+            cfg = config_from_meta(meta["engine_config"])
+            sim.engine = fresh
+            sim.engine.cfg = _dcs.replace(
+                cfg,
+                capacity=int(state.alive.shape[0]),
+                use_pallas=fresh.cfg.use_pallas,
+                pallas_interpret=fresh.cfg.pallas_interpret,
+            )
             sim.state = state
         sim.current_step = int(meta["current_step"])
         sim._sync_host()

@@ -1813,16 +1813,24 @@ class DomainHipscEngine:
     def _adopt_and_partition(
         self, state: CellState, meta: dict, elastic: bool = False
     ) -> DomainState:
-        if "domain_config" in meta:
-            cfg = domain_config_from_meta(meta["domain_config"])
-            if elastic:
-                # keep THIS engine's decomposition; adopt the checkpoint's
-                # base dynamics config (bond width K must match the saved
-                # partner matrix; spans/caps/feature gates must match the
-                # run being resumed) — but kernel-path flags stay this
-                # engine's: they are a platform choice, not dynamics
+        if elastic:
+            # keep THIS engine's decomposition; adopt the checkpoint's
+            # base dynamics config (bond width K must match the saved
+            # partner matrix; spans/caps/feature gates must match the
+            # run being resumed) — but kernel-path flags stay this
+            # engine's: they are a platform choice, not dynamics. A flat
+            # single-chip checkpoint carries the base as engine_config.
+            from hipsc_abm_tpu.engine import config_from_meta
+
+            if "domain_config" in meta:
+                base = domain_config_from_meta(meta["domain_config"]).base
+            elif "engine_config" in meta:
+                base = config_from_meta(meta["engine_config"])
+            else:
+                base = None
+            if base is not None:
                 base = dataclasses.replace(
-                    cfg.base,
+                    base,
                     use_pallas=self.cfg.base.use_pallas,
                     pallas_interpret=self.cfg.base.pallas_interpret,
                 )
@@ -1831,14 +1839,15 @@ class DomainHipscEngine:
                     self.cfg.halo_cap, self.cfg.mig_cap,
                     self.cfg.drift_allowance, n_ty=self.cfg.n_ty,
                 )
-            else:
-                if cfg.n_stripes != self.mesh.devices.size:
-                    raise ValueError(
-                        f"checkpoint has {cfg.n_stripes} stripes; mesh has "
-                        f"{self.mesh.devices.size} devices (pass "
-                        "elastic=True to re-partition onto this mesh)"
-                    )
-                self.cfg = cfg
+        elif "domain_config" in meta:
+            cfg = domain_config_from_meta(meta["domain_config"])
+            if cfg.n_stripes != self.mesh.devices.size:
+                raise ValueError(
+                    f"checkpoint has {cfg.n_stripes} stripes; mesh has "
+                    f"{self.mesh.devices.size} devices (pass "
+                    "elastic=True to re-partition onto this mesh)"
+                )
+            self.cfg = cfg
         return self.from_cell_state(state)
 
     # -- stepping --------------------------------------------------------------

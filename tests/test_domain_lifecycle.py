@@ -150,3 +150,53 @@ def test_domain_tiles_scalar_means_stripes(tmp_path, monkeypatch):
     assert sim._is_domain
     assert sim.engine.cfg.n_stripes == 2 and sim.engine.cfg.n_ty == 1
     assert sim.number_agents > 0
+
+
+@requires_multi
+def test_elastic_mode1_resume_across_decompositions(tmp_path, monkeypatch):
+    """Editing ``domain_tiles`` in general.yaml between a ``temp_pickle:
+    false`` run and its mode-1 continuation resumes ELASTICALLY (tiles ->
+    stripes, domain -> single chip, single chip -> domain) and every variant
+    stays bit-exact vs the uninterrupted run — the lost-pod-host / move-the-
+    run recovery path at the CLI surface."""
+    import yaml as _yaml
+
+    from hipsc_abm_tpu.models.hipsc import CellSimulation
+
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "outputs"
+    out.mkdir()
+    env = str(out) + os.sep
+
+    def set_general(domain_tiles, end_step):
+        write_templates(tmp_path, domain_tiles, end_step=end_step)
+        gpath = tmp_path / "templates" / "general.yaml"
+        gen = _yaml.safe_load(gpath.read_text())
+        gen["temp_pickle"] = False
+        gpath.write_text(_yaml.dump(gen))
+
+    # uninterrupted reference to step 4 (domain == single chip is already
+    # bit-exact by the equivalence suite, so one reference serves all)
+    set_general([2, 2], end_step=4)
+    ref_sim = CellSimulation.start(env, argv=["-n", "ref", "-m", "0"])
+    ref = by_id(ref_sim.engine.to_cell_state(ref_sim.state))
+
+    cases = [  # (name, tiles at mode 0, tiles at mode 1, resumed checks)
+        ("e1", [2, 2], 2, lambda s: s.engine.cfg.n_stripes == 2
+         and s.engine.cfg.n_ty == 1),
+        ("e2", [2, 2], None, lambda s: not s._is_domain),
+        ("e3", None, [2, 2], lambda s: s._is_domain
+         and s.engine.cfg.n_ty == 2),
+    ]
+    for name, tiles0, tiles1, check in cases:
+        set_general(tiles0, end_step=2)
+        CellSimulation.start(env, argv=["-n", name, "-m", "0"])
+        set_general(tiles1, end_step=2)
+        sim = CellSimulation.start(env, argv=["-n", name, "-m", "1", "-fs", "4"])
+        assert check(sim), name
+        assert sim.current_step == 4, name
+        final = sim.engine.to_cell_state(sim.state) if sim._is_domain else sim.state
+        got = by_id(final)
+        np.testing.assert_array_equal(ref["ids"], got["ids"], err_msg=name)
+        for k in ref:
+            np.testing.assert_array_equal(ref[k], got[k], err_msg=f"{name} {k}")
