@@ -423,13 +423,30 @@ class CellSimulation(Simulation):
 
         if tiles_tmpl == ckpt_tiles:
             # unchanged decomposition: adopt the checkpoint's exact static
-            # configuration (probe caps feed growth state — bit-exact)
+            # configuration (probe caps feed growth state — bit-exact),
+            # EXCEPT the kernel-path flags, which are a platform choice,
+            # not dynamics: a TPU checkpoint must resume on a CPU host
+            # (and vice versa) without compiling the wrong kernel tier
+            import dataclasses as _dcs
+
             sim.engine = sim._make_engine()
+            fresh_cfg = sim.engine.cfg
             if cfgd is not None:
-                sim.engine.cfg = cfgd
+                sim.engine.cfg = _dcs.replace(
+                    cfgd,
+                    base=_dcs.replace(
+                        cfgd.base,
+                        use_pallas=fresh_cfg.base.use_pallas,
+                        pallas_interpret=fresh_cfg.base.pallas_interpret,
+                    ),
+                )
                 sim.state = sim.engine.from_cell_state(state)
             else:
-                sim.engine.cfg = config_from_meta(meta["engine_config"])
+                sim.engine.cfg = _dcs.replace(
+                    config_from_meta(meta["engine_config"]),
+                    use_pallas=fresh_cfg.use_pallas,
+                    pallas_interpret=fresh_cfg.pallas_interpret,
+                )
                 sim.state = state
         elif tiles_tmpl is not None:
             # ELASTIC resume: the template's domain_tiles changed since the

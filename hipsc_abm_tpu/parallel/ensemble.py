@@ -117,10 +117,13 @@ class EnsembleEngine:
     def init_states(self, seeds: Sequence[int]) -> CellState:
         """Stacked initial colonies, one per seed (replicate axis first).
 
-        With a sweep configured, host-side initialization also uses each
-        replicate's swept values (the reference seeds counters from the
-        thresholds, ``cell_simulation.py:136-149``), and ``len(seeds)`` must
-        match the sweep length.
+        With a sweep configured, ``len(seeds)`` must match the sweep length,
+        and host-side initialization runs with each replicate's swept values
+        substituted in. Today that substitution is pure future-proofing: no
+        current ``SWEEPABLE`` entry is consumed by ``init_state`` (it seeds
+        counters from the *division/death thresholds*, which are not
+        sweepable) — but if ``SWEEPABLE`` ever gains such a field, per-
+        replicate initialization is already correct.
         """
         if self.n_replicates is not None and len(seeds) != self.n_replicates:
             raise ValueError(

@@ -156,6 +156,14 @@ def save_domain_sharded(path: str, dstate, meta: dict | None = None) -> None:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(path, "manifest.json"))
+    if jax.process_count() > 1:
+        # ... and "save returned" must imply "checkpoint loadable": without
+        # this second barrier a non-coordinator can return (and e.g.
+        # immediately reload, or report success right before process 0
+        # crashes) while the manifest is still unpublished
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("save_domain_sharded_manifest")
 
 
 def load_domain_sharded(path: str) -> Tuple[CellState, dict]:

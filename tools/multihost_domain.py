@@ -76,13 +76,13 @@ def main(pid: int, nproc: int, port: int, workdir: str) -> None:
     # pod-style value-CSV output: per-tile shards from addressable data only
     vals_dir = os.path.join(workdir, "vals")
     written = dom.write_values_sharded(vals_dir, "pod", 4, dstate)
-    assert len(written) == (2 * nproc * 2) // nproc  # this process's tiles
+    assert len(written) == dom.cfg.n_stripes // nproc  # this process's tiles
     multihost_utils.sync_global_devices("checkpoint written")
     if pid == 0:
         from hipsc_abm_tpu.utils import io as io_utils
 
         merged = io_utils.merge_sharded_values(vals_dir, "pod", 4,
-                                               n_shards=2 * nproc * 2)
+                                               n_shards=dom.cfg.n_stripes)
         with open(merged) as f:
             n_rows = sum(1 for _ in f) - 1
         assert n_rows == int(dinfo.num_agents), (n_rows, int(dinfo.num_agents))
