@@ -155,6 +155,34 @@ def trajectory_squared_error(statistic: Callable[[CellState], jnp.ndarray],
     return TrajectoryLoss(statistic, loss)
 
 
+@dataclasses.dataclass(frozen=True)
+class EnsembleLoss:
+    """Loss on the replicate-AVERAGED statistic (method of moments).
+
+    With a stacked-replicate state, a plain ``loss_fn`` is applied per
+    replicate and the losses are averaged — correct when each replicate has
+    its own target, but against one scalar observation it bottoms out at
+    the across-replicate variance of the statistic, drowning the parameter
+    signal. ``EnsembleLoss`` instead averages ``statistic`` over the
+    replicates first and applies ``loss`` to the mean, which is exactly
+    zero at a perfect fit. On a flat (single-colony) state it degenerates
+    to ``loss(statistic(final))``."""
+
+    statistic: Callable[[CellState], jnp.ndarray]
+    loss: Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def ensemble_squared_error(statistic: Callable[[CellState], jnp.ndarray],
+                           target) -> EnsembleLoss:
+    """``(mean over replicates of statistic(final) - target)**2``."""
+    target = jnp.asarray(target)
+
+    def loss(mean_stat: jnp.ndarray) -> jnp.ndarray:
+        return jnp.sum((mean_stat - target) ** 2)
+
+    return EnsembleLoss(statistic, loss)
+
+
 @dataclasses.dataclass
 class FitResult:
     """Outcome of a calibration run."""
@@ -183,6 +211,14 @@ class Calibrator:
     current parameter values are the initial iterate. The wrapped engine's
     config is shared and may grow (capacity probes) during fitting, exactly
     like ``safe_step``.
+
+    ``state`` may also be a STACKED ensemble of replicates
+    (``EnsembleEngine.init_states``): the vmapped rollouts compile as one
+    program and the fit minimizes the replicate-averaged objective — the
+    mean of per-replicate losses for a plain ``loss_fn``, or, with an
+    :class:`EnsembleLoss` (:func:`ensemble_squared_error`), the loss on
+    the replicate-MEAN statistic, which removes the across-replicate
+    variance floor a scalar target otherwise hits.
     """
 
     def __init__(self, engine: HipscEngine, param_names: Sequence[str],
@@ -213,6 +249,7 @@ class Calibrator:
         self.horizon = int(horizon)
         self.remat = bool(remat)
         self._compiled: dict = {}
+        self._ens = None  # lazy EnsembleEngine for stacked-replicate fits
 
     # -- parameter-space plumbing -------------------------------------------
 
@@ -244,6 +281,29 @@ class Calibrator:
     # -- rollout --------------------------------------------------------------
 
     def _rollout(self, theta, state: CellState, cfg: EngineConfig):
+        """Rollout loss; a stacked state (leading replicate axis, as built
+        by ``EnsembleEngine.init_states``) fits the REPLICATE-AVERAGED loss
+        — the statistically right objective for a stochastic model (each
+        replicate contributes its own RNG stream; averaging shrinks the
+        estimator variance of the observed statistic)."""
+        if state.alive.ndim == 2:  # (R, C): stacked replicates
+            outs, infos = jax.vmap(
+                lambda s: self._rollout_single(theta, s, cfg)
+            )(state)
+            info_max = StepInfo(*(jnp.max(f, axis=0) for f in infos))
+            if isinstance(self.loss_fn, EnsembleLoss):
+                # method of moments: loss on the replicate-mean statistic
+                return self.loss_fn.loss(jnp.mean(outs, axis=0)), info_max
+            return jnp.mean(outs), info_max
+        out, info = self._rollout_single(theta, state, cfg)
+        if isinstance(self.loss_fn, EnsembleLoss):
+            out = self.loss_fn.loss(out)
+        return out, info
+
+    def _rollout_single(self, theta, state: CellState, cfg: EngineConfig):
+        """Returns (loss, info) — except under an :class:`EnsembleLoss`,
+        where it returns (statistic, info) so the caller can aggregate
+        across replicates before applying the loss."""
         eng = self.engine
         bio = self._bio_with(theta)
         traj = isinstance(self.loss_fn, TrajectoryLoss)
@@ -261,8 +321,13 @@ class Calibrator:
             body, state, None, length=self.horizon
         )
         info_max = StepInfo(*(jnp.max(f, axis=0) for f in infos))
-        loss = self.loss_fn.loss(stats) if traj else self.loss_fn(final)
-        return loss, info_max
+        if traj:
+            out = self.loss_fn.loss(stats)
+        elif isinstance(self.loss_fn, EnsembleLoss):
+            out = self.loss_fn.statistic(final)  # aggregated by the caller
+        else:
+            out = self.loss_fn(final)
+        return out, info_max
 
     def _fns(self, cfg: EngineConfig):
         key = (cfg, self.engine.gen, self.engine.xp, self.engine.diff)
@@ -287,6 +352,10 @@ class Calibrator:
         if grown is None:
             return state, False
         eng.cfg = grown
+        if state.alive.ndim == 2:
+            from hipsc_abm_tpu.parallel.ensemble import EnsembleEngine
+
+            return EnsembleEngine.repad_states(state, grown), True
         return HipscEngine.repad_state(state, grown), True
 
     @staticmethod
@@ -300,6 +369,18 @@ class Calibrator:
         compilation of the fit rollout (mid-fit growth still works — this
         just avoids paying extra rollout compiles for predictable growth)."""
         eng = self.engine
+        if state.alive.ndim == 2:  # stacked replicates: probe via ensemble
+            from hipsc_abm_tpu.parallel.ensemble import EnsembleEngine
+
+            if self._ens is None:
+                self._ens = EnsembleEngine(eng)
+            ens = self._ens
+            probe = state
+            for _ in range(self.horizon):
+                probe, _ = ens.safe_step(probe)
+            if eng.cfg.capacity != state.alive.shape[1]:
+                state = EnsembleEngine.repad_states(state, eng.cfg)
+            return state
         probe = state
         for _ in range(self.horizon):
             probe, _ = eng.safe_step(probe)

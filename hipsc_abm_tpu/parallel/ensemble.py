@@ -6,8 +6,11 @@ means launching R sequential runs. Here ``engine.hipsc_step`` is a pure
 function of the state PyTree, so R replicates stack along a leading axis
 and run under ``jax.vmap`` as one compiled program: one dispatch, one
 neighbor grid build per replicate fused into the same XLA module, and at
-reference colony sizes (5k cells) far better accelerator utilization than
-any single colony can reach.
+reference colony sizes (5k cells) far better accelerator-lane utilization
+than any single colony can reach. (An accelerator claim specifically:
+on the XLA CPU backend, which already multithreads one colony across all
+cores, the batched step measures SLOWER than sequential replicates —
+``tools/bench_ensemble.py``, BENCHMARKS.md "Ensemble A/B".)
 
 Replicates are embarrassingly parallel, which also makes this the
 data-parallel axis for a device mesh: ``shard_states`` places the

@@ -126,6 +126,38 @@ def test_es_fit_moves_discrete_probability():
     assert 0.05 < res.params["GATA6_prob"] < 0.7, res.params
 
 
+def test_replicate_averaged_fit():
+    """A stacked ensemble of replicates fits the loss on the replicate-MEAN
+    statistic (EnsembleLoss / method of moments) and recovers the planted
+    parameter. A plain per-replicate loss against one scalar target would
+    bottom out at the across-replicate variance instead — the reason
+    EnsembleLoss exists."""
+    from hipsc_abm_tpu.calibrate import ensemble_squared_error
+    from hipsc_abm_tpu.parallel.ensemble import EnsembleEngine
+
+    true_adh = 3.0e-4
+    eng_t = HipscEngine(GEN, XP, use_pallas=False)
+    eng_t.bio = dataclasses.replace(eng_t.bio, adhesion_const=true_adh)
+    ens_t = EnsembleEngine(eng_t)
+    st = ens_t.init_states(seeds=[0, 1, 2])
+    for _ in range(3):
+        st, _ = ens_t.safe_step(st)
+    target = float(np.mean([
+        float(radius_of_gyration(EnsembleEngine.replicate(st, i)))
+        for i in range(3)
+    ]))
+
+    eng = HipscEngine(GEN, XP, use_pallas=False)
+    cal = Calibrator(eng, ["adhesion_const"],
+                     ensemble_squared_error(radius_of_gyration, target),
+                     horizon=3)
+    states = EnsembleEngine(eng).init_states(seeds=[0, 1, 2])
+    res = cal.fit(states, iters=20, learning_rate=0.15)
+    assert res.best_loss < 5e-2 * res.loss_history[0], res.loss_history
+    fitted = res.params["adhesion_const"]
+    assert abs(fitted - true_adh) < 0.35 * true_adh, fitted
+
+
 def test_rejects_unknown_and_gated_and_nondifferentiable_names():
     eng, state = _settled_engine()
     with pytest.raises(ValueError, match="not calibratable"):
