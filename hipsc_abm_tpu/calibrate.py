@@ -330,7 +330,10 @@ class Calibrator:
         return out, info_max
 
     def _fns(self, cfg: EngineConfig):
-        key = (cfg, self.engine.gen, self.engine.xp, self.engine.diff)
+        # key includes bio: the NON-calibrated fields are baked into the
+        # trace by _bio_with (same contract as HipscEngine._step_fn)
+        key = (cfg, self.engine.gen, self.engine.xp, self.engine.bio,
+               self.engine.diff)
         if key not in self._compiled:
             vg = jax.jit(
                 jax.value_and_grad(
@@ -363,30 +366,74 @@ class Calibrator:
         return StepInfo(*(np.max(np.asarray(f))
                           for f in jax.device_get(tuple(info))))
 
+    def _eval_with_growth(self, which: int, theta_or_cands, state: CellState):
+        """Evaluate the compiled rollout (``which``: 0 = value_and_grad,
+        1 = population), growing the shared config and re-padding on any
+        tripped overflow probe — one copy of the retry policy shared by
+        ``fit`` and ``fit_es``. Returns ``(result, state)``."""
+        for _attempt in range(8):
+            fn = self._fns(self.engine.cfg)[which]
+            result = fn(theta_or_cands, state)
+            info_host = self._host_info(
+                result[0][1] if which == 0 else result[1]
+            )
+            if int(info_host.max_id) >= (1 << 24) - 1:
+                raise RuntimeError(
+                    "agent id space exhausted (2^24 agents ever created)"
+                )
+            state, grew = self._grow(state, info_host)
+            if not grew:
+                return result, state
+        raise RuntimeError("capacity growth failed to converge")
+
+    def _reconcile(self, state: CellState) -> CellState:
+        """Make the engine config and the state's static shapes agree in
+        BOTH directions: a state from a grown run widens the config
+        (capacity / bond width adopted, like the engines' ``_cfg_for_state``);
+        a config grown past the state re-pads the state. The fit rollout
+        then always traces with matching carry shapes."""
+        eng = self.engine
+        cfg = eng.cfg
+        cap = int(state.alive.shape[-1])
+        bond_k = int(state.bonds.partners.shape[-1])
+        if cap > cfg.capacity or bond_k > cfg.bond_cap:
+            new_cap = max(cap, cfg.capacity)
+            cfg = dataclasses.replace(
+                cfg, capacity=new_cap, bond_cap=max(bond_k, cfg.bond_cap),
+                jkr_span=min(cfg.jkr_span, new_cap),
+                nbr_span=min(cfg.nbr_span, new_cap),
+            )
+            eng.cfg = cfg
+        if cfg.capacity != cap or cfg.bond_cap != bond_k:
+            if state.alive.ndim == 2:
+                from hipsc_abm_tpu.parallel.ensemble import EnsembleEngine
+
+                state = EnsembleEngine.repad_states(state, cfg)
+            else:
+                state = HipscEngine.repad_state(state, cfg)
+        return state
+
     def prepare(self, state: CellState) -> CellState:
         """Growth preflight: run the horizon once through ``safe_step`` with
         the engine's nominal parameters so the shared config settles before
         compilation of the fit rollout (mid-fit growth still works — this
         just avoids paying extra rollout compiles for predictable growth)."""
         eng = self.engine
+        state = self._reconcile(state)
         if state.alive.ndim == 2:  # stacked replicates: probe via ensemble
             from hipsc_abm_tpu.parallel.ensemble import EnsembleEngine
 
             if self._ens is None:
                 self._ens = EnsembleEngine(eng)
-            ens = self._ens
             probe = state
             for _ in range(self.horizon):
-                probe, _ = ens.safe_step(probe)
-            if eng.cfg.capacity != state.alive.shape[1]:
-                state = EnsembleEngine.repad_states(state, eng.cfg)
-            return state
-        probe = state
-        for _ in range(self.horizon):
-            probe, _ = eng.safe_step(probe)
-        if eng.cfg.capacity != state.alive.shape[0]:
-            state = HipscEngine.repad_state(state, eng.cfg)
-        return state
+                probe, _ = self._ens.safe_step(probe)
+        else:
+            probe = state
+            for _ in range(self.horizon):
+                probe, _ = eng.safe_step(probe)
+        # the probe may have committed capacity OR bond-cap growth
+        return self._reconcile(state)
 
     # -- gradient fitting -------------------------------------------------------
 
@@ -414,15 +461,8 @@ class Calibrator:
         best = (float("inf"), theta)
         n_evals = 0
         for _ in range(iters):
-            for _attempt in range(8):
-                vg, _ = self._fns(self.engine.cfg)
-                (loss, info), grad = vg(theta, state)
-                n_evals += 1
-                state, grew = self._grow(state, self._host_info(info))
-                if not grew:
-                    break
-            else:
-                raise RuntimeError("capacity growth failed to converge")
+            ((loss, _), grad), state = self._eval_with_growth(0, theta, state)
+            n_evals += 1
             history.append(float(loss))
             if history[-1] < best[0]:
                 best = (history[-1], theta)
@@ -463,15 +503,8 @@ class Calibrator:
                                     dtype=theta.dtype)
             eps = jnp.concatenate([eps, -eps], axis=0)
             cands = theta[None, :] + sigma * eps
-            for _attempt in range(8):
-                _, pop = self._fns(self.engine.cfg)
-                losses, infos = pop(cands, state)
-                n_evals += popsize
-                state, grew = self._grow(state, self._host_info(infos))
-                if not grew:
-                    break
-            else:
-                raise RuntimeError("capacity growth failed to converge")
+            (losses, _), state = self._eval_with_growth(1, cands, state)
+            n_evals += popsize
             losses = np.asarray(jax.device_get(losses), dtype=np.float64)
             history.append(float(losses.mean()))
             if history[-1] < best[0]:

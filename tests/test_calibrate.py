@@ -207,14 +207,58 @@ def test_sharded_replicate_fit_matches_unsharded():
 
 
 def test_nan_guards_do_not_change_the_primal():
-    """The safe-sqrt/pow/div rewrites must leave the forward pass
-    bit-identical: the same seed stepped through the engine twice (jit cache
-    cleared in between) and through a fresh process-equivalent trace agree
-    exactly, and the rollout loss is deterministic."""
-    eng, state = _settled_engine()
-    s1, _ = eng.step(state)
-    s2, _ = eng.step(state)
-    np.testing.assert_array_equal(
-        np.asarray(s1.arrays["locations"]), np.asarray(s2.arrays["locations"])
-    )
-    assert bool(jnp.all(jnp.isfinite(s1.arrays["locations"])))
+    """The guarded sqrt/pow/div in ``ops/jkr._pair_jkr`` must be
+    bit-identical to the direct (unguarded) formulation on every
+    NON-degenerate pair, while staying finite — in value AND gradient — on
+    the degenerate pairs (mag = 0 self-pairs, r_hat = 0 padded slots) that
+    made the unguarded version NaN under reverse-mode AD."""
+    import math
+
+    from hipsc_abm_tpu.ops.jkr import _pair_jkr
+
+    bio = HipscEngine(GEN, XP, use_pallas=False).bio
+    adh, poi, yng, brk = (bio.adhesion_const, bio.poisson, bio.youngs,
+                          bio.jkr_break_d)
+
+    def unguarded(loc_i, loc_j, rad_i, rad_j):
+        vector = loc_i - loc_j
+        mag = jnp.sqrt(jnp.sum(vector * vector, axis=-1))
+        overlap = (rad_i + rad_j - mag) / 1e6
+        e_hat = 1.0 / (2.0 * (1.0 - poi**2) / yng)
+        r_hat = (rad_i * rad_j) / (1e6 * jnp.maximum(rad_i + rad_j, 1e-12))
+        overlap_ = ((math.pi * adh) / e_hat) ** (2 / 3) * r_hat ** (1 / 3)
+        d = overlap / jnp.maximum(overlap_, 1e-30)
+        alive = d > brk
+        f = ((-0.0204 * d + 0.4942) * d + 1.0801) * d - 1.324
+        jkr = f * math.pi * adh * r_hat
+        safe_mag = jnp.where(mag > 0, mag, 1.0)
+        normal = jnp.where((mag > 0)[..., None], vector / safe_mag[..., None], 0.0)
+        return jnp.where(alive[..., None], jkr[..., None] * normal, 0.0), alive
+
+    rng = np.random.default_rng(0)
+    loc_i = jnp.asarray(rng.uniform(0, 100, (64, 3)), jnp.float32)
+    loc_j = jnp.asarray(loc_i + rng.uniform(-9, 9, (64, 3)), jnp.float32)
+    rad_i = jnp.asarray(rng.uniform(3.5, 5.0, 64), jnp.float32)
+    rad_j = jnp.asarray(rng.uniform(3.5, 5.0, 64), jnp.float32)
+
+    got, alive_g = _pair_jkr(loc_i, loc_j, rad_i, rad_j, adh, poi, yng, brk)
+    want, alive_w = unguarded(loc_i, loc_j, rad_i, rad_j)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(alive_g), np.asarray(alive_w))
+
+    # degenerate pairs: self (mag=0) and padded (rad=0) slots
+    z = jnp.zeros((2, 3), jnp.float32)
+    dl_i = jnp.asarray([[10.0, 10.0, 0.0], [10.0, 10.0, 0.0]], jnp.float32)
+    dl_j = jnp.stack([dl_i[0], z[0]])  # self-pair; garbage-at-origin pair
+    dr_i = jnp.asarray([4.0, 4.0], jnp.float32)
+    dr_j = jnp.asarray([4.0, 0.0], jnp.float32)  # second partner is padded
+
+    def total_force(params):
+        a, s = params
+        f, _ = _pair_jkr(dl_i, dl_j, dr_i, dr_j, a, poi, yng, brk)
+        return jnp.sum(f * s)
+
+    val, grads = jax.value_and_grad(total_force)((jnp.float32(adh),
+                                                  jnp.float32(1.0)))
+    assert bool(jnp.isfinite(val))
+    assert all(bool(jnp.isfinite(g)) for g in grads), grads

@@ -51,7 +51,13 @@ def main(R=16, steps=6):
     # --- sequential path ------------------------------------------------------
     solo = HipscEngine(gen, xp, use_pallas=False)
     solo_states = [solo.init_state(seed=s) for s in range(R)]
-    solo_states[0], _ = solo.safe_step(solo_states[0])  # warmup compile
+    # warm up EVERY replicate: the first pass settles any capacity/cap
+    # growth (which changes the compiled shape), the repad pass brings all
+    # replicates to the settled config so the timed loop never compiles
+    for i in range(R):
+        solo_states[i], _ = solo.safe_step(solo_states[i])
+    solo_states = [HipscEngine.repad_state(s, solo.cfg) for s in solo_states]
+    solo_states[0], _ = solo.step(solo_states[0])  # compile the settled shape
     force(solo_states[0])
     t0 = time.perf_counter()
     for _ in range(steps):
