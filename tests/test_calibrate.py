@@ -158,6 +158,53 @@ def test_replicate_averaged_fit():
     assert abs(fitted - true_adh) < 0.35 * true_adh, fitted
 
 
+def test_es_on_stacked_replicates_compiles_and_improves():
+    """fit_es over a stacked replicate state: the population vmap nests
+    over the inner replicate vmap (popsize x R rollouts in one program)."""
+    from hipsc_abm_tpu.calibrate import ensemble_squared_error
+    from hipsc_abm_tpu.parallel.ensemble import EnsembleEngine
+
+    eng, _ = _settled_engine(enable_stochastic=True)
+    eng_t, st = _settled_engine(enable_stochastic=True)
+    eng_t.bio = dataclasses.replace(eng_t.bio, GATA6_prob=0.3)
+    for _ in range(2):
+        st, _ = eng_t.safe_step(st)
+    target = float(gata6_high_fraction(st))
+
+    cal = Calibrator(eng, ["GATA6_prob"],
+                     ensemble_squared_error(gata6_high_fraction, target),
+                     horizon=2)
+    states = EnsembleEngine(eng).init_states(seeds=[0, 1])
+    res = cal.fit_es(states, iters=4, popsize=4, sigma=0.3,
+                     learning_rate=0.3, seed=1)
+    assert len(res.loss_history) == 4
+    assert all(np.isfinite(res.loss_history))
+    assert res.best_loss <= res.loss_history[0]
+
+
+def test_gradient_finite_through_full_model_with_diffusion():
+    """Reverse-mode AD stays finite through the COMPLETE step: morphogen
+    FTCS subcycles, 4-point secretion/uptake deposits, and the
+    field->pathway coupling, on top of the physics."""
+    from hipsc_abm_tpu.models.params import DiffusionParams
+
+    diff = DiffusionParams(spat_res=20.0, diffuse_dt=6.0, diffuse_const=2.0,
+                           max_concentration=2.0, degradation=0.1,
+                           release_amount=0.01, uptake_amount=0.002,
+                           field_coupling=True)
+    eng = HipscEngine(GEN, XP, diff=diff, enable_diffusion=True,
+                      use_pallas=False)
+    state = eng.init_state(seed=0)
+    state, _ = eng.safe_step(state)
+
+    cal = Calibrator(eng, ["adhesion_const", "stokes"],
+                     squared_error(radius_of_gyration, 100.0), horizon=2)
+    theta = cal.theta0()
+    (loss, _), grad = cal._fns(eng.cfg)[0](theta, state)
+    assert bool(jnp.isfinite(loss))
+    assert bool(jnp.all(jnp.isfinite(grad))), grad
+
+
 def test_rejects_unknown_and_gated_and_nondifferentiable_names():
     eng, state = _settled_engine()
     with pytest.raises(ValueError, match="not calibratable"):
