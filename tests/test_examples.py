@@ -87,3 +87,16 @@ def test_spheroid_3d_example(tmp_path):
     assert (locs >= 0.0).all() and (locs <= mod.BOX).all()
     assert (out / "spheroid_xy.png").is_file()
     assert (out / "spheroid_xz.png").is_file()
+
+
+def test_replicate_study_example(tmp_path):
+    mod = _load("example_replicate_study", "replicate_study.py")
+    out_csv = tmp_path / "study.csv"
+    rows = mod.main(R=3, steps=2, out_path=str(out_csv))
+    assert len(rows) == 2
+    header = out_csv.read_text().splitlines()
+    assert header[0].startswith("step,n_mean,n_sd")
+    assert len(header) == 3
+    # populations stay plausible and the stats are finite
+    for row in rows:
+        assert row[1] > 0 and np.isfinite(row[3]) and 0.0 <= row[5] <= 1.0
