@@ -191,7 +191,8 @@ class FitResult:
     theta: np.ndarray  # best values in the unconstrained space (optimizers
     # overshoot; the lowest-loss iterate seen is the fit, not the last one)
     loss_history: List[float]  # loss at each iterate (gradient: per step;
-    # ES: population mean per generation)
+    # ES: population mean per generation, plus one final entry — the
+    # unperturbed loss of the returned parameters)
     n_evaluations: int  # rollouts executed (ES counts the population)
 
     @property
@@ -520,5 +521,16 @@ class Calibrator:
             )
             updates, opt_state = opt.update(g_est, opt_state, theta)
             theta = optax.apply_updates(theta, updates)
-        return FitResult(self.params(best[1]), np.asarray(best[1]), history,
+        # the loop only ever measured PERTURBED populations (a proxy);
+        # evaluate the final and proxy-best iterates unperturbed and return
+        # the verified winner (appended to the history)
+        cands = jnp.stack([theta, best[1]])
+        (final_losses, _), state = self._eval_with_growth(1, cands, state)
+        n_evals += 2
+        final_losses = np.asarray(jax.device_get(final_losses),
+                                  dtype=np.float64)
+        pick = int(np.argmin(final_losses))
+        chosen = [theta, best[1]][pick]
+        history.append(float(final_losses[pick]))
+        return FitResult(self.params(chosen), np.asarray(chosen), history,
                          n_evals)

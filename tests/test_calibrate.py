@@ -177,7 +177,8 @@ def test_es_on_stacked_replicates_compiles_and_improves():
     states = EnsembleEngine(eng).init_states(seeds=[0, 1])
     res = cal.fit_es(states, iters=4, popsize=4, sigma=0.3,
                      learning_rate=0.3, seed=1)
-    assert len(res.loss_history) == 4
+    # 4 generations + the final unperturbed verification evaluation
+    assert len(res.loss_history) == 5
     assert all(np.isfinite(res.loss_history))
     assert res.best_loss <= res.loss_history[0]
 
