@@ -130,3 +130,35 @@ def test_compiled_ftcs_kernel_matches_xla():
     a = np.asarray(ftcs_diffuse(g, jnp.asarray(dts), 2.0, 400.0, 2.0, 0.1))
     b = np.asarray(ftcs_diffuse_pallas(g, dts, 2.0, 400.0, 2.0, 0.1))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+@requires_tpu
+def test_rollout_gradient_finite_on_tpu():
+    """Reverse-mode AD through a 2-step rollout on the REAL chip: the
+    NaN-guarded physics (ops/jkr, ops/integrate, models/biology) must stay
+    finite under the TPU backend's compiled gradients, and the gradient
+    fit surface (calibrate.Calibrator) must run end-to-end."""
+    from hipsc_abm_tpu.calibrate import (
+        Calibrator,
+        radius_of_gyration,
+        squared_error,
+    )
+    from hipsc_abm_tpu.engine import HipscEngine
+    from hipsc_abm_tpu.models.params import ExperimentalParams, GeneralParams
+
+    gen = GeneralParams(num_to_start=900, end_step=3,
+                        size=(800.0, 800.0, 0.0))
+    xp = ExperimentalParams(num_gata6=90, dox_step=1)
+    eng = HipscEngine(gen, xp, use_pallas=False)  # calibration's XLA path
+    state = eng.init_state(seed=0)
+    state, _ = eng.safe_step(state)
+
+    cal = Calibrator(eng, ["adhesion_const", "motility_force"],
+                     squared_error(radius_of_gyration, 200.0), horizon=2)
+    theta = cal.theta0()
+    (loss, _), grad = cal._fns(eng.cfg)[0](theta, state)
+    assert bool(jnp.isfinite(loss))
+    assert bool(jnp.all(jnp.isfinite(grad))), np.asarray(grad)
+    res = cal.fit(state, iters=2, learning_rate=0.05)
+    assert len(res.loss_history) == 2
+    assert all(np.isfinite(res.loss_history))
