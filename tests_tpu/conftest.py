@@ -7,9 +7,31 @@ environment with a TPU attached (the bench environment); the tests skip
 cleanly anywhere else.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_tpu")
+
+# A wedged tunneled-TPU backend hangs the first jax op forever — including
+# the module-level ``jax.default_backend()`` in the test files' skip
+# markers, i.e. pytest COLLECTION itself. Probe the backend boundedly in a
+# throwaway subprocess (conftest imports before any test module); if it
+# never answers, pin the CPU platform while no backend is initialized so
+# the whole suite skips cleanly instead of hanging.
+try:
+    from bench import _wait_for_backend
+except Exception:  # bench.py needs the repo root on sys.path
+    _wait_for_backend = None
+if _wait_for_backend is not None and not _wait_for_backend(
+    float(os.environ.get("HIPSC_HW_BACKEND_WAIT_S", "120"))
+):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        print("tests_tpu: accelerator unreachable — suite will skip "
+              "(backend pinned to cpu)")
+    except RuntimeError:
+        pass
 
 import numpy as np
 import pytest
