@@ -200,3 +200,65 @@ def test_elastic_mode1_resume_across_decompositions(tmp_path, monkeypatch):
         np.testing.assert_array_equal(ref["ids"], got["ids"], err_msg=name)
         for k in ref:
             np.testing.assert_array_equal(ref[k], got[k], err_msg=f"{name} {k}")
+
+
+@requires_multi
+def test_elastic_chain_multi_hop_bit_exact(tmp_path):
+    """A run checkpointed and elastically resumed across FOUR different
+    decompositions — (2,2) tiles -> (4,2) tiles -> single chip -> (2,2)
+    tiles — is bit-exact against the uninterrupted single-chip run.
+    Elasticity composes: any checkpoint resumes anywhere, repeatedly."""
+    import dataclasses
+
+    from hipsc_abm_tpu.engine import HipscEngine, config_to_meta
+    from hipsc_abm_tpu.models.params import ExperimentalParams, GeneralParams
+    from hipsc_abm_tpu.parallel.domain_engine import (
+        DomainHipscEngine,
+        domain_config_from_meta,
+    )
+    from hipsc_abm_tpu.utils.checkpoint import load_state, save_state
+
+    gen = GeneralParams(num_to_start=900, end_step=12,
+                        size=(1500.0, 1500.0, 0.0))
+    xp = ExperimentalParams(num_gata6=90, dox_step=2)
+
+    dom0 = DomainHipscEngine(gen, xp, tiles=(2, 2), use_pallas=False)
+    ref = HipscEngine(gen, xp, cfg=dom0.cfg.base, use_pallas=False)
+    ref.cfg = dom0.cfg.base
+    rstate = ref.init_state(seed=9)
+    for _ in range(12):
+        rstate, rinfo = ref.safe_step(rstate)
+
+    d = dom0.init_state(seed=9)
+    for _ in range(3):
+        d, _ = dom0.safe_step(d)
+    dom0.save_checkpoint(str(tmp_path / "ck1"), d)
+
+    dom1 = DomainHipscEngine(gen, xp, tiles=(4, 2), use_pallas=False)
+    d = dom1.load_checkpoint(str(tmp_path / "ck1"), elastic=True)
+    for _ in range(3):
+        d, _ = dom1.safe_step(d)
+    dom1.save_checkpoint(str(tmp_path / "ck2"), d)
+
+    flat, meta = load_state(str(tmp_path / "ck2"))
+    cfg = domain_config_from_meta(meta["domain_config"]).base
+    single = HipscEngine(gen, xp, cfg=cfg, use_pallas=False)
+    single.cfg = dataclasses.replace(cfg, capacity=int(flat.alive.shape[0]))
+    s = flat
+    for _ in range(3):
+        s, _ = single.safe_step(s)
+    save_state(str(tmp_path / "ck3"), s,
+               meta={"engine_config": config_to_meta(single.cfg)})
+
+    dom2 = DomainHipscEngine(gen, xp, tiles=(2, 2), use_pallas=False)
+    d = dom2.load_checkpoint(str(tmp_path / "ck3"), elastic=True)
+    for _ in range(3):
+        d, dinfo = dom2.safe_step(d)
+
+    assert int(rinfo.num_agents) == int(dinfo.num_agents)
+    a = by_id(rstate)
+    b = by_id(dom2.to_cell_state(d))
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    np.testing.assert_array_equal(a["locations"], b["locations"])
+    for k in ("GATA6", "NANOG", "states", "div_counters", "death_counters"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
