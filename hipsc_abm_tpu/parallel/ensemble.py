@@ -71,12 +71,24 @@ from hipsc_abm_tpu.engine import (
 #   xp.lonely_thresh:   biology.cell_death    `nbr_count < lonely_thresh`
 #   bio.GATA6_prob:     biology.cell_stochastic_update  Bernoulli threshold
 #   bio.NANOG_prob:     biology.cell_stochastic_update  Bernoulli threshold
+# and the five continuous physics parameters (the same traced-dataclass
+# treatment calibrate.py differentiates through; consumption sites in
+# calibrate.DIFFERENTIABLE's comment) — this is the dose-response study
+# surface: e.g. sweep adhesion_const across replicates in ONE compile.
+# NOTE: static window sizing (bond-band support, engine.py:190-193) is
+# derived from the BASE parameter values; sweep the force law around the
+# base, not orders of magnitude past it, or re-base the engine.
 # Each entry maps name -> which params object it lives on.
 SWEEPABLE: Dict[str, str] = {
     "dox_step": "xp",
     "lonely_thresh": "xp",
     "GATA6_prob": "bio",
     "NANOG_prob": "bio",
+    "adhesion_const": "bio",
+    "poisson": "bio",
+    "youngs": "bio",
+    "stokes": "bio",
+    "motility_force": "bio",
 }
 
 

@@ -177,3 +177,58 @@ def test_sweep_rejects_trace_time_parameters():
     with pytest.raises(ValueError, match="share one length"):
         EnsembleEngine(make_engine(),
                        sweep={"dox_step": [1, 2], "lonely_thresh": [2]})
+
+
+def test_physics_parameter_sweep_matches_solo():
+    """The continuous physics parameters are sweepable too (the traced-
+    dataclass treatment calibrate.py relies on): an adhesion/motility
+    dose-response sweep reproduces each point's solo run — ints bit-exact,
+    floats to f32 rounding (a solo engine constant-folds the python-float
+    parameter at compile time; the sweep computes with a traced f32
+    scalar, so position arithmetic rounds differently by a few ulp)."""
+    sweep = {"adhesion_const": [0.000107, 0.0003, 0.00005],
+             "motility_force": [2e-9, 2e-9, 8e-9]}
+    seeds = [5, 5, 5]
+    ens = EnsembleEngine(make_engine(), sweep=sweep)
+    states = ens.init_states(seeds)
+
+    solos = []
+    for i in range(3):
+        eng = make_engine()
+        eng.bio = dataclasses.replace(
+            eng.bio, adhesion_const=sweep["adhesion_const"][i],
+            motility_force=sweep["motility_force"][i],
+        )
+        s = eng.init_state(seed=5)
+        eng.cfg = ens.engine.cfg
+        solos.append((eng, s))
+
+    for _ in range(3):
+        states, _ = ens.safe_step(states)
+        for i, (eng, s) in enumerate(solos):
+            s, _ = eng.safe_step(s)
+            solos[i] = (eng, s)
+
+    # the dose actually matters: high-adhesion and high-motility replicates
+    # must diverge from the base replicate (by far more than f32 rounding)
+    i0, t0 = rows_by_id(EnsembleEngine.replicate(states, 0))
+    i1, t1 = rows_by_id(EnsembleEngine.replicate(states, 1))
+    assert len(i0) != len(i1) or np.abs(t0 - t1).max() > 1e-2
+
+    for i, (eng, s) in enumerate(solos):
+        rep = EnsembleEngine.replicate(states, i)
+        ia, ta = rows_by_id(rep)
+        ib, tb = rows_by_id(s)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_allclose(ta, tb, rtol=1e-5, atol=1e-4)
+        # discrete state (fates, counters) must be IDENTICAL — compare the
+        # int lanes of the id-sorted table exactly
+        int_cols = []
+        col = 0
+        for name in sorted(rep.arrays):
+            a = np.asarray(rep.arrays[name])
+            width = 1 if a.ndim == 1 else a.shape[1]
+            if a.dtype.kind == "i" and name != "ids":
+                int_cols.extend(range(col, col + width))
+            col += width
+        np.testing.assert_array_equal(ta[:, int_cols], tb[:, int_cols])
