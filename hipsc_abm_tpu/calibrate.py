@@ -247,6 +247,8 @@ class Calibrator:
         self.engine = engine
         self.names: Tuple[str, ...] = tuple(param_names)
         self.loss_fn = loss_fn
+        if int(horizon) < 1:
+            raise ValueError("horizon must be >= 1")
         self.horizon = int(horizon)
         self.remat = bool(remat)
         self._compiled: dict = {}
@@ -452,6 +454,8 @@ class Calibrator:
                 f"zero pathwise gradient for {flat} (discrete-event "
                 "parameters) — use fit_es for these"
             )
+        if iters < 1:
+            raise ValueError("iters must be >= 1")
         import optax
 
         opt = optimizer if optimizer is not None else optax.adam(learning_rate)
@@ -487,6 +491,8 @@ class Calibrator:
         """
         if popsize < 2 or popsize % 2:
             raise ValueError("popsize must be even and >= 2 (antithetic)")
+        if iters < 1:
+            raise ValueError("iters must be >= 1")
         import optax
 
         opt = optimizer if optimizer is not None else optax.adam(learning_rate)

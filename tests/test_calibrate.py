@@ -217,6 +217,13 @@ def test_rejects_unknown_and_gated_and_nondifferentiable_names():
     cal = Calibrator(eng2, ["GATA6_prob"], radius_of_gyration)
     with pytest.raises(ValueError, match="fit_es"):
         cal.fit(state, iters=1)
+    with pytest.raises(ValueError, match="horizon"):
+        Calibrator(eng, ["adhesion_const"], radius_of_gyration, horizon=0)
+    cal2 = Calibrator(eng, ["adhesion_const"], radius_of_gyration)
+    with pytest.raises(ValueError, match="iters"):
+        cal2.fit(state, iters=0)
+    with pytest.raises(ValueError, match="iters"):
+        cal2.fit_es(state, iters=0, popsize=2)
 
 
 def test_sharded_replicate_fit_matches_unsharded():
