@@ -73,6 +73,59 @@ def _wait_for_backend(max_wait_s: float) -> bool:
         time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
 
 
+def _preflight_kernel_paths(timeout_s: float = 1200.0) -> None:
+    """Compile + run the full Pallas step in a DISPOSABLE subprocess before
+    this process touches the backend (hardware-gate policy, README).
+
+    The engine already degrades in-process compile failures to the XLA path
+    (``HipscEngine._call_step``); this preflight covers the harder failure
+    mode where a Mosaic compile aborts or wedges the whole process — the
+    subprocess dies, this process flips the matching escape hatch
+    (``HIPSC_NO_PALLAS_FTCS`` / ``HIPSC_NO_PALLAS``) and benches the
+    surviving path. The driver ALWAYS gets a JSON line."""
+    if os.environ.get("HIPSC_NO_PALLAS") == "1":
+        return
+    code = (
+        "import jax, os, sys\n"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " '/tmp/hipsc_jax_cache_tpu')\n"
+        "from hipsc_abm_tpu.engine import HipscEngine\n"
+        "from hipsc_abm_tpu.models.params import (DiffusionParams,"
+        " ExperimentalParams, GeneralParams)\n"
+        "gen = GeneralParams(num_to_start=450, end_step=5,"
+        " size=(600.0, 600.0, 0.0))\n"
+        "xp = ExperimentalParams(num_gata6=50, dox_step=1)\n"
+        "diff = DiffusionParams(spat_res=20.0, diffuse_dt=6.0,"
+        " diffuse_const=2.0, max_concentration=2.0, degradation=0.1,"
+        " release_amount=0.01)\n"
+        "eng = HipscEngine(gen, xp, diff=diff, enable_diffusion=True,"
+        " use_pallas=True)\n"
+        "state = eng.init_state(seed=0)\n"
+        "state, info = eng.safe_step(state)\n"
+        "assert int(info.num_agents) > 0\n"
+        "print('PALLAS_OK' if eng.cfg.use_pallas else 'PALLAS_BAD')\n"
+        "print('FTCS_OK' if os.environ.get('HIPSC_NO_PALLAS_FTCS') != '1'"
+        " else 'FTCS_BAD')\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, start_new_session=True)
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out = ""
+    if proc.returncode != 0 or "PALLAS_BAD" in out:
+        print("bench: preflight lost the Pallas step "
+              f"(rc={proc.returncode}) — benching the XLA path",
+              file=sys.stderr)
+        os.environ["HIPSC_NO_PALLAS"] = "1"
+    elif "FTCS_BAD" in out:
+        print("bench: preflight lost the FTCS Mosaic kernel — benching with "
+              "the XLA diffusion scan", file=sys.stderr)
+        os.environ["HIPSC_NO_PALLAS_FTCS"] = "1"
+
+
 def bench_tpu(n_cells: int, steps_timed: int = 8):
     from hipsc_abm_tpu.engine import HipscEngine
     from hipsc_abm_tpu.models.params import (
@@ -259,14 +312,48 @@ def _bench_cpu_fallback(wait_s: float):
     }))
 
 
+def _bench_resilient(n_cells: int, steps_timed: int):
+    """Measure, degrading the kernel path instead of dying: the driver must
+    ALWAYS get a real number if ANY path runs (VERDICT r3 weak #1). Returns
+    (steps_per_sec, note-or-None); (0.0, error) only when even the pure-XLA
+    TPU path failed."""
+    ladder = [
+        (None, None),
+        ("HIPSC_NO_PALLAS_FTCS", "FTCS Mosaic kernel disabled after failure"),
+        ("HIPSC_NO_PALLAS", "pure-XLA path after Pallas failure"),
+    ]
+    err = None
+    for env_key, note in ladder:
+        if env_key is not None:
+            if os.environ.get(env_key) == "1":
+                continue  # this rung already active — its failure is final
+            os.environ[env_key] = "1"
+        try:
+            return bench_tpu(n_cells, steps_timed=steps_timed), note
+        except Exception as e:  # noqa: BLE001 — any failure walks the ladder
+            err = f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
+            print(f"bench: {n_cells} cells failed ({err}); degrading",
+                  file=sys.stderr)
+    return 0.0, f"all kernel paths failed: {err}"
+
+
 if __name__ == "__main__":
     wait_s = float(os.environ.get("HIPSC_BENCH_BACKEND_WAIT_S", "1800"))
     if not _wait_for_backend(wait_s):
         _bench_cpu_fallback(wait_s)
         sys.exit(0)
-    tpu_sps = bench_tpu(N_CELLS)
-    tpu_500k = bench_tpu(500_000, steps_timed=4)
-    proxy_sps = bench_numpy_proxy()
+    _preflight_kernel_paths()
+    tpu_sps, note_100k = _bench_resilient(N_CELLS, steps_timed=8)
+    tpu_500k, note_500k = _bench_resilient(500_000, steps_timed=4)
+    try:
+        proxy_sps = bench_numpy_proxy()
+    except Exception:  # noqa: BLE001 — continuity metric only, never fatal
+        proxy_sps = 0.0
+    notes = {}
+    if note_100k:
+        notes["note_100k"] = note_100k
+    if note_500k:
+        notes["note_500k"] = note_500k
     print(json.dumps({
         "metric": f"steps_per_sec_{N_CELLS // 1000}k_cells_forces_diffusion_fate",
         "value": round(tpu_sps, 3),
@@ -281,5 +368,7 @@ if __name__ == "__main__":
         "ref_baseline_source": REF_BASELINE_SOURCE,
         # round-1 single-threaded numpy re-implementation, kept only for
         # cross-round continuity — NOT a reference measurement
-        "vs_round1_numpy_proxy_nonbaseline": round(tpu_sps / proxy_sps, 2),
+        "vs_round1_numpy_proxy_nonbaseline": (
+            round(tpu_sps / proxy_sps, 2) if proxy_sps else 0.0),
+        **notes,
     }))

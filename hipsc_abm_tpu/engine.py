@@ -19,6 +19,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
+import sys
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -1009,8 +1011,12 @@ class HipscEngine:
             two_d = gen.size[2] == 0
             if use_pallas is None:
                 # the fused kernels are TPU-only (Mosaic); 2D uses 3 stencil
-                # runs, 3D uses 9 (reference backend.py:84-93's 3x3x3 loop)
-                use_pallas = jax.default_backend() == "tpu"
+                # runs, 3D uses 9 (reference backend.py:84-93's 3x3x3 loop).
+                # HIPSC_NO_PALLAS=1 force-selects the XLA path (set by the
+                # bench/entry subprocess preflights when a Pallas compile
+                # fails hard enough to kill a process)
+                use_pallas = (jax.default_backend() == "tpu"
+                              and os.environ.get("HIPSC_NO_PALLAS") != "1")
             n0 = gen.num_to_start + xp.num_gata6
             # 256-aligned so a span clamped to capacity stays chunk-divisible
             capacity = max(_round_up(int(n0 * 1.3), 256), 256)  # headroom for several steps of growth before a recompile
@@ -1109,8 +1115,11 @@ class HipscEngine:
 
     # -- stepping -----------------------------------------------------------
 
+    def _step_key(self, cfg: EngineConfig):
+        return (cfg, self.gen, self.xp, self.bio, self.diff)
+
     def _step_fn(self, cfg: EngineConfig):
-        key = (cfg, self.gen, self.xp, self.bio, self.diff)
+        key = self._step_key(cfg)
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
                 functools.partial(
@@ -1119,6 +1128,49 @@ class HipscEngine:
                 )
             )
         return self._compiled[key]
+
+    def _call_step(
+        self, cfg: EngineConfig, state: CellState
+    ) -> Tuple[Tuple[CellState, StepInfo], EngineConfig]:
+        """Dispatch one jitted step with automatic kernel-path fallback.
+
+        jit compile errors surface synchronously at the first call. A Pallas
+        kernel that fails Mosaic lowering on this backend must degrade to the
+        XLA path, not kill the run (hardware-gate policy, README: the round-3
+        driver bench died rc=1 on exactly this). Ladder: (1) re-trace with
+        only the VMEM FTCS Mosaic kernel disabled (``HIPSC_NO_PALLAS_FTCS``,
+        read at trace time by ``ops.pallas_diffusion.fits_vmem``); (2) the
+        pure-XLA step. Each fallback is logged and committed to ``self.cfg``
+        so later steps skip the failed path without re-probing. Non-Pallas
+        configs never retry — their errors are real and propagate."""
+        try:
+            return self._step_fn(cfg)(state), cfg
+        except Exception as e:  # noqa: BLE001 — compile errors span many types
+            if not cfg.use_pallas:
+                raise
+            brief = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            if (cfg.enable_diffusion
+                    and os.environ.get("HIPSC_NO_PALLAS_FTCS") != "1"):
+                print(
+                    f"hipsc: step compile failed ({brief}); retrying with the "
+                    "FTCS Mosaic kernel disabled (HIPSC_NO_PALLAS_FTCS=1)",
+                    file=sys.stderr,
+                )
+                os.environ["HIPSC_NO_PALLAS_FTCS"] = "1"
+                self._compiled.pop(self._step_key(cfg), None)
+                try:
+                    return self._step_fn(cfg)(state), cfg
+                except Exception as e2:  # noqa: BLE001
+                    brief = f"{type(e2).__name__}: {str(e2).splitlines()[0][:200]}"
+            print(
+                f"hipsc: Pallas step failed to compile ({brief}); falling "
+                "back to the pure-XLA path for the rest of this run",
+                file=sys.stderr,
+            )
+            xla_cfg = dataclasses.replace(cfg, use_pallas=False)
+            if self.cfg.use_pallas:
+                self.cfg = dataclasses.replace(self.cfg, use_pallas=False)
+            return self._step_fn(xla_cfg)(state), xla_cfg
 
     def _cfg_for_state(self, state: CellState) -> EngineConfig:
         """A config whose static shapes match the given state. ``self.cfg``
@@ -1139,7 +1191,8 @@ class HipscEngine:
 
     def step(self, state: CellState) -> Tuple[CellState, StepInfo]:
         """Raw jitted step (no overflow handling) — for benchmarking."""
-        return self._step_fn(self._cfg_for_state(state))(state)
+        out, _ = self._call_step(self._cfg_for_state(state), state)
+        return out
 
     def safe_step(self, state: CellState) -> Tuple[CellState, StepInfo]:
         """Step with exact capacity-overflow recovery.
@@ -1152,7 +1205,7 @@ class HipscEngine:
         """
         for _ in range(16):
             cfg = self._cfg_for_state(state)
-            new_state, info = self._step_fn(cfg)(state)
+            (new_state, info), cfg = self._call_step(cfg, state)
             # ONE batched device->host transfer for all probes: per-scalar
             # int(...) fetches each cost a full round trip (~25 ms through a
             # tunneled backend), and the growth policy reads ~9 of them
@@ -1170,6 +1223,65 @@ class HipscEngine:
                 return new_state, info
             # commit the grown config as the template for future states and
             # re-execute this step from its unmodified input
+            self.cfg = grown_cfg
+            state = self.repad_state(state, grown_cfg)
+        raise RuntimeError("capacity growth failed to converge")
+
+    # -- device-resident multi-step blocks -----------------------------------
+
+    def _block_fn(self, cfg: EngineConfig, k: int):
+        """jitted ``lax.scan`` of k full steps: ONE dispatch, ONE stacked
+        probe fetch, zero host boundaries in between. Kills the per-step
+        host round trip (~6 ms through a tunneled backend) that caps
+        small-colony throughput (VERDICT r3 weak #4)."""
+        key = ("block", k, self._step_key(cfg))
+        if key not in self._compiled:
+            step = functools.partial(
+                hipsc_step, cfg=cfg, gen=self.gen, xp=self.xp, bio=self.bio,
+                diff=self.diff,
+            )
+
+            def block(state):
+                return jax.lax.scan(
+                    lambda s, _: step(s), state, None, length=k)
+
+            self._compiled[key] = jax.jit(block)
+        return self._compiled[key]
+
+    def run_steps(
+        self, state: CellState, k: int
+    ) -> Tuple[CellState, StepInfo]:
+        """Run ``k`` full steps device-resident with exact overflow recovery.
+
+        Semantics are identical to ``k`` calls of ``safe_step`` (the scan
+        body IS ``hipsc_step``); only the host boundary moves — probes are
+        stacked on device and fetched once per block. Overflow handling
+        re-executes the WHOLE block from its unmodified input state after
+        growing whichever capacity the block's worst-case probes demanded —
+        ``safe_step``'s exactness argument verbatim, amortized over k.
+        Returns the final state and the stacked per-step ``StepInfo``
+        (every field has a leading (k,) axis)."""
+        if k < 1:
+            raise ValueError(f"run_steps needs k >= 1, got {k}")
+        for _ in range(16):
+            cfg = self._cfg_for_state(state)
+            try:
+                new_state, infos = self._block_fn(cfg, k)(state)
+            except Exception:  # noqa: BLE001 — reuse the single-step ladder
+                # degrade through _call_step (which commits any kernel-path
+                # fallback to self.cfg), then rebuild the block fn
+                _, cfg = self._call_step(cfg, state)
+                new_state, infos = self._block_fn(cfg, k)(state)
+            infos = StepInfo(*jax.device_get(tuple(infos)))
+            worst = StepInfo(*(np.max(np.asarray(f), axis=0) for f in infos))
+            if int(worst.max_id) >= (1 << 24) - 1:
+                raise RuntimeError(
+                    "agent id space exhausted (2^24 agents ever created); "
+                    "id recycling is not implemented"
+                )
+            grown_cfg = self._grown_cfg(cfg, worst)
+            if grown_cfg is None:
+                return new_state, infos
             self.cfg = grown_cfg
             state = self.repad_state(state, grown_cfg)
         raise RuntimeError("capacity growth failed to converge")

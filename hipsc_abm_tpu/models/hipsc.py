@@ -13,6 +13,7 @@ data CSV, end-of-run video) match ``cell_simulation.py:77-126`` /
 from __future__ import annotations
 
 import os
+import time
 import pickle
 from typing import Dict, List, Optional
 
@@ -268,19 +269,52 @@ class CellSimulation(Simulation):
         if self.record_initial_step:
             self.record_initials()
 
-        for self.current_step in range(self.beginning_step, self.end_step + 1):
-            self.info()
+        # output_interval > 1 (optional general.yaml extension): run
+        # device-resident k-step blocks (HipscEngine.run_steps — one
+        # dispatch + one stacked probe fetch per block) between host
+        # outputs. Per-step Added/Removed prints still come from the
+        # stacked probes; outputs land on block boundaries. interval=1 is
+        # the reference's output-every-step loop, unchanged.
+        interval = getattr(self, "output_interval", 1)
+        use_blocks = interval > 1 and hasattr(self.engine, "run_steps")
 
-            # the fused device step: neighbors, division, death, pathway,
-            # differentiation, (growth/stochastic/diff_surround/diffusion),
-            # motility, 11 physics substeps
-            self._host_state = None  # cache belongs to the previous step
-            with record_block(self, "step_fused"):
-                self.state, info = self.engine.safe_step(self.state)
-                jax.block_until_ready(self.state.arrays["locations"])
+        step = self.beginning_step
+        while step <= self.end_step:
+            if not use_blocks:
+                self.current_step = step
+                self.info()
 
-            print("\tAdded " + str(int(info.num_added)) + " agents")
-            print("\tRemoved " + str(int(info.num_removed)) + " agents")
+                # the fused device step: neighbors, division, death, pathway,
+                # differentiation, (growth/stochastic/diff_surround/diffusion),
+                # motility, 11 physics substeps
+                self._host_state = None  # cache belongs to the previous step
+                with record_block(self, "step_fused"):
+                    self.state, info = self.engine.safe_step(self.state)
+                    jax.block_until_ready(self.state.arrays["locations"])
+
+                print("\tAdded " + str(int(info.num_added)) + " agents")
+                print("\tRemoved " + str(int(info.num_removed)) + " agents")
+                step += 1
+            else:
+                k = min(interval, self.end_step + 1 - step)
+                n_before = self.number_agents
+                self._host_state = None
+                with record_block(self, "step_fused"):
+                    self.state, infos = self.engine.run_steps(self.state, k)
+                    jax.block_until_ready(self.state.arrays["locations"])
+                added = np.asarray(infos.num_added)
+                removed = np.asarray(infos.num_removed)
+                agents = np.asarray(infos.num_agents)
+                for j in range(k):
+                    self.current_step = step + j
+                    self.step_start = time.perf_counter()
+                    print("Step: " + str(self.current_step))
+                    print("Number of agents: "
+                          + str(n_before if j == 0 else int(agents[j - 1])))
+                    print("\tAdded " + str(int(added[j])) + " agents")
+                    print("\tRemoved " + str(int(removed[j])) + " agents")
+                step += k
+                self.current_step = step - 1
 
             self._sync_host()
 

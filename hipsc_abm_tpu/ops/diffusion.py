@@ -38,14 +38,21 @@ def ftcs_subcycle(base: jnp.ndarray, a, b) -> jnp.ndarray:
     ``a = dt*D/h^2``, ``b = 1-4a``. Shared by the XLA scan below and the
     VMEM-resident Pallas kernel (``ops.pallas_diffusion``): the ulp-level
     agreement between the two rests on both tracing THIS exact operand
-    association."""
-    base = base.at[:, 0].set(base[:, 1])
-    base = base.at[:, -1].set(base[:, -2])
-    base = base.at[0, :].set(base[1, :])
-    base = base.at[-1, :].set(base[-2, :])
+    association.
+
+    Every update rebuilds the lattice with ``jnp.concatenate`` of static
+    slices — the previous ``.at[:, 0].set(...)`` integer-index form lowers
+    to the ``scatter`` primitive, which Mosaic does not implement (it
+    crashed the round-3 TPU bench; ``dynamic_update_slice`` at value level
+    does not lower either). The data movement is exact, so the XLA scan's
+    values are bit-identical to the previous formulation."""
+    base = jnp.concatenate([base[:, 1:2], base[:, 1:-1], base[:, -2:-1]], axis=1)
+    base = jnp.concatenate([base[1:2, :], base[1:-1, :], base[-2:-1, :]], axis=0)
     interior = base[1:-1, 1:-1]
     temp = a * (base[2:, 1:-1] + base[:-2, 1:-1] + base[1:-1, 2:] + base[1:-1, :-2])
-    return base.at[1:-1, 1:-1].set(b * interior + temp)
+    new = b * interior + temp
+    mid = jnp.concatenate([base[1:-1, :1], new, base[1:-1, -1:]], axis=1)
+    return jnp.concatenate([base[:1, :], mid, base[-1:, :]], axis=0)
 
 
 def ftcs_diffuse(

@@ -195,6 +195,12 @@ class Simulation:
                 int(tiles[0]), int(tiles[1])
             )
         self.domain_tiles = tiles
+        # optional extension: output every N steps instead of every step.
+        # N > 1 lets the model layer run device-resident k-step blocks
+        # (HipscEngine.run_steps) between host outputs — one dispatch + one
+        # probe fetch per block instead of per step. 1 (the default) is the
+        # reference's output-every-step behavior.
+        self.output_interval = max(1, int(keys.get("output_interval", 1)))
         self.general_params = GeneralParams.from_dict({**keys, "size": list(keys["size"])})
 
         self._np_rng = np.random.default_rng(self.seed)

@@ -2,6 +2,7 @@
 bit-exact checkpoint/resume (SURVEY.md §4b-d)."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -274,3 +275,117 @@ def test_explicit_use_pallas_overrides_provided_cfg():
     ref = HipscEngine(gen, xp, use_pallas=True)
     eng = HipscEngine(gen, xp, cfg=ref.cfg, use_pallas=False)
     assert ref.cfg.use_pallas and not eng.cfg.use_pallas
+
+
+def test_pallas_compile_failure_falls_back_to_xla(monkeypatch):
+    """Hardware-gate policy (VERDICT r3 weak #1-2): a Pallas kernel that
+    fails to compile on the running backend must degrade the step to the
+    XLA path — logged, committed, never fatal. Simulates the round-3 Mosaic
+    scatter-lowering crash by making the FTCS kernel raise at trace time."""
+    import dataclasses
+
+    from hipsc_abm_tpu.ops import pallas_diffusion as pd
+
+    def boom(*a, **k):
+        raise NotImplementedError(
+            "Unimplemented primitive in Pallas TPU lowering: scatter")
+
+    monkeypatch.setattr(pd, "ftcs_diffuse_pallas", boom)
+    monkeypatch.delenv("HIPSC_NO_PALLAS_FTCS", raising=False)
+
+    gen = GeneralParams(num_to_start=150, end_step=3, size=(300.0, 300.0, 0.0))
+    xp = ExperimentalParams(num_gata6=15, dox_step=1)
+    from hipsc_abm_tpu.models.params import DiffusionParams
+
+    diff = DiffusionParams(spat_res=20.0, diffuse_dt=6.0, diffuse_const=0.5,
+                           max_concentration=2.0, degradation=0.1,
+                           release_amount=0.01)
+    eng = HipscEngine(gen, xp, diff=diff, enable_diffusion=True,
+                      use_pallas=True)
+    eng.cfg = dataclasses.replace(eng.cfg, pallas_interpret=True)
+    state = eng.init_state(seed=3)
+    # ladder rung 1: re-trace with the FTCS Mosaic kernel disabled (the rest
+    # of the Pallas path is untouched by the failure)
+    state, info = eng.safe_step(state)
+    assert int(info.num_agents) > 0
+    assert os.environ.get("HIPSC_NO_PALLAS_FTCS") == "1"
+    assert eng.cfg.use_pallas  # contact kernels still on the Pallas path
+    state, info = eng.safe_step(state)  # subsequent steps keep working
+    assert np.isfinite(np.asarray(state.arrays["locations"])).all()
+    monkeypatch.delenv("HIPSC_NO_PALLAS_FTCS", raising=False)
+
+
+def test_pallas_total_compile_failure_falls_back_to_pure_xla(monkeypatch):
+    """Ladder rung 2: when even the FTCS-disabled re-trace fails (a contact
+    kernel broke), the engine lands on the pure-XLA step and commits
+    use_pallas=False so later steps skip the failed path."""
+    import dataclasses
+
+    from hipsc_abm_tpu.ops import pallas_contact as pc
+
+    def boom(*a, **k):
+        raise NotImplementedError(
+            "Unimplemented primitive in Pallas TPU lowering: gather")
+
+    monkeypatch.setattr(pc, "contact_substep_masked", boom)
+    monkeypatch.delenv("HIPSC_NO_PALLAS_FTCS", raising=False)
+
+    gen = GeneralParams(num_to_start=150, end_step=3, size=(300.0, 300.0, 0.0))
+    xp = ExperimentalParams(num_gata6=15, dox_step=1)
+    eng = HipscEngine(gen, xp, use_pallas=True)
+    eng.cfg = dataclasses.replace(eng.cfg, pallas_interpret=True)
+    state = eng.init_state(seed=3)
+    state, info = eng.safe_step(state)
+    assert int(info.num_agents) > 0
+    assert not eng.cfg.use_pallas
+    state, info = eng.safe_step(state)
+    assert np.isfinite(np.asarray(state.arrays["locations"])).all()
+    monkeypatch.delenv("HIPSC_NO_PALLAS_FTCS", raising=False)
+
+
+def _canon(state):
+    alive = np.asarray(state.alive)
+    ids = np.asarray(state.arrays["ids"])[alive]
+    order = np.argsort(ids)
+    out = {"ids": ids[order]}
+    for k, v in state.arrays.items():
+        if k != "ids":
+            out[k] = np.asarray(v)[alive][order]
+    return out
+
+
+def test_run_steps_matches_safe_step_sequence():
+    """run_steps(state, k) must be semantically identical to k safe_steps —
+    the scan body IS hipsc_step; only the host boundary moves. Includes a
+    capacity-growth event inside the block (blocks re-execute whole)."""
+    gen = GeneralParams(num_to_start=300, end_step=20, size=(420.0, 420.0, 0.0))
+    xp = ExperimentalParams(num_gata6=30, dox_step=2)
+
+    eng_a = HipscEngine(gen, xp, use_pallas=False)
+    eng_b = HipscEngine(gen, xp, use_pallas=False)
+    # force a growth event inside the block: start with tight caps
+    eng_b.cfg = dataclasses.replace(
+        eng_b.cfg,
+        nbr_spec=dataclasses.replace(eng_b.cfg.nbr_spec, run_cap=8),
+    )
+    eng_a.cfg = dataclasses.replace(
+        eng_a.cfg,
+        nbr_spec=dataclasses.replace(eng_a.cfg.nbr_spec, run_cap=8),
+    )
+
+    sa = eng_a.init_state(seed=7)
+    sb = eng_b.init_state(seed=7)
+    k = 6
+    for _ in range(k):
+        sa, info_a = eng_a.safe_step(sa)
+    sb, infos = eng_b.run_steps(sb, k)
+
+    # stacked probes: every field has a leading (k,) axis
+    assert np.asarray(infos.num_agents).shape == (k,)
+    assert int(infos.num_agents[-1]) == int(info_a.num_agents)
+
+    a, b = _canon(sa), _canon(sb)
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for key in ("GATA6", "NANOG", "states", "div_counters", "death_counters"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    np.testing.assert_array_equal(a["locations"], b["locations"])

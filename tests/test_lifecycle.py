@@ -130,3 +130,54 @@ def test_resume_from_npz_without_pickle(model_env):
     np.testing.assert_array_equal(
         np.asarray(sim_a.state.key), np.asarray(sim_b.state.key)
     )
+
+
+def test_output_interval_blocks_match_per_step(tmp_path, monkeypatch):
+    """`output_interval: k` (device-resident run_steps blocks between
+    outputs) must leave the colony bit-identical to the per-step loop;
+    outputs land on block boundaries only."""
+    import yaml as _yaml
+    from hipsc_abm_tpu.models.hipsc import CellSimulation
+
+    def env(sub, interval):
+        root = tmp_path / sub
+        (root / "templates").mkdir(parents=True)
+        gen = {
+            "num_to_start": 80, "cuda": False, "end_step": 6,
+            "size": [200, 200, 0], "output_values": True,
+            "output_images": False, "record_initial_step": True,
+            "image_quality": 100, "video_quality": 80, "fps": 5, "seed": 0,
+        }
+        if interval > 1:
+            gen["output_interval"] = interval
+        (root / "templates" / "general.yaml").write_text(_yaml.dump(gen))
+        (root / "templates" / "experimental.yaml").write_text(_yaml.dump({
+            "num_gata6": 8, "output_tda": False, "output_gradients": False,
+            "group": 0, "dox_step": 1, "guye_move": True,
+            "lonely_thresh": 2, "color_mode": True,
+        }))
+        out = root / "outputs"
+        out.mkdir()
+        return root, str(out) + os.sep
+
+    root_a, out_a = env("per_step", 1)
+    monkeypatch.chdir(root_a)
+    sim_a = CellSimulation.start(out_a, argv=["-n", "a", "-m", "0"])
+
+    root_b, out_b = env("blocked", 3)
+    monkeypatch.chdir(root_b)
+    sim_b = CellSimulation.start(out_b, argv=["-n", "b", "-m", "0"])
+
+    assert sim_a.number_agents == sim_b.number_agents
+    na = sim_a.number_agents
+    np.testing.assert_array_equal(
+        np.asarray(sim_a.locations[:na]), np.asarray(sim_b.locations[:na]))
+    np.testing.assert_array_equal(
+        np.asarray(sim_a.NANOG[:na]), np.asarray(sim_b.NANOG[:na]))
+
+    # per-step run wrote every step; the blocked run only block boundaries
+    vals_b = os.path.join(out_b, "b", "b_values")
+    assert os.path.isfile(os.path.join(vals_b, "b_values_0.csv"))  # initials
+    assert os.path.isfile(os.path.join(vals_b, "b_values_3.csv"))
+    assert os.path.isfile(os.path.join(vals_b, "b_values_6.csv"))
+    assert not os.path.isfile(os.path.join(vals_b, "b_values_2.csv"))
