@@ -155,6 +155,26 @@ def trajectory_squared_error(statistic: Callable[[CellState], jnp.ndarray],
     return TrajectoryLoss(statistic, loss)
 
 
+def delta_trajectory_squared_error(
+        statistic: Callable[[CellState], jnp.ndarray],
+        targets) -> TrajectoryLoss:
+    """Mean squared error of the per-step CHANGE of a statistic against the
+    observed time course's change (both anchored at their first entry).
+
+    The right loss when the statistic has a nuisance offset the dynamics do
+    not control — e.g. fitting compaction rate to a reference-generated
+    colony: each replicate's initial radius of gyration varies by ~Rg/sqrt(2N)
+    from random placement (and the observed colony's by the same), which can
+    dwarf the per-step compaction signal. Differencing cancels the offset
+    exactly, per replicate and in the target."""
+    targets = jnp.asarray(targets)
+
+    def loss(stats: jnp.ndarray) -> jnp.ndarray:
+        return jnp.mean(((stats - stats[0]) - (targets - targets[0])) ** 2)
+
+    return TrajectoryLoss(statistic, loss)
+
+
 @dataclasses.dataclass(frozen=True)
 class EnsembleLoss:
     """Loss on the replicate-AVERAGED statistic (method of moments).

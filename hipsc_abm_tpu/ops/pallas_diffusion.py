@@ -4,21 +4,35 @@
 of ~300 tiny 5-point-stencil kernels; at production lattice sizes
 (~1000x1000 f32 = 4 MB) each pass is sub-millisecond of HBM traffic, so the
 wall cost is almost entirely per-kernel dispatch (~16 ms/step at the 500k
-bench shape, BENCHMARKS.md). This kernel holds the whole padded lattice in
-VMEM and runs ALL subcycles in one ``fori_loop`` inside one ``pallas_call``
-— one dispatch, zero HBM round-trips between subcycles.
+bench shape, BENCHMARKS.md). This kernel holds the padded lattice in VMEM
+and runs ALL subcycles inside one ``pallas_call`` — one dispatch, zero HBM
+round-trips between subcycles.
 
-Semantics mirror ``ftcs_diffuse`` (reference ``cell_backend.py:175-204``):
-the same sequential edge reflection order, the same operand association in
-the stencil sum, the same trailing short substep. Agreement with the XLA
-scan is ulp-level, not bit-level — the backends fuse the a*x + b*y stencil
-arithmetic (FMA) differently (``tests/test_diffusion.py``,
-``tests_tpu/test_tpu_hw.py``). The subcycle dt schedule is static (``diffusion_dts``), which makes
-the FTCS coefficients compile-time constants: every subcycle uses
-``a_main`` except the last, which uses the remainder ``a_last``.
+Memory design (the round-4 rewrite): the lattice ping-pongs between the
+output ref and one VMEM scratch ref; each subcycle writes the reflected
+borders in place on the source ref (rank-preserving slice stores — the
+original ``.at[int].set`` reflections lowered to ``scatter``, which Mosaic
+does not implement and which crashed the round-3 driver bench), then
+computes the interior in fixed-height ROW TILES from source to destination.
+Peak VMEM is two lattices plus one tile window — a value-semantics
+formulation (concatenate-rebuilt lattices) kept 5-6 full-lattice
+temporaries live in the subcycle loop and crashed the Mosaic compiler above
+~800x800. The last row tile is clamped to the interior's end, overlapping
+the previous tile; the overlap recomputes identical values from identical
+inputs, so the overlapping stores are exact.
 
-The kernel is only eligible when the padded lattice fits VMEM with loop
-headroom (``fits_vmem``); callers fall back to the XLA scan otherwise.
+Double-buffer equivalence to the reference's in-place subcycle
+(``cell_backend.py:175-204``): each subcycle's border reflection fully
+rewrites the ghost ring from current interior values before the stencil
+reads it (columns first, then rows — the rows pass overwrites all four
+corners), so the destination's never-written ghost ring from two subcycles
+ago cannot reach any read. The stencil's operand association is shared with
+the XLA scan (``ops.diffusion.ftcs_subcycle``); agreement is ulp-level —
+the backends fuse the a*x + b*y FMA differently (``tests/test_diffusion.py``,
+``tests_tpu/test_tpu_hw.py``).
+
+The kernel is only eligible when TWO padded lattices plus the tile window
+fit VMEM (``fits_vmem``); callers fall back to the XLA scan otherwise.
 """
 
 from __future__ import annotations
@@ -29,10 +43,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-# padded f32 lattice bytes that safely leave fori_loop double-buffer +
-# reflection headroom inside the ~16 MB VMEM
+# two padded f32 lattices (ping-pong) + tile windows must fit the ~16 MB
+# VMEM with compiler headroom: bound ONE lattice at 5 MB
 _VMEM_BUDGET_BYTES = 5 * 1024 * 1024
+
+_ROW_TILE = 256  # interior rows computed per tile (window = tile + 2 halo)
 
 
 def fits_vmem(shape, itemsize: int = 4) -> bool:
@@ -50,21 +67,61 @@ def fits_vmem(shape, itemsize: int = 4) -> bool:
     return (nx + 2) * (ny + 2) * int(itemsize) <= _VMEM_BUDGET_BYTES
 
 
-def _ftcs_kernel(base_ref, out_ref, *, steps, a_main, a_last, b_main, b_last):
-    from hipsc_abm_tpu.ops.diffusion import ftcs_subcycle
+def _reflect_and_step(src, dst, a, b, H, W):
+    """One FTCS subcycle, src ref -> dst ref (refs of padded (H, W) shape).
 
-    base = base_ref[:]
+    Keeps the reference's reflection order and the shared stencil operand
+    association (``ops.diffusion.ftcs_subcycle``): columns, then rows (so
+    corners take already-reflected values), then
+    ``b*interior + a*(down + up + right + left)``."""
+    src[:, 0:1] = src[:, 1:2]
+    src[:, W - 1:W] = src[:, W - 2:W - 1]
+    src[0:1, :] = src[1:2, :]
+    src[H - 1:H, :] = src[H - 2:H - 1, :]
 
-    def subcycle(i, base):
-        last = i == steps - 1
-        a = jnp.where(last, a_last, a_main)
-        b = jnp.where(last, b_last, b_main)
-        # the shared body (ops.diffusion.ftcs_subcycle) keeps the reflection
-        # order and stencil operand association structurally identical to
-        # the XLA scan — the ulp-level agreement contract
-        return ftcs_subcycle(base, a, b)
+    n_int = H - 2  # interior rows
+    tile = min(_ROW_TILE, n_int)
+    n_tiles = -(-n_int // tile)  # ceil
 
-    out_ref[:] = jax.lax.fori_loop(0, steps, subcycle, base)
+    def do_tile(t, _):
+        # clamp the last tile back so every window is statically (tile+2, W);
+        # the overlap recomputes identical values — stores are idempotent
+        start = jnp.minimum(t * tile, n_int - tile)
+        win = src[pl.ds(start, tile + 2), :]
+        interior = win[1:-1, 1:-1]
+        temp = a * (win[2:, 1:-1] + win[:-2, 1:-1]
+                    + win[1:-1, 2:] + win[1:-1, :-2])
+        dst[pl.ds(start + 1, tile), 1:W - 1] = b * interior + temp
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, do_tile, 0)
+
+
+def _ftcs_kernel(base_ref, out_ref, scratch_ref, *, steps, a_main, a_last,
+                 b_main, b_last):
+    H, W = out_ref.shape
+    # choose the starting buffer so the LAST subcycle writes out_ref:
+    # `steps` buffer hops from start; even -> start in out_ref
+    if steps % 2 == 0:
+        first, second = out_ref, scratch_ref
+    else:
+        first, second = scratch_ref, out_ref
+    first[:] = base_ref[:]
+
+    # (steps - 1) main subcycles then one remainder subcycle (a_last)
+    pairs, rem_main = divmod(steps - 1, 2)
+
+    def pair(_, carry):
+        _reflect_and_step(first, second, a_main, b_main, H, W)
+        _reflect_and_step(second, first, a_main, b_main, H, W)
+        return carry
+
+    jax.lax.fori_loop(0, pairs, pair, 0)
+    if rem_main:
+        _reflect_and_step(first, second, a_main, b_main, H, W)
+        _reflect_and_step(second, first, a_last, b_last, H, W)
+    else:
+        _reflect_and_step(first, second, a_last, b_last, H, W)
 
 
 def ftcs_diffuse_pallas(
@@ -104,6 +161,7 @@ def ftcs_diffuse_pallas(
             b_last=1.0 - 4.0 * a_last,
         ),
         out_shape=jax.ShapeDtypeStruct(base.shape, base.dtype),
+        scratch_shapes=[pltpu.VMEM(base.shape, base.dtype)],
         interpret=bool(interpret),
     )(base)
     return out[1:-1, 1:-1] * (1.0 - degradation)

@@ -67,6 +67,7 @@ def test_rollout_gradient_finite_and_matches_fd():
         assert abs(ad - fd) <= 0.15 * max(abs(ad), abs(fd)), (n, ad, fd)
 
 
+@pytest.mark.slow
 def test_gradient_fit_recovers_planted_adhesion():
     true_adh = 3.0e-4  # ~3x the reference default
     eng_t, st = _settled_engine()
@@ -108,6 +109,7 @@ def test_trajectory_fit_recovers_planted_adhesion():
     assert abs(fitted - true_adh) < 0.35 * true_adh, fitted
 
 
+@pytest.mark.slow
 def test_es_fit_moves_discrete_probability():
     true_p = 0.3
     eng_t, st = _settled_engine(enable_stochastic=True)
@@ -126,6 +128,7 @@ def test_es_fit_moves_discrete_probability():
     assert 0.05 < res.params["GATA6_prob"] < 0.7, res.params
 
 
+@pytest.mark.slow
 def test_replicate_averaged_fit():
     """A stacked ensemble of replicates fits the loss on the replicate-MEAN
     statistic (EnsembleLoss / method of moments) and recovers the planted
@@ -158,6 +161,7 @@ def test_replicate_averaged_fit():
     assert abs(fitted - true_adh) < 0.35 * true_adh, fitted
 
 
+@pytest.mark.slow
 def test_es_on_stacked_replicates_compiles_and_improves():
     """fit_es over a stacked replicate state: the population vmap nests
     over the inner replicate vmap (popsize x R rollouts in one program)."""
@@ -183,6 +187,7 @@ def test_es_on_stacked_replicates_compiles_and_improves():
     assert res.best_loss <= res.loss_history[0]
 
 
+@pytest.mark.slow
 def test_gradient_finite_through_full_model_with_diffusion():
     """Reverse-mode AD stays finite through the COMPLETE step: morphogen
     FTCS subcycles, 4-point secretion/uptake deposits, and the
@@ -226,6 +231,7 @@ def test_rejects_unknown_and_gated_and_nondifferentiable_names():
         cal2.fit_es(state, iters=0, popsize=2)
 
 
+@pytest.mark.slow
 def test_sharded_replicate_fit_matches_unsharded():
     """Replicate-DP calibration: with the stacked-replicate state sharded
     over a device mesh (EnsembleEngine.shard_states), the jitted

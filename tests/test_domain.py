@@ -41,6 +41,7 @@ def global_forces(locations, alive):
 
 
 @requires_multi
+@pytest.mark.slow
 def test_halo_exchange_matches_global(rng):
     n_stripes, per_stripe = 8, 64
     box_x = 400.0

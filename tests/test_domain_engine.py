@@ -196,6 +196,7 @@ def test_domain_collectives_are_boundary_sized():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_domain_pallas_matches_domain_xla():
     """Per-shard Pallas contact kernel (interpret mode) under shard_map
     agrees with the domain XLA window path (VERDICT round-1 item 5a:
@@ -226,6 +227,7 @@ def test_domain_pallas_matches_domain_xla():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_domain_diffusion_and_optional_phases_match_single():
     """Domain engine with morphogen diffusion (psum'd deposits) and the
     config-enabled optional phases agrees with the single-chip engine."""
@@ -265,6 +267,7 @@ def test_domain_diffusion_and_optional_phases_match_single():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_domain_field_coupling_and_uptake_match_single():
     """Gradient->fate coupling (field-sampled perceived FGF4) and per-cell
     uptake agree between the domain engine and the single-chip engine: the

@@ -49,6 +49,7 @@ def by_id(state):
 
 
 @requires_multi
+@pytest.mark.slow
 def test_domain_lifecycle_outputs_and_continuation(tmp_path, monkeypatch):
     from hipsc_abm_tpu.models.hipsc import CellSimulation
 
@@ -153,6 +154,7 @@ def test_domain_tiles_scalar_means_stripes(tmp_path, monkeypatch):
 
 
 @requires_multi
+@pytest.mark.slow
 def test_elastic_mode1_resume_across_decompositions(tmp_path, monkeypatch):
     """Editing ``domain_tiles`` in general.yaml between a ``temp_pickle:
     false`` run and its mode-1 continuation resumes ELASTICALLY (tiles ->
@@ -203,6 +205,7 @@ def test_elastic_mode1_resume_across_decompositions(tmp_path, monkeypatch):
 
 
 @requires_multi
+@pytest.mark.slow
 def test_elastic_chain_multi_hop_bit_exact(tmp_path):
     """A run checkpointed and elastically resumed across FOUR different
     decompositions — (2,2) tiles -> (4,2) tiles -> single chip -> (2,2)

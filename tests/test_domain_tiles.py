@@ -198,6 +198,7 @@ def test_tiles_3d_match_single():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_tiles_pallas_matches_tiles_xla():
     """Per-shard Pallas span-mask kernels (interpret mode) under the 2-D tile
     decomposition agree with the tile XLA window path."""
@@ -254,6 +255,7 @@ def test_tiles_checkpoint_resume_bit_exact(tmp_path):
 
 
 @requires_multi
+@pytest.mark.slow
 def test_tiles_collectives_are_boundary_sized():
     """The 2-D tile step's collectives stay O(boundary): every collective
     operand is bounded by the halo/migration caps (plus the O(columns)
@@ -298,6 +300,7 @@ def test_tiles_collectives_are_boundary_sized():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_tiles_soak_with_growth_events():
     """Tile-grid soak: 16 steps at colony density with deliberately
     undersized halo/migration/drift capacities, forcing Verlet rebuilds,
@@ -340,6 +343,7 @@ def test_tiles_soak_with_growth_events():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_rebalance_preserves_trajectory():
     """Quantile re-partitioning mid-run changes the layout only: 3 steps +
     rebalance + 3 steps == the single-chip engine's 6 steps, bit-exact."""
@@ -435,6 +439,7 @@ def test_sharded_checkpoint_resume_bit_exact(tmp_path):
 
 
 @requires_multi
+@pytest.mark.slow
 def test_tiles_pallas_with_diffusion_matches_xla():
     """The VMEM-resident FTCS kernel dispatched INSIDE shard_map (per-tile
     replica) agrees with the XLA-scan domain path, gradients included."""
@@ -467,6 +472,7 @@ def test_tiles_pallas_with_diffusion_matches_xla():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_tiles_optional_phases_and_diffusion_match_single():
     """Growth (per-agent radii through the halo packs), stochastic updates,
     diff_surround, and diffusion all stay bit-exact under a 2-D tile grid."""
@@ -504,6 +510,7 @@ def test_tiles_optional_phases_and_diffusion_match_single():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_balanced_bounds_property():
     """Quantile bounds stay monotone with legal widths for adversarial
     colonies (all-in-one-bin, bimodal, uniform), and the re-partition always
@@ -539,6 +546,7 @@ def test_balanced_bounds_property():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_tiles_3d_pallas_matches_tiles_xla():
     """3D tiles on the Pallas span path (9-run stencil with BOTH local-axis
     offsets in the flat run strides) agree with the tile XLA window path."""

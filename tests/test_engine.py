@@ -277,6 +277,7 @@ def test_explicit_use_pallas_overrides_provided_cfg():
     assert ref.cfg.use_pallas and not eng.cfg.use_pallas
 
 
+@pytest.mark.slow
 def test_pallas_compile_failure_falls_back_to_xla(monkeypatch):
     """Hardware-gate policy (VERDICT r3 weak #1-2): a Pallas kernel that
     fails to compile on the running backend must degrade the step to the

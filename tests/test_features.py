@@ -151,6 +151,7 @@ def test_three_d_cell_simulation(tmp_path, monkeypatch):
     assert os.path.isfile(out / "d3" / "d3_images" / "d3_image_2.png")
 
 
+@pytest.mark.slow
 def test_pallas_falls_back_at_extreme_degree():
     """>32 simultaneous contacts per cell: the engine must flip to the XLA
     path (whose bond machinery handles any K) instead of compiling a kernel

@@ -15,6 +15,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 PAYLOAD = os.path.join(
     os.path.dirname(__file__), "..", "tools", "multihost_domain.py"
 )
@@ -30,6 +32,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_domain_run_bit_exact(tmp_path):
     port = _free_port()
     procs = [

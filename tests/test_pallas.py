@@ -87,6 +87,7 @@ def run_pallas(spec, grid, packed, bonds, block=64, chunk=128,
 
 
 @pytest.mark.parametrize("seed_bonds", [False, True])
+@pytest.mark.slow
 def test_kernel_matches_xla_substep(rng, seed_bonds):
     locs, radii, alive, spec, grid, packed, bonds = build_inputs(
         rng, seed_bonds=seed_bonds
@@ -112,6 +113,7 @@ def test_kernel_matches_xla_substep(rng, seed_bonds):
 
 
 @pytest.mark.parametrize("seed_bonds", [False, True])
+@pytest.mark.slow
 def test_kernel_matches_xla_substep_3d(rng, seed_bonds):
     """3D: 9-run span DMA (the reference's 3x3x3 stencil,
     backend.py:84-93) equals the XLA window path."""
@@ -187,6 +189,7 @@ def test_bond_persistence_through_kernel(rng):
 
 
 @pytest.mark.parametrize("size", [(300.0, 300.0, 0.0), (150.0, 150.0, 150.0)])
+@pytest.mark.slow
 def test_engine_pallas_matches_xla(rng, size):
     """Full fused steps: Pallas engine (interpret mode) == XLA engine, in 2D
     (3-run kernels) and 3D (9-run kernels, 16-lane bio pack)."""

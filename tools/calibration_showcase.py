@@ -1,0 +1,220 @@
+"""Calibration showcase: recover force-scale parameters ON TPU from a
+REFERENCE-generated colony.
+
+The reference (ajin40/Python-hiPSC-ABM) has no calibration story at all —
+its constants are hand-tuned (``cell_simulation.py:34-57``). This tool
+demonstrates the capability a reference user cannot have: run the actual
+reference code once, observe only its per-step radius-of-gyration time
+course, then gradient-fit this framework's matching ``BiologyParams``
+through the differentiable rollout until the simulated time course matches
+— recovering the reference's hand-tuned constants from its own data.
+
+Per docs/CALIBRATION.md, the force scales are NOT jointly identifiable from
+compaction alone (measured compensating ridge), so the showcase fits them
+the documented way: one force scale at a time, each started from a 3x-off
+initial guess with the other held at truth.
+
+Design choices measured before committing (tools-side sensitivity study):
+at the reference's default density cells are ~28 um apart (contact range
+~10 um), so Rg is nearly blind to adhesion — the showcase uses a DENSE
+colony (1000 cells in a 300 um box, heavy contact) where both force scales
+move the compaction delta 3-4x above seed noise at 3x parameter offsets.
+And absolute Rg carries a ~Rg/sqrt(2N) random-placement offset that dwarfs
+the per-step signal, so the fit matches the compaction CHANGE
+(``delta_trajectory_squared_error``), which cancels the offset exactly.
+
+Stages:
+  --make-target   run the reference (clean subprocess: its C++/OpenMP
+                  kernels clash with an initialized XLA runtime), compute
+                  the Rg time course from its values CSVs, write
+                  ``tools/calibration_target.json``.
+  (default)       read the target and fit ``adhesion_const`` then
+                  ``motility_force`` on the default JAX backend (the TPU in
+                  the bench environment), reporting recovered values,
+                  error vs the reference's true constants, and wall-clock.
+
+Usage:
+  python tools/calibration_showcase.py --make-target [n_cells] [steps]
+  python tools/calibration_showcase.py [--replicates R] [--iters K]
+"""
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(_HERE)
+sys.path.insert(0, _ROOT)
+
+TARGET_PATH = os.path.join(_HERE, "calibration_target.json")
+
+# the reference's hand-tuned truths (cell_methods.py:252, :347)
+TRUE = {"adhesion_const": 0.000107, "motility_force": 2e-9}
+
+
+# ---------------------------------------------------------------------------
+# target generation (reference side — NO jax in this process)
+# ---------------------------------------------------------------------------
+
+
+def make_target(n_cells: int, steps: int, side: float,
+                runs: int = 5) -> dict:
+    """Run the reference ``runs`` times and average the Rg trajectories —
+    the reference's own seed-to-seed spread on the 10-step compaction delta
+    is ~±0.5 um (measured), comparable to a 3x parameter offset's signal;
+    averaging R replicate experiments shrinks it by sqrt(R)."""
+    import csv
+    import math
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.join(_HERE, "reference_baseline"))
+    from measure_reference import load_reference
+
+    work = tempfile.mkdtemp(prefix="caltarget_")
+    tdir = os.path.join(work, "templates")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "general.yaml"), "w") as f:
+        f.write(
+            f"num_to_start: {n_cells}\ncuda: False\nend_step: {steps}\n"
+            f"size: [{side}, {side}, 0]\noutput_values: True\n"
+            "output_images: False\nrecord_initial_step: False\n"
+            "image_quality: 100\nvideo_quality: 100\nfps: 10\n"
+        )
+    with open(os.path.join(tdir, "experimental.yaml"), "w") as f:
+        f.write(
+            f"num_gata6: {n_cells // 10}\noutput_tda: False\n"
+            "output_gradients: False\ngroup: 0\ndox_step: 5\nguye_move: True\n"
+            "lonely_thresh: 2\ncolor_mode: True\n"
+        )
+    cell_simulation = load_reference()
+    per_run = []
+    cwd = os.getcwd()
+    for r in range(runs):
+        name = f"ref{r}"
+        outdir = os.path.join(work, f"out{r}") + os.sep
+        os.makedirs(os.path.join(outdir, name))
+        os.chdir(work)
+        try:
+            sim = cell_simulation.CellSimulation(name, outdir)
+            sim.agent_initials()
+            sim.steps()
+        finally:
+            os.chdir(cwd)
+        rgs = []
+        for step in range(1, steps + 1):
+            path = os.path.join(outdir, name, f"{name}_values",
+                                f"{name}_values_{step}.csv")
+            xs, ys = [], []
+            with open(path) as f:
+                for row in csv.DictReader(f):
+                    xs.append(float(row["locations[0]"]))
+                    ys.append(float(row["locations[1]"]))
+            n = len(xs)
+            cx, cy = sum(xs) / n, sum(ys) / n
+            rgs.append(math.sqrt(sum(
+                (x - cx) ** 2 + (y - cy) ** 2 for x, y in zip(xs, ys)) / n))
+        per_run.append(rgs)
+    shutil.rmtree(work, ignore_errors=True)
+    mean_rgs = [sum(col) / runs for col in zip(*per_run)]
+    return {"n_cells": n_cells, "steps": steps, "side": side, "runs": runs,
+            "rg_trajectory_um": mean_rgs, "rg_per_run_um": per_run}
+
+
+# ---------------------------------------------------------------------------
+# fitting (TPU side)
+# ---------------------------------------------------------------------------
+
+
+def fit_stage(target: dict, param: str, start_factor: float,
+              replicates: int, iters: int) -> dict:
+    import dataclasses
+
+    import numpy as np
+
+    from hipsc_abm_tpu.calibrate import (
+        Calibrator,
+        delta_trajectory_squared_error,
+        radius_of_gyration,
+    )
+    from hipsc_abm_tpu.engine import HipscEngine
+    from hipsc_abm_tpu.models.params import (
+        BiologyParams,
+        ExperimentalParams,
+        GeneralParams,
+    )
+    from hipsc_abm_tpu.parallel.ensemble import EnsembleEngine
+
+    n, side, steps = target["n_cells"], target["side"], target["steps"]
+    gen = GeneralParams(num_to_start=n, end_step=steps + 1,
+                        size=(side, side, 0.0))
+    xp = ExperimentalParams(num_gata6=n // 10, dox_step=5)
+    bio = BiologyParams(**{param: TRUE[param] * start_factor})
+    eng = HipscEngine(gen, xp, bio=bio, use_pallas=False)
+
+    loss = delta_trajectory_squared_error(
+        radius_of_gyration, np.asarray(target["rg_trajectory_um"],
+                                       dtype=np.float32))
+    cal = Calibrator(eng, [param], loss, horizon=steps)
+    if replicates > 1:
+        ens = EnsembleEngine(eng)
+        state = ens.init_states(seeds=range(replicates))
+    else:
+        state = eng.init_state(seed=0)
+
+    t0 = time.perf_counter()
+    res = cal.fit(state, iters=iters)
+    wall = time.perf_counter() - t0
+    fitted = res.params[param]
+    return {
+        "param": param,
+        "start": TRUE[param] * start_factor,
+        "true": TRUE[param],
+        "fitted": fitted,
+        "recovery_error_pct": abs(fitted - TRUE[param]) / TRUE[param] * 100,
+        "start_error_pct": abs(start_factor - 1.0) * 100,
+        "loss_start": res.loss_history[0],
+        "loss_best": res.best_loss,
+        "iters": iters,
+        "replicates": replicates,
+        "wall_s": round(wall, 1),
+    }
+
+
+def main():
+    if "--make-target" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        n = int(args[0]) if args else 1000
+        steps = int(args[1]) if len(args) > 1 else 10
+        side = float(args[2]) if len(args) > 2 else 300.0
+        target = make_target(n, steps, side)
+        with open(TARGET_PATH, "w") as f:
+            json.dump(target, f, indent=1)
+        print(json.dumps(target))
+        return
+
+    import jax  # noqa: F401 — default backend (TPU in the bench env)
+
+    with open(TARGET_PATH) as f:
+        target = json.load(f)
+    replicates = (int(sys.argv[sys.argv.index("--replicates") + 1])
+                  if "--replicates" in sys.argv else 4)
+    iters = (int(sys.argv[sys.argv.index("--iters") + 1])
+             if "--iters" in sys.argv else 30)
+
+    import jax as _jax
+
+    results = {"backend": _jax.default_backend(),
+               "target": target["rg_trajectory_um"],
+               "stages": []}
+    for param in ("adhesion_const", "motility_force"):
+        stage = fit_stage(target, param, start_factor=3.0,
+                          replicates=replicates, iters=iters)
+        results["stages"].append(stage)
+        print(json.dumps(stage), flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

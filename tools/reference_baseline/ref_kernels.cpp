@@ -19,14 +19,32 @@ extern "C" {
 // indices into dense (bx,by,bz,cap) bins with overflow counting.
 void assign_bins(int64_t n, const int64_t* bin_loc, int64_t* bins,
                  int64_t* bins_help, int64_t max_agents,
-                 int64_t by, int64_t bz, int64_t cap) {
+                 int64_t bx, int64_t by, int64_t bz, int64_t cap) {
     for (int64_t i = 0; i < n; ++i) {
-        int64_t x = bin_loc[3 * i], y = bin_loc[3 * i + 1], z = bin_loc[3 * i + 2];
+        // per-axis wraparound for coordinates outside the padded bin box
+        // (numba negative-index semantics — see wrap_idx below)
+        int64_t x = bin_loc[3 * i] % bx, y = bin_loc[3 * i + 1] % by,
+                z = bin_loc[3 * i + 2] % bz;
+        if (x < 0) x += bx;
+        if (y < 0) y += by;
+        if (z < 0) z += bz;
         int64_t h = (x * by + y) * bz + z;
         int64_t place = bins_help[h];
         if (place < max_agents) bins[h * cap + place] = i;
         bins_help[h] += 1;
     }
+}
+
+// numba nopython-mode indexing wraps negative indices per axis (the
+// reference kernel reads bins_help[x-1][...] when a division-displaced
+// daughter lands just outside the box and bins to coordinate 0); raw
+// pointer arithmetic must emulate that wrap or it reads out of bounds.
+// Wrapped reads land in far-away bins whose agents the distance test then
+// rejects (box side >> search radius), matching the numba behavior.
+static inline int64_t wrap_idx(int64_t v, int64_t dim) {
+    if (v < 0) v += dim;
+    else if (v >= dim) v -= dim;
+    return v;
 }
 
 // get_neighbors_cpu (reference backend.py:114-160): parallel-over-agents
@@ -35,7 +53,7 @@ void get_neighbors(int64_t n, const double* loc, const int64_t* bin_loc,
                    const int64_t* bins, const int64_t* bins_help,
                    double distance, int64_t* edges, uint8_t* if_edge,
                    int64_t* edge_count, int64_t max_neighbors,
-                   int64_t by, int64_t bz, int64_t cap) {
+                   int64_t bx, int64_t by, int64_t bz, int64_t cap) {
     double d2 = distance * distance;
 #pragma omp parallel for schedule(static)
     for (int64_t index = 0; index < n; ++index) {
@@ -47,7 +65,8 @@ void get_neighbors(int64_t n, const double* loc, const int64_t* bin_loc,
         for (int64_t i = -1; i <= 1; ++i)
             for (int64_t j = -1; j <= 1; ++j)
                 for (int64_t k = -1; k <= 1; ++k) {
-                    int64_t h = ((x + i) * by + (y + j)) * bz + (z + k);
+                    int64_t h = (wrap_idx(x + i, bx) * by + wrap_idx(y + j, by))
+                                * bz + wrap_idx(z + k, bz);
                     int64_t bc = bins_help[h];
                     if (bc > cap) bc = cap;
                     for (int64_t l = 0; l < bc; ++l) {

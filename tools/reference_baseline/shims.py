@@ -53,8 +53,8 @@ class _KernelDispatch:
             ctypes.c_int64(number_agents), p_bl,
             bins.ctypes.data_as(ctypes.c_void_p),
             bins_help.ctypes.data_as(ctypes.c_void_p),
-            ctypes.c_int64(max_agents), ctypes.c_int64(by), ctypes.c_int64(bz),
-            ctypes.c_int64(cap),
+            ctypes.c_int64(max_agents), ctypes.c_int64(bx), ctypes.c_int64(by),
+            ctypes.c_int64(bz), ctypes.c_int64(cap),
         )
         return bins, bins_help
 
@@ -72,8 +72,8 @@ class _KernelDispatch:
             edges.ctypes.data_as(ctypes.c_void_p),
             if_edge.ctypes.data_as(ctypes.c_void_p),
             edge_count.ctypes.data_as(ctypes.c_void_p),
-            ctypes.c_int64(max_neighbors), ctypes.c_int64(by),
-            ctypes.c_int64(bz), ctypes.c_int64(cap),
+            ctypes.c_int64(max_neighbors), ctypes.c_int64(bx),
+            ctypes.c_int64(by), ctypes.c_int64(bz), ctypes.c_int64(cap),
         )
         return edges, if_edge, edge_count
 
