@@ -1149,6 +1149,21 @@ class HipscEngine:
             if not cfg.use_pallas:
                 raise
             brief = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            if "remote_compile" in str(e):
+                # tunneled compile services fail TRANSIENTLY (measured: the
+                # same kernel failing on one helper instance and compiling
+                # on the next) — retry the same config once before degrading
+                print(
+                    f"hipsc: remote compile failed ({brief}); retrying once "
+                    "before degrading the kernel path",
+                    file=sys.stderr,
+                )
+                self._compiled.pop(self._step_key(cfg), None)
+                try:
+                    return self._step_fn(cfg)(state), cfg
+                except Exception as e_retry:  # noqa: BLE001
+                    brief = (f"{type(e_retry).__name__}: "
+                             f"{str(e_retry).splitlines()[0][:200]}")
             if (cfg.enable_diffusion
                     and os.environ.get("HIPSC_NO_PALLAS_FTCS") != "1"):
                 print(

@@ -79,22 +79,19 @@ def _reflect_and_step(src, dst, a, b, H, W):
     src[0:1, :] = src[1:2, :]
     src[H - 1:H, :] = src[H - 2:H - 1, :]
 
+    # STATIC unrolled tile loop: Mosaic rejects dynamic sublane offsets it
+    # cannot prove 8-aligned ("cannot statically prove that index in
+    # dimension 0 is a multiple of 8"), so every slice here is static —
+    # tile starts are _ROW_TILE-aligned and the last tile is ragged
     n_int = H - 2  # interior rows
     tile = min(_ROW_TILE, n_int)
-    n_tiles = -(-n_int // tile)  # ceil
-
-    def do_tile(t, _):
-        # clamp the last tile back so every window is statically (tile+2, W);
-        # the overlap recomputes identical values — stores are idempotent
-        start = jnp.minimum(t * tile, n_int - tile)
-        win = src[pl.ds(start, tile + 2), :]
+    for s in range(0, n_int, tile):
+        e = min(s + tile, n_int)  # interior rows [s, e)
+        win = src[s:e + 2, :]
         interior = win[1:-1, 1:-1]
         temp = a * (win[2:, 1:-1] + win[:-2, 1:-1]
                     + win[1:-1, 2:] + win[1:-1, :-2])
-        dst[pl.ds(start + 1, tile), 1:W - 1] = b * interior + temp
-        return 0
-
-    jax.lax.fori_loop(0, n_tiles, do_tile, 0)
+        dst[s + 1:e + 1, 1:W - 1] = b * interior + temp
 
 
 def _ftcs_kernel(base_ref, out_ref, scratch_ref, *, steps, a_main, a_last,

@@ -19,3 +19,15 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True)
+def _clean_kernel_escape_hatches():
+    """The engine's compile-failure ladder sets process-wide escape hatches
+    (HIPSC_NO_PALLAS_FTCS / HIPSC_NO_PALLAS); never let one test's fallback
+    silently disable Pallas kernels for the rest of the suite."""
+    yield
+    import os
+
+    os.environ.pop("HIPSC_NO_PALLAS_FTCS", None)
+    os.environ.pop("HIPSC_NO_PALLAS", None)

@@ -292,7 +292,7 @@ def test_pallas_compile_failure_falls_back_to_xla(monkeypatch):
             "Unimplemented primitive in Pallas TPU lowering: scatter")
 
     monkeypatch.setattr(pd, "ftcs_diffuse_pallas", boom)
-    monkeypatch.delenv("HIPSC_NO_PALLAS_FTCS", raising=False)
+    os.environ.pop("HIPSC_NO_PALLAS_FTCS", None)
 
     gen = GeneralParams(num_to_start=150, end_step=3, size=(300.0, 300.0, 0.0))
     xp = ExperimentalParams(num_gata6=15, dox_step=1)
@@ -313,7 +313,9 @@ def test_pallas_compile_failure_falls_back_to_xla(monkeypatch):
     assert eng.cfg.use_pallas  # contact kernels still on the Pallas path
     state, info = eng.safe_step(state)  # subsequent steps keep working
     assert np.isfinite(np.asarray(state.arrays["locations"])).all()
-    monkeypatch.delenv("HIPSC_NO_PALLAS_FTCS", raising=False)
+    # plain pop, NOT monkeypatch.delenv: monkeypatch would RESTORE the
+    # engine-set var at teardown, leaking it into every later test
+    os.environ.pop("HIPSC_NO_PALLAS_FTCS", None)
 
 
 def test_pallas_total_compile_failure_falls_back_to_pure_xla(monkeypatch):
@@ -329,7 +331,7 @@ def test_pallas_total_compile_failure_falls_back_to_pure_xla(monkeypatch):
             "Unimplemented primitive in Pallas TPU lowering: gather")
 
     monkeypatch.setattr(pc, "contact_substep_masked", boom)
-    monkeypatch.delenv("HIPSC_NO_PALLAS_FTCS", raising=False)
+    os.environ.pop("HIPSC_NO_PALLAS_FTCS", None)
 
     gen = GeneralParams(num_to_start=150, end_step=3, size=(300.0, 300.0, 0.0))
     xp = ExperimentalParams(num_gata6=15, dox_step=1)
@@ -341,7 +343,7 @@ def test_pallas_total_compile_failure_falls_back_to_pure_xla(monkeypatch):
     assert not eng.cfg.use_pallas
     state, info = eng.safe_step(state)
     assert np.isfinite(np.asarray(state.arrays["locations"])).all()
-    monkeypatch.delenv("HIPSC_NO_PALLAS_FTCS", raising=False)
+    os.environ.pop("HIPSC_NO_PALLAS_FTCS", None)
 
 
 def _canon(state):

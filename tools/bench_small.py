@@ -1,0 +1,55 @@
+"""Small-colony throughput: per-step dispatch vs device-resident k-step
+blocks (``HipscEngine.run_steps``) through the tunneled TPU backend.
+
+The round-3 regression: 1k-cell throughput fell 288 -> 140-161 steps/s
+because every ``safe_step`` fetches 9 overflow probes (one host round trip,
+~6 ms through the tunnel). ``run_steps`` scans k steps on device and
+fetches the stacked probes once per block — VERDICT r4 target: >= 250
+steps/s at 1k cells. Usage: ``python tools/bench_small.py [n_cells] [k]``.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_tpu")
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main(n_cells=1000, k=20, blocks_timed=10):
+    from hipsc_abm_tpu.engine import HipscEngine
+    from hipsc_abm_tpu.models.params import ExperimentalParams, GeneralParams
+
+    side = 2000.0 * (n_cells / 5000.0) ** 0.5
+    gen = GeneralParams(num_to_start=n_cells, end_step=10_000,
+                        size=(side, side, 0.0))
+    xp = ExperimentalParams(num_gata6=n_cells // 10, dox_step=5)
+
+    eng = HipscEngine(gen, xp)
+    state = eng.init_state(seed=0)
+    for _ in range(3):  # warmup + growth convergence
+        state, _ = eng.safe_step(state)
+    t0 = time.perf_counter()
+    for _ in range(30):
+        state, _ = eng.safe_step(state)
+    per_step = 30 / (time.perf_counter() - t0)
+    print(f"safe_step (per-step probes): {per_step:.0f} steps/s", flush=True)
+
+    eng2 = HipscEngine(gen, xp)
+    state2 = eng2.init_state(seed=0)
+    state2, _ = eng2.run_steps(state2, k)  # compile + growth
+    state2, _ = eng2.run_steps(state2, k)
+    t0 = time.perf_counter()
+    for _ in range(blocks_timed):
+        state2, infos = eng2.run_steps(state2, k)
+    blocked = blocks_timed * k / (time.perf_counter() - t0)
+    print(f"run_steps(k={k}) blocks:     {blocked:.0f} steps/s", flush=True)
+    print(f"speedup: {blocked / per_step:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    main(n, k)
