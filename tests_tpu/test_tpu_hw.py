@@ -128,7 +128,16 @@ def test_compiled_ftcs_kernel_matches_xla():
     dts = diffusion_dts(1800.0, 6.0)  # the production schedule: 301 subcycles
     assert fits_vmem(g.shape)
     a = np.asarray(ftcs_diffuse(g, jnp.asarray(dts), 2.0, 400.0, 2.0, 0.1))
-    b = np.asarray(ftcs_diffuse_pallas(g, dts, 2.0, 400.0, 2.0, 0.1))
+    # the tunnel's compile helpers fail transiently (the same kernel fails
+    # on one instance and compiles on the next) — bounded retry, same as
+    # the engine ladder's remote_compile retry
+    for attempt in range(4):
+        try:
+            b = np.asarray(ftcs_diffuse_pallas(g, dts, 2.0, 400.0, 2.0, 0.1))
+            break
+        except Exception as e:  # noqa: BLE001
+            if "remote_compile" not in str(e) or attempt == 3:
+                raise
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
