@@ -476,6 +476,12 @@ class Simulation:
             eng_clone = type(eng).__new__(type(eng))
             eng_clone.__dict__.update(eng.__dict__)
             clone.engine = eng_clone
+        # method_times is mutated IN PLACE on the live object every
+        # record_time call; pickling a shared dict on the background worker
+        # while the step loop writes it can raise "dictionary changed size
+        # during iteration" — snapshot it (the same rule as the RNG: copy
+        # anything the live object mutates in place rather than rebinds)
+        clone.method_times = dict(self.method_times)
         return clone
 
     def __getstate__(self):
