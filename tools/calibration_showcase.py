@@ -128,7 +128,7 @@ def make_target(n_cells: int, steps: int, side: float,
 
 
 def fit_stage(target: dict, param: str, start_factor: float,
-              replicates: int, iters: int) -> dict:
+              replicates: int, iters: int, lr: float = 0.05) -> dict:
     import dataclasses
 
     import numpy as np
@@ -164,7 +164,7 @@ def fit_stage(target: dict, param: str, start_factor: float,
         state = eng.init_state(seed=0)
 
     t0 = time.perf_counter()
-    res = cal.fit(state, iters=iters)
+    res = cal.fit(state, iters=iters, learning_rate=lr)
     wall = time.perf_counter() - t0
     fitted = res.params[param]
     return {
@@ -202,6 +202,8 @@ def main():
                   if "--replicates" in sys.argv else 4)
     iters = (int(sys.argv[sys.argv.index("--iters") + 1])
              if "--iters" in sys.argv else 30)
+    lr = (float(sys.argv[sys.argv.index("--lr") + 1])
+          if "--lr" in sys.argv else 0.05)
 
     import jax as _jax
 
@@ -210,7 +212,7 @@ def main():
                "stages": []}
     for param in ("adhesion_const", "motility_force"):
         stage = fit_stage(target, param, start_factor=3.0,
-                          replicates=replicates, iters=iters)
+                          replicates=replicates, iters=iters, lr=lr)
         results["stages"].append(stage)
         print(json.dumps(stage), flush=True)
     print(json.dumps(results))
