@@ -159,6 +159,11 @@ def ftcs_diffuse_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct(base.shape, base.dtype),
         scratch_shapes=[pltpu.VMEM(base.shape, base.dtype)],
+        # alias the (freshly padded, safely donatable) input onto the output
+        # buffer: VMEM peak is TWO lattices + one tile window, not three —
+        # a separate input ref OOMs the 16 MB VMEM at the 1001x1001 500k
+        # bench lattice ("Ran out of memory in memory space vmem")
+        input_output_aliases={0: 0},
         interpret=bool(interpret),
     )(base)
     return out[1:-1, 1:-1] * (1.0 - degradation)
