@@ -323,3 +323,21 @@ def test_nan_guards_do_not_change_the_primal():
                                                   jnp.float32(1.0)))
     assert bool(jnp.isfinite(val))
     assert all(bool(jnp.isfinite(g)) for g in grads), grads
+
+
+def test_delta_trajectory_loss_cancels_offsets():
+    """delta_trajectory_squared_error fits the CHANGE of the statistic: a
+    constant offset between simulated and observed trajectories (e.g. each
+    replicate's random-placement Rg offset, ~Rg/sqrt(2N)) contributes
+    exactly zero loss, while a rate mismatch is penalized."""
+    import jax.numpy as jnp
+
+    from hipsc_abm_tpu.calibrate import delta_trajectory_squared_error
+
+    targets = np.array([10.0, 11.0, 12.5], dtype=np.float32)
+    tl = delta_trajectory_squared_error(lambda s: s, targets)
+    # same deltas, +4 offset -> zero loss
+    assert float(tl.loss(jnp.asarray([14.0, 15.0, 16.5]))) == 0.0
+    # rate mismatch is seen even under an offset
+    wrong = float(tl.loss(jnp.asarray([14.0, 14.5, 15.0])))
+    assert wrong > 0.1
