@@ -49,7 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 # VMEM with compiler headroom: bound ONE lattice at 5 MB
 _VMEM_BUDGET_BYTES = 5 * 1024 * 1024
 
-_ROW_TILE = 256  # interior rows computed per tile (window = tile + 2 halo)
+_ROW_TILE = 128  # interior rows computed per tile (window = tile + 2 halo);
+# 256 OOM'd compiler stack space at the 1001x1001 bench lattice — the
+# middle-loop AND static-tail regions' value temporaries coexist on the
+# kernel's VMEM stack alongside the two ping-pong lattices
 
 
 def fits_vmem(shape, itemsize: int = 4) -> bool:
@@ -79,19 +82,50 @@ def _reflect_and_step(src, dst, a, b, H, W):
     src[0:1, :] = src[1:2, :]
     src[H - 1:H, :] = src[H - 2:H - 1, :]
 
-    # STATIC unrolled tile loop: Mosaic rejects dynamic sublane offsets it
-    # cannot prove 8-aligned ("cannot statically prove that index in
-    # dimension 0 is a multiple of 8"), so every slice here is static —
-    # tile starts are _ROW_TILE-aligned and the last tile is ragged
-    n_int = H - 2  # interior rows
-    tile = min(_ROW_TILE, n_int)
-    for s in range(0, n_int, tile):
-        e = min(s + tile, n_int)  # interior rows [s, e)
-        win = src[s:e + 2, :]
+    # Tile loop constraints, all hardware-diagnosed: (1) Mosaic rejects
+    # DYNAMIC sublane (dim 0) offsets — loads AND stores — that it cannot
+    # statically prove are multiples of 8; (2) a STATIC unrolled tile loop
+    # stack-allocates every unrolled iteration's value temporaries and OOMs
+    # VMEM at the 1001x1001 bench lattice. Layout that satisfies both:
+    #   - static HEAD: interior rows [0, 7) — the +1 ghost offset means
+    #     aligned stores must start at padded row 8;
+    #   - fori_loop MIDDLE tiles t: load the aligned superset
+    #     src[t*T, t*T + T+16) (t*T is affine, provably 8-aligned),
+    #     value-slice rows [7, T+9) as the halo window, store padded rows
+    #     [8 + t*T, 8 + (t+1)*T) — also affine-aligned;
+    #   - static ragged TAIL for the remainder (covers everything when the
+    #     lattice is too small for an aligned middle tile).
+    n_int = H - 2  # interior rows; interior r lives at padded row r + 1
+    T = _ROW_TILE
+
+    def stencil(win):
         interior = win[1:-1, 1:-1]
         temp = a * (win[2:, 1:-1] + win[:-2, 1:-1]
                     + win[1:-1, 2:] + win[1:-1, :-2])
-        dst[s + 1:e + 1, 1:W - 1] = b * interior + temp
+        return b * interior + temp
+
+    head = min(7, n_int)
+    if head:
+        dst[1:head + 1, 1:W - 1] = stencil(src[0:head + 2, :])
+    # middle tiles need their aligned superset load (T+16 rows from t*T)
+    # to stay inside the ref: nmid*T + 16 <= H  <=>  nmid <= (n_int-14)//T
+    nmid = max(0, (n_int - 14) // T) if n_int > 7 else 0
+    if nmid > 0:
+        def do_tile(t, _):
+            base = t * T
+            fw = src[pl.ds(base, T + 16), :]
+            # stencil over padded rows [base+8, base+T+8) read directly from
+            # the superset (no materialized halo-window slice): center rows
+            # are fw[8:T+8], up fw[7:T+7], down fw[9:T+9]
+            temp = a * (fw[9:T + 9, 1:W - 1] + fw[7:T + 7, 1:W - 1]
+                        + fw[8:T + 8, 2:W] + fw[8:T + 8, 0:W - 2])
+            dst[pl.ds(base + 8, T), 1:W - 1] = b * fw[8:T + 8, 1:W - 1] + temp
+            return 0
+
+        jax.lax.fori_loop(0, nmid, do_tile, 0)
+    tail_lo = head if nmid == 0 else 7 + nmid * T
+    if tail_lo < n_int:
+        dst[tail_lo + 1:n_int + 1, 1:W - 1] = stencil(src[tail_lo:n_int + 2, :])
 
 
 def _ftcs_kernel(base_ref, out_ref, scratch_ref, *, steps, a_main, a_last,

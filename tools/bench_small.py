@@ -24,9 +24,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def _engine(n_cells):
-    import dataclasses
-
-    from hipsc_abm_tpu.engine import HipscEngine
+    from hipsc_abm_tpu.engine import EngineConfig, HipscEngine
     from hipsc_abm_tpu.models.params import ExperimentalParams, GeneralParams
 
     side = 2000.0 * (n_cells / 5000.0) ** 0.5
@@ -34,14 +32,22 @@ def _engine(n_cells):
                         size=(side, side, 0.0))
     xp = ExperimentalParams(num_gata6=n_cells // 10, dox_step=5)
     eng = HipscEngine(gen, xp)
-    # population grows ~1.3%/step at reference density: give the timed
-    # region (few hundred steps) slot headroom up front
-    eng.cfg = dataclasses.replace(eng.cfg, capacity=max(
-        4 * eng.cfg.capacity, 2048))
+    # population grows ~1.3%/step at reference density IN A FIXED BOX, so
+    # bin occupancy rises too: pre-size slots AND run caps so no growth
+    # recompile lands inside the timed region (each costs a fresh jaxpr —
+    # ~k single-step compiles for a k-step block)
+    cap = max(4 * eng.cfg.capacity, 2048)
+    eng.cfg = EngineConfig.create(
+        gen.size, capacity=cap, bio=eng.bio,
+        nbr_run_cap=48, jkr_run_cap=48,
+        use_pallas=eng.cfg.use_pallas,
+        uniform_radius=eng.bio.max_radius,
+        jkr_span=min(1024, cap), nbr_span=min(1024, cap),
+    )
     return eng
 
 
-def main(n_cells=1000, k=20, blocks_timed=10):
+def main(n_cells=1000, k=100, blocks_timed=3):
     eng = _engine(n_cells)
     state = eng.init_state(seed=0)
     for _ in range(3):  # compile + cap convergence
@@ -71,5 +77,5 @@ def main(n_cells=1000, k=20, blocks_timed=10):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     main(n, k)

@@ -128,7 +128,8 @@ def make_target(n_cells: int, steps: int, side: float,
 
 
 def fit_stage(target: dict, param: str, start_factor: float,
-              replicates: int, iters: int, lr: float = 0.05) -> dict:
+              replicates: int, iters: int, lr: float = 0.05,
+              method: str = "grad") -> dict:
     import dataclasses
 
     import numpy as np
@@ -164,7 +165,15 @@ def fit_stage(target: dict, param: str, start_factor: float,
         state = eng.init_state(seed=0)
 
     t0 = time.perf_counter()
-    res = cal.fit(state, iters=iters, learning_rate=lr)
+    if method == "es":
+        # forward-only antithetic ES with common random numbers: the
+        # pathwise gradient through a 10-step contact rollout is noisy
+        # (adam's effective step collapses ~7x); the smoothed ES gradient
+        # with rank shaping is the robust estimator for this landscape
+        res = cal.fit_es(state, iters=iters, popsize=16, sigma=0.3,
+                         learning_rate=lr)
+    else:
+        res = cal.fit(state, iters=iters, learning_rate=lr)
     wall = time.perf_counter() - t0
     fitted = res.params[param]
     return {
@@ -178,6 +187,7 @@ def fit_stage(target: dict, param: str, start_factor: float,
         "loss_best": res.best_loss,
         "iters": iters,
         "replicates": replicates,
+        "method": method,
         "wall_s": round(wall, 1),
     }
 
@@ -204,15 +214,18 @@ def main():
              if "--iters" in sys.argv else 30)
     lr = (float(sys.argv[sys.argv.index("--lr") + 1])
           if "--lr" in sys.argv else 0.05)
+    method = (sys.argv[sys.argv.index("--method") + 1]
+              if "--method" in sys.argv else "grad")
 
     import jax as _jax
 
-    results = {"backend": _jax.default_backend(),
+    results = {"backend": _jax.default_backend(), "method": method,
                "target": target["rg_trajectory_um"],
                "stages": []}
     for param in ("adhesion_const", "motility_force"):
         stage = fit_stage(target, param, start_factor=3.0,
-                          replicates=replicates, iters=iters, lr=lr)
+                          replicates=replicates, iters=iters, lr=lr,
+                          method=method)
         results["stages"].append(stage)
         print(json.dumps(stage), flush=True)
     print(json.dumps(results))
