@@ -45,9 +45,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# two padded f32 lattices (ping-pong) + tile windows must fit the ~16 MB
-# VMEM with compiler headroom: bound ONE lattice at 5 MB
-_VMEM_BUDGET_BYTES = 5 * 1024 * 1024
+# two padded f32 lattices (ping-pong) + tile windows + the static regions'
+# stack temporaries must fit the ~16 MB VMEM: hardware-probed bound — the
+# 1003^2 padded lattice (4.03 MB, the 500k bench shape) compiles and runs
+# bit-exact; 1102^2 (4.86 MB) crashes the Mosaic compiler's stack
+# allocation. Anything that still slips through degrades to the XLA scan
+# via the engine's compile-failure ladder.
+_VMEM_BUDGET_BYTES = int(4.25 * 1024 * 1024)
 
 _ROW_TILE = 128  # interior rows computed per tile (window = tile + 2 halo);
 # 256 OOM'd compiler stack space at the 1001x1001 bench lattice — the

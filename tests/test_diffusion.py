@@ -208,7 +208,10 @@ def test_ftcs_pallas_schedule_guards():
         ftcs_diffuse_pallas(g, np.asarray([0.5, 0.3, 0.2]), 2.0, 400.0,
                             2.0, 0.1, interpret=True)
 
-    # eligibility accounts for the element width, not a hardcoded f32
-    shape = (1100, 1100)
-    assert fits_vmem(shape, 4)
-    assert not fits_vmem(shape, 8)
+    # the hardware-probed eligibility boundary: the 500k bench lattice
+    # (1001^2) is in, 1102^2 (which crashed the Mosaic stack allocator) is
+    # out, and the element width is accounted for, not hardcoded f32
+    assert fits_vmem((1001, 1001), 4)
+    assert not fits_vmem((1100, 1100), 4)
+    assert fits_vmem((750, 750), 4)
+    assert not fits_vmem((750, 750), 8)
