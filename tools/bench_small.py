@@ -47,7 +47,7 @@ def _engine(n_cells):
     return eng
 
 
-def main(n_cells=1000, k=100, blocks_timed=3):
+def main(n_cells=1000, k=50, blocks_timed=2):
     eng = _engine(n_cells)
     state = eng.init_state(seed=0)
     for _ in range(3):  # compile + cap convergence
@@ -59,10 +59,15 @@ def main(n_cells=1000, k=100, blocks_timed=3):
     per_step = n_steps / (time.perf_counter() - t0)
     print(f"safe_step (per-step probes): {per_step:.0f} steps/s", flush=True)
 
+    # ONE warmup block only: pluripotent colonies divide unboundedly in a
+    # fixed box (reference-faithful — contact inhibition gates only
+    # differentiated cells), and past ~20x reference density the XLA TPU
+    # runtime itself faults (BENCHMARKS.md "Known runtime limits"); keep
+    # the measurement inside the physical regime (< ~3x density)
     eng2 = _engine(n_cells)
     state2 = eng2.init_state(seed=0)
-    state2, _ = eng2.run_steps(state2, k)  # compile + cap convergence
-    state2, _ = eng2.run_steps(state2, k)
+    state2, _ = eng2.run_steps(state2, k)  # compile
+    state2, _ = eng2.run_steps(state2, k)  # cap convergence (run_cap growth)
     cfg_before = eng2.cfg
     t0 = time.perf_counter()
     for _ in range(blocks_timed):
@@ -77,5 +82,5 @@ def main(n_cells=1000, k=100, blocks_timed=3):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     main(n, k)
