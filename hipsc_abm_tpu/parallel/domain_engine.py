@@ -1890,19 +1890,22 @@ class DomainHipscEngine:
             self._compiled[lkey] = jax.jit(run)
         return self._compiled[lkey]
 
-    def step(self, state: DomainState) -> Tuple[DomainState, DomainStepInfo]:
-        cfg = self._cfg_for_state(state)
+    def _global_consts(self, cfg: DomainConfig):
         # per-tile constants as mesh-global arrays (multi-controller: a
         # plain numpy jit argument cannot satisfy a mesh-spanning in_spec);
         # cached per config object so steady-state steps skip the transfer
         cached = getattr(self, "_consts_global", None)
         if cached is not None and cached[0] is cfg:
-            sci, scf = cached[1], cached[2]
-        else:
-            sci_np, scf_np = self._stripe_consts(cfg)
-            sci = self._to_global(sci_np, P(AXIS))
-            scf = self._to_global(scf_np, P(AXIS))
-            self._consts_global = (cfg, sci, scf)
+            return cached[1], cached[2]
+        sci_np, scf_np = self._stripe_consts(cfg)
+        sci = self._to_global(sci_np, P(AXIS))
+        scf = self._to_global(scf_np, P(AXIS))
+        self._consts_global = (cfg, sci, scf)
+        return sci, scf
+
+    def step(self, state: DomainState) -> Tuple[DomainState, DomainStepInfo]:
+        cfg = self._cfg_for_state(state)
+        sci, scf = self._global_consts(cfg)
         out = self._step_fn(cfg)(
             state.arrays, state.alive, state.bonds.partners, state.bonds.mask,
             state.gradients, state.key, state.step, state.next_id, sci, scf,
@@ -1914,6 +1917,87 @@ class DomainHipscEngine:
             gradients=gradients, key=key, step=step, next_id=next_id,
         )
         return new_state, info
+
+    def _block_fn(self, cfg: DomainConfig, k: int):
+        """jitted ``lax.scan`` of k full domain steps (scan OUTSIDE the
+        shard_map: each iteration is one mesh-wide sharded step): one
+        dispatch + one stacked probe fetch per block — the host-latency
+        killer matters MOST here, where every fetch crosses the
+        multi-controller boundary (see HipscEngine._block_fn)."""
+        lkey = ("block", k, cfg, self.gen, self.xp, self.bio, self.diff,
+                self.mesh)
+        if lkey not in self._compiled:
+            step_fn = self._step_fn(cfg)
+
+            def run_block(arrays, alive, partners, bmask, gradients, key,
+                          step, next_id, sci, scf):
+                def body(carry, _):
+                    (arrays, alive, partners, bmask, gradients, key, step,
+                     next_id) = carry
+                    out = step_fn(arrays, alive, partners, bmask, gradients,
+                                  key, step, next_id, sci, scf)
+                    return out[:8], out[8]
+
+                carry0 = (arrays, alive, partners, bmask, gradients, key,
+                          step, next_id)
+                carry, infos = jax.lax.scan(body, carry0, None, length=k)
+                return carry, infos
+
+            self._compiled[lkey] = jax.jit(run_block)
+        return self._compiled[lkey]
+
+    def run_steps(
+        self, state: DomainState, k: int
+    ) -> Tuple[DomainState, DomainStepInfo]:
+        """Run ``k`` domain steps device-resident with exact overflow
+        recovery — semantics identical to ``k`` ``safe_step`` calls; the
+        block re-executes WHOLE from its unmodified input after growth
+        (the same exactness argument). Returned ``DomainStepInfo`` fields
+        carry a leading (k,) axis."""
+        if k < 1:
+            raise ValueError(f"run_steps needs k >= 1, got {k}")
+        for _ in range(16):
+            cfg = self._cfg_for_state(state)
+            sci, scf = self._global_consts(cfg)
+            carry, infos = self._block_fn(cfg, k)(
+                state.arrays, state.alive, state.bonds.partners,
+                state.bonds.mask, state.gradients, state.key, state.step,
+                state.next_id, sci, scf,
+            )
+            (arrays, alive, partners, bmask, gradients, key, step,
+             next_id) = carry
+            new_state = DomainState(
+                arrays=arrays, alive=alive,
+                bonds=BondState(partners=partners, mask=bmask),
+                gradients=gradients, key=key, step=step, next_id=next_id,
+            )
+            infos = DomainStepInfo(*jax.device_get(tuple(infos)))
+            worst = DomainStepInfo(
+                *(np.max(np.asarray(f), axis=0) for f in infos))
+            if int(worst.max_id) >= (1 << 24) - 1:
+                raise RuntimeError("agent id space exhausted (2^24)")
+            if int(worst.mig_too_far) > 0:
+                raise RuntimeError(
+                    "an agent crossed an entire stripe in one step; the "
+                    "decomposition cannot deliver it — use fewer stripes"
+                )
+            try:
+                grown = self._grown_cfg(cfg, worst)
+            except ValueError:
+                self.cfg = cfg
+                flat = self.to_cell_state(state)
+                self.cfg = self._grown_cfg(cfg, worst, drop_bounds=True)
+                state = self.from_cell_state(flat)
+                try:
+                    state = self.rebalance(state)
+                except ValueError:
+                    pass  # keep the uniform partition
+                continue
+            if grown is None:
+                return new_state, infos
+            self.cfg = grown
+            state = self.repad_state(state, grown)
+        raise RuntimeError("capacity growth failed to converge")
 
     def _cfg_for_state(self, state: DomainState) -> DomainConfig:
         cfg = self.cfg

@@ -479,3 +479,30 @@ def test_domain_single_substep_schedule_pallas():
     assert int(info.num_agents) > 0
     flat = dom.to_cell_state(state)
     assert np.isfinite(np.asarray(flat.arrays["locations"])).all()
+
+
+@requires_multi
+def test_domain_run_steps_matches_safe_step_sequence():
+    """DomainHipscEngine.run_steps(state, k) == k safe_steps, bit-exact —
+    the scan body IS the sharded step; only the host boundary moves."""
+    dom_a, _ = make_engines(n=800, gata6=80)
+    dom_b, _ = make_engines(n=800, gata6=80)
+
+    sa = dom_a.init_state(seed=5)
+    sb = dom_b.init_state(seed=5)
+    k = 4
+    for _ in range(k):
+        sa, info_a = dom_a.safe_step(sa)
+    sb, infos = dom_b.run_steps(sb, k)
+
+    assert np.asarray(infos.num_agents).shape == (k,)
+    assert int(infos.num_agents[-1]) == int(info_a.num_agents)
+
+    a = by_id(dom_a.to_cell_state(sa))
+    b = by_id(dom_b.to_cell_state(sb))
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    for key in ("GATA6", "NANOG", "states", "div_counters", "death_counters"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    np.testing.assert_array_equal(a["locations"], b["locations"])
+    assert bond_sets(dom_a.to_cell_state(sa)) == bond_sets(
+        dom_b.to_cell_state(sb))
