@@ -265,3 +265,30 @@ def test_elastic_chain_multi_hop_bit_exact(tmp_path):
     np.testing.assert_array_equal(a["locations"], b["locations"])
     for k in ("GATA6", "NANOG", "states", "div_counters", "death_counters"):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+@requires_multi
+def test_domain_lifecycle_output_interval_blocks(tmp_path, monkeypatch):
+    """`output_interval: k` + `domain_tiles`: the multi-chip lifecycle runs
+    device-resident blocks (DomainHipscEngine.run_steps) between outputs —
+    same colony as per-step, outputs on block boundaries only."""
+    from hipsc_abm_tpu.models.hipsc import CellSimulation
+
+    write_templates(tmp_path, domain_tiles=[2, 2], end_step=4)
+    gen_path = tmp_path / "templates" / "general.yaml"
+    gen = yaml.safe_load(gen_path.read_text())
+    gen["output_interval"] = 2
+    gen["output_images"] = False
+    gen_path.write_text(yaml.dump(gen))
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "outputs"
+    out.mkdir()
+    env = str(out) + os.sep
+
+    sim = CellSimulation.start(env, argv=["-n", "db", "-m", "0"])
+    assert sim._is_domain and sim.number_agents > 0
+    vals = os.path.join(env, "db", "db_values")
+    assert os.path.isfile(os.path.join(vals, "db_values_0.csv"))  # initials
+    assert os.path.isfile(os.path.join(vals, "db_values_2.csv"))
+    assert os.path.isfile(os.path.join(vals, "db_values_4.csv"))
+    assert not os.path.isfile(os.path.join(vals, "db_values_3.csv"))
