@@ -392,3 +392,34 @@ def test_run_steps_matches_safe_step_sequence():
     for key in ("GATA6", "NANOG", "states", "div_counters", "death_counters"):
         np.testing.assert_array_equal(a[key], b[key], err_msg=key)
     np.testing.assert_array_equal(a["locations"], b["locations"])
+
+
+def test_transient_remote_compile_retries_same_config(monkeypatch):
+    """A remote_compile failure (the tunnel's flaky compile helpers) must
+    retry the SAME config once before degrading the kernel path — measured
+    transient: the same kernel fails on one helper instance and compiles
+    on the next."""
+    gen = GeneralParams(num_to_start=150, end_step=3, size=(300.0, 300.0, 0.0))
+    xp = ExperimentalParams(num_gata6=15, dox_step=1)
+    eng = HipscEngine(gen, xp, use_pallas=True)
+    eng.cfg = dataclasses.replace(eng.cfg, pallas_interpret=True)
+    state = eng.init_state(seed=3)
+
+    real_step_fn = eng._step_fn
+    calls = {"n": 0}
+
+    def flaky_step_fn(cfg):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            def boom(st):
+                raise RuntimeError(
+                    "INTERNAL: http://127.0.0.1:8093/remote_compile: "
+                    "HTTP 500: tpu_compile_helper subprocess exit code 1")
+            return boom
+        return real_step_fn(cfg)
+
+    monkeypatch.setattr(eng, "_step_fn", flaky_step_fn)
+    state, info = eng.safe_step(state)
+    assert int(info.num_agents) > 0
+    assert eng.cfg.use_pallas  # no degradation — the retry succeeded
+    assert calls["n"] == 2
