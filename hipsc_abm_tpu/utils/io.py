@@ -176,7 +176,13 @@ def append_data_csv(
     method_times: Dict[str, float],
 ) -> None:
     """Running performance CSV (``data``, ``simulation.py:392-419``)."""
-    new_file = current_step == 1
+    # header when the file doesn't exist yet, NOT when current_step == 1:
+    # under `output_interval` blocks the first data() call lands on a block
+    # boundary (e.g. step 4), and the reference's step==1 rule would leave
+    # the CSV headerless. (The reference truncates on step 1; appending to
+    # a stale file from an aborted same-name run is prevented upstream by
+    # check_new_sim, so exists() is the equivalent condition.)
+    new_file = not os.path.exists(path)
     with open(path, "a", newline="") as file:
         writer = csv.writer(file)
         if new_file:

@@ -181,3 +181,10 @@ def test_output_interval_blocks_match_per_step(tmp_path, monkeypatch):
     assert os.path.isfile(os.path.join(vals_b, "b_values_3.csv"))
     assert os.path.isfile(os.path.join(vals_b, "b_values_6.csv"))
     assert not os.path.isfile(os.path.join(vals_b, "b_values_2.csv"))
+
+    # the data CSV keeps its schema under blocks (the header is written on
+    # file creation, not on the never-output step 1)
+    with open(os.path.join(out_b, "b", "b_data.csv")) as f:
+        header = f.readline().strip().split(",")
+    assert header[:4] == ["Step Number", "Number Cells", "Step Time",
+                          "Memory (MB)"]

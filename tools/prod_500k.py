@@ -24,6 +24,8 @@ STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 CELLS = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
 # HIPSC_TEMP_PICKLE=0 drops the per-step pickle (npz mode-1 resume instead)
 TEMP_PICKLE = os.environ.get("HIPSC_TEMP_PICKLE", "1") != "0"
+# HIPSC_OUTPUT_INTERVAL=k runs device-resident k-step blocks between outputs
+OUTPUT_INTERVAL = int(os.environ.get("HIPSC_OUTPUT_INTERVAL", "1"))
 ROOT = "/tmp/prod500k"
 NAME = "p500"
 
@@ -44,6 +46,7 @@ image_quality: 2000
 video_quality: 1500
 fps: 6
 temp_pickle: {str(TEMP_PICKLE).lower()}
+output_interval: {OUTPUT_INTERVAL}
 """)
     with open(f"{ROOT}/templates/experimental.yaml", "w") as f:
         f.write(f"""num_gata6: {CELLS // 10}
