@@ -64,7 +64,13 @@ def _wait_for_backend(max_wait_s: float) -> bool:
     attempt = 0
     while True:
         attempt += 1
-        if _probe_once(min(120.0, max(10.0, max_wait_s))):
+        # per-attempt timeout BACKS OFF: a congested-but-working tunnel can
+        # take >2 min just to initialize PJRT (measured 133 s first-op),
+        # which a fixed 120 s probe window misreads as a wedge — and then
+        # the bench wrongly falls back to CPU
+        per_attempt = min(120.0 * (2 ** (attempt - 1)),
+                          max(10.0, deadline - time.monotonic()))
+        if _probe_once(per_attempt):
             return True
         if time.monotonic() >= deadline:
             return False
