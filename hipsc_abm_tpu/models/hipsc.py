@@ -299,6 +299,12 @@ class CellSimulation(Simulation):
                 k = min(interval, self.end_step + 1 - step)
                 n_before = self.number_agents
                 self._host_state = None
+                # the boundary row's 'Step Time' must include the device
+                # block, not just the host output pipeline (ADVICE r4):
+                # data() reads self.step_start, so anchor it BEFORE the
+                # block — the recorded time is the whole k-step block wall
+                # plus the boundary outputs
+                self.step_start = time.perf_counter()
                 with record_block(self, "step_fused"):
                     self.state, infos = self.engine.run_steps(self.state, k)
                     jax.block_until_ready(self.state.arrays["locations"])
@@ -307,7 +313,6 @@ class CellSimulation(Simulation):
                 agents = np.asarray(infos.num_agents)
                 for j in range(k):
                     self.current_step = step + j
-                    self.step_start = time.perf_counter()
                     print("Step: " + str(self.current_step))
                     print("Number of agents: "
                           + str(n_before if j == 0 else int(agents[j - 1])))

@@ -64,8 +64,8 @@ def fits_vmem(shape, itemsize: int = 4) -> bool:
     ``itemsize`` is the lattice element width in bytes (pass
     ``grid.dtype.itemsize``; defaults to f32). ``HIPSC_NO_PALLAS_FTCS=1``
     force-disables the kernel (engines then run the XLA subcycle scan) —
-    the escape hatch if a Mosaic lowering issue surfaces on a backend this
-    kernel has not been validated on."""
+    a USER-FACING escape hatch only: library code never writes it (engine
+    fallback state is per-engine, ``EngineConfig.use_pallas_ftcs``)."""
     import os
 
     if os.environ.get("HIPSC_NO_PALLAS_FTCS") == "1":

@@ -633,8 +633,8 @@ def _domain_step_body(
             # every device runs the identical subcycle loop on its replica;
             # the VMEM-resident kernel saves the same ~300 dispatches per
             # device as on the single-chip path (see ops/pallas_diffusion.py)
-            if base.use_pallas and _diff_fits_vmem(grid_g.shape,
-                                                   grid_g.dtype.itemsize):
+            if (base.use_pallas and base.use_pallas_ftcs
+                    and _diff_fits_vmem(grid_g.shape, grid_g.dtype.itemsize)):
                 new_gradients[gname] = _ftcs_pallas_fn(
                     grid_g, np_dts_d, diff.diffuse_const, diff.spat_res2,
                     diff.max_concentration, diff.degradation,
@@ -2074,9 +2074,16 @@ class DomainHipscEngine:
             changed = True
         bond_cap = base.bond_cap
         if int(info.jkr_max_degree) > bond_cap:
-            base = dataclasses.replace(
-                base, bond_cap=_round_up(int(info.jkr_max_degree) * 2, 8)
-            )
+            from hipsc_abm_tpu.engine import (
+                _BOND_CAP_GUARD_MSG, max_safe_bond_cap)
+            need = _round_up(int(info.jkr_max_degree) * 2, 8)
+            limit = max_safe_bond_cap()
+            if need > limit:
+                # same measured XLA:TPU worker-fault regime as the
+                # single-chip engine — raise loudly, never kill a worker
+                raise RuntimeError(_BOND_CAP_GUARD_MSG.format(
+                    deg=int(info.jkr_max_degree), need=need, limit=limit))
+            base = dataclasses.replace(base, bond_cap=need)
             changed = True
         per_stripe = cfg.per_stripe
         div_cap = cfg.div_cap

