@@ -205,17 +205,42 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_tpu")
 # ---------------------------------------------------------------------------
 
 
+_warm_ok = threading.Event()
+_warm_failed = threading.Event()
+
+
+def _start_backend_warmup():
+    """Initialize THIS process's backend in a daemon thread, concurrently
+    with the subprocess probe: a congested tunnel takes minutes per PJRT
+    init (measured 261 s), and paying it twice — probe, then main — is the
+    difference between landing both headline points and only one. If the
+    tunnel is truly wedged the thread hangs harmlessly; the watchdog still
+    exits with whatever was emitted."""
+    def _warm():
+        try:
+            float(jnp.sum(jnp.ones((8, 8))))
+            _warm_ok.set()
+        except Exception:  # noqa: BLE001 — probe subprocess is the arbiter
+            _warm_failed.set()
+
+    threading.Thread(target=_warm, daemon=True, name="bench-warmup").start()
+
+
 def _wait_for_backend(budget_s: float) -> bool:
-    """Probe the accelerator backend in disposable subprocesses.
+    """Probe the accelerator backend in a disposable subprocess.
 
     A tunneled TPU backend can wedge after an interrupted job: the next
     PJRT init hangs forever (not an exception). Probing in a subprocess
-    with a timeout — BEFORE this process runs its first jax op — turns
-    that failure mode into a bounded wait. The budget is a SLICE of the
-    one total deadline, never an open-ended stack (VERDICT r4 weak #1:
-    round 4 forfeited the bench to an 1800 s probe budget that outlived
-    the driver's clock). Returns True once a trivial device op succeeds.
-    """
+    with a timeout — watched from outside — turns that failure mode into a
+    bounded wait. The budget is a SLICE of the one total deadline, never
+    an open-ended stack (VERDICT r4 weak #1: round 4 forfeited the bench
+    to an 1800 s probe budget that outlived the driver's clock). A single
+    attempt gets the whole slice: congestion-vs-wedge cannot be told apart
+    any faster (a congested init is one long uninterruptible call), and
+    short windows misread slow-but-alive tunnels as dead — the round-4
+    regression in the other direction. Crash exits (worker-crash
+    poisoning, [[tpu-tunnel-ops]]) retry immediately; they fail fast.
+    Returns True once a trivial device op succeeds."""
     if os.environ.get("HIPSC_BENCH_FORCE_PROBE_FAIL") == "1":  # test hook
         return False
     if os.environ.get("HIPSC_BENCH_FORCE_PROBE_HANG") == "1":  # test hook
@@ -225,37 +250,31 @@ def _wait_for_backend(budget_s: float) -> bool:
              "print(float(jnp.sum(jnp.ones((8, 8)))))")
     deadline = time.monotonic() + budget_s
 
-    def _probe_once(timeout_s: float) -> bool:
-        proc = subprocess.Popen(
-            [sys.executable, "-c", probe], stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL, start_new_session=True)
-        try:
-            return proc.wait(timeout=timeout_s) == 0
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            try:
-                proc.wait(timeout=10)
-            except subprocess.TimeoutExpired:
-                pass  # stuck in an uninterruptible PJRT call — abandon it
-            return False
-
     attempt = 0
     while True:
         attempt += 1
         left = deadline - time.monotonic()
         if left <= 5.0:
             return False
-        # 150 s covers the measured worst healthy first-op (133 s PJRT init
-        # through a congested tunnel) without burning the whole budget on
-        # one attempt
-        if _probe_once(min(150.0, left)):
-            return True
-        if time.monotonic() >= deadline:
-            return False
-        print(f"bench: backend probe {attempt} failed, retrying "
-              f"({int(deadline - time.monotonic())}s of probe budget left)",
-              file=sys.stderr)
-        time.sleep(min(5.0, max(0.5, deadline - time.monotonic())))
+        if _warm_ok.is_set():
+            return True  # the in-process warmup beat the subprocess to it
+        proc = subprocess.Popen(
+            [sys.executable, "-c", probe], stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, start_new_session=True)
+        try:
+            if proc.wait(timeout=left) == 0:
+                return True
+            # crash exit: transient helper/worker poisoning — retry cheap
+            print(f"bench: backend probe {attempt} crashed "
+                  f"(rc={proc.returncode}); retrying", file=sys.stderr)
+            time.sleep(min(5.0, max(0.5, deadline - time.monotonic())))
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass  # stuck in an uninterruptible PJRT call — abandon it
+            return _warm_ok.is_set()
 
 
 def _preflight_kernel_paths(budget_s: float) -> None:
@@ -299,7 +318,14 @@ def _preflight_kernel_paths(budget_s: float) -> None:
         out, _ = proc.communicate(timeout=budget_s)
     except subprocess.TimeoutExpired:
         proc.kill()
-        out = ""
+        # a timeout is INCONCLUSIVE — a congested tunnel pays minutes per
+        # PJRT init, and killing a slow-but-fine probe must not disable
+        # the kernel path being benchmarked; the in-process ladder still
+        # covers real compile failures
+        print("bench: preflight timed out (congestion?) — proceeding with "
+              "the Pallas path, in-process ladder as the guard",
+              file=sys.stderr)
+        return
     if proc.returncode != 0 or "PALLAS_BAD" in out:
         print("bench: preflight lost the Pallas step "
               f"(rc={proc.returncode}) — benching the XLA path",
@@ -520,15 +546,23 @@ def _bench_resilient(n_cells: int, steps_timed: int):
 
 def main():
     # guards + watchdog installed at module top, before the jax import
-    # --- backend probe: <= 300 s slice of the total deadline -------------
-    probe_budget = max(60.0, min(300.0, remaining() - 360.0))
+    # --- backend probe: <= 420 s slice of the total deadline -------------
+    # (a congested-but-alive tunnel measured 261 s for ONE PJRT init; the
+    # in-process warmup runs concurrently so the init is paid once)
+    if not (os.environ.get("HIPSC_BENCH_FORCE_PROBE_FAIL") == "1"
+            or os.environ.get("HIPSC_BENCH_FORCE_PROBE_HANG") == "1"):
+        _start_backend_warmup()
+    probe_budget = max(60.0, min(420.0, remaining() - 300.0))
     if not _wait_for_backend(probe_budget):
         _bench_cpu_fallback()
         _done.set()
         return
 
-    # --- Pallas preflight: <= 180 s, skipped when the budget is tight ----
-    if remaining() > 420.0:
+    # --- Pallas preflight: <= 180 s, skipped when the budget is tight or
+    # the window is congested (another subprocess would pay the whole PJRT
+    # init again just to re-check what the in-process ladder covers) ------
+    congested = (time.monotonic() - _T0) > 90.0  # probe ate real time
+    if remaining() > 420.0 and not congested:
         _preflight_kernel_paths(min(180.0, remaining() - 300.0))
 
     # --- headline: 100k, emitted the moment it lands ---------------------
