@@ -112,6 +112,38 @@ def radius_of_gyration(state: CellState) -> jnp.ndarray:
     return jnp.sqrt(r2)
 
 
+def soft_contact_count(r_contact: float = 10.0, width: float = 1.0):
+    """Statistic factory: differentiable mean contact coordination — for
+    each alive cell, the sigmoid-smoothed number of alive neighbors within
+    ``r_contact`` um (``sum_j sigmoid((r_contact - d_ij) / width)``),
+    averaged over the colony.
+
+    The second observable that breaks the (adhesion, motility)
+    compensating ridge (docs/CALIBRATION.md): compaction (Rg) measures
+    colony EXTENT, which both force scales move along the measured ridge;
+    coordination measures local PACKING, which adhesion increases by
+    pulling pairs into overlap while motility mostly rearranges singles.
+    The smooth gate keeps the pathwise gradient alive (a hard count's
+    derivative is zero a.e.); compute the TARGET from observed positions
+    with the same ``r_contact``/``width`` so the comparison is unbiased.
+    O(C^2) pairwise — the right trade at calibration-sized colonies."""
+
+    def stat(state: CellState) -> jnp.ndarray:
+        locs = state.arrays["locations"]
+        alive = state.alive
+        diff = locs[:, None, :] - locs[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d = jnp.sqrt(d2 + 1e-12)  # guarded: d2=0 only on the masked diagonal
+        gate = jax.nn.sigmoid((r_contact - d) / width)
+        pair = alive[:, None] & alive[None, :]
+        pair &= ~jnp.eye(alive.shape[0], dtype=bool)
+        per_cell = jnp.sum(jnp.where(pair, gate, 0.0), axis=1)
+        n = jnp.maximum(jnp.sum(alive), 1)
+        return jnp.sum(jnp.where(alive, per_cell, 0.0)) / n
+
+    return stat
+
+
 def gata6_high_fraction(state: CellState) -> jnp.ndarray:
     """Fraction of alive cells with GATA6 > NANOG — the fate statistic the
     FDS probabilities control."""
@@ -171,6 +203,40 @@ def delta_trajectory_squared_error(
 
     def loss(stats: jnp.ndarray) -> jnp.ndarray:
         return jnp.mean(((stats - stats[0]) - (targets - targets[0])) ** 2)
+
+    return TrajectoryLoss(statistic, loss)
+
+
+def multi_delta_trajectory_squared_error(observations, weights=None):
+    """Joint delta-trajectory loss over SEVERAL statistics — the
+    multi-observable objective that makes force scales jointly
+    identifiable where one statistic has a compensating ridge
+    (docs/CALIBRATION.md: (adhesion, motility) vs compaction alone).
+
+    ``observations`` is a sequence of ``(statistic_fn, targets)`` pairs,
+    each ``targets`` a (horizon,) observed time course. Each statistic
+    contributes the MSE of its per-step CHANGE (anchored at the first
+    entry, same nuisance-offset cancellation as
+    :func:`delta_trajectory_squared_error`), normalized by the mean
+    squared delta of its OWN target — a unit-free relative error, so a
+    um-scale compaction course and a count-scale coordination course
+    weigh equally. Pass explicit ``weights`` to override."""
+    fns = [fn for fn, _ in observations]
+    targets = jnp.stack(
+        [jnp.asarray(t, jnp.float32) for _, t in observations], axis=1
+    )  # (horizon, n_stats)
+    tdelta = targets - targets[0]
+    if weights is None:
+        w = 1.0 / (jnp.mean(tdelta ** 2, axis=0) + 1e-12)
+    else:
+        w = jnp.asarray(weights, jnp.float32)
+
+    def statistic(state: CellState) -> jnp.ndarray:
+        return jnp.stack([fn(state) for fn in fns])  # (n_stats,)
+
+    def loss(stats: jnp.ndarray) -> jnp.ndarray:  # (horizon, n_stats)
+        d = (stats - stats[0]) - tdelta
+        return jnp.sum(w * jnp.mean(d ** 2, axis=0))
 
     return TrajectoryLoss(statistic, loss)
 

@@ -341,3 +341,82 @@ def test_delta_trajectory_loss_cancels_offsets():
     # rate mismatch is seen even under an offset
     wrong = float(tl.loss(jnp.asarray([14.0, 14.5, 15.0])))
     assert wrong > 0.1
+
+
+def test_soft_contact_count_matches_bruteforce():
+    """The smooth coordination statistic equals the numpy brute force on
+    alive rows (same gate), and a hard-count sanity bound holds."""
+    from hipsc_abm_tpu.calibrate import soft_contact_count
+
+    eng, state = _settled_engine()
+    stat = soft_contact_count(10.0, 1.0)
+    got = float(stat(state))
+
+    alive = np.asarray(state.alive)
+    locs = np.asarray(state.arrays["locations"])[alive]
+    d = np.sqrt(((locs[:, None, :] - locs[None, :, :]) ** 2).sum(-1) + 1e-12)
+    gate = 1.0 / (1.0 + np.exp(-(10.0 - d) / 1.0))
+    np.fill_diagonal(gate, 0.0)
+    want = gate.sum(axis=1).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert got > 0.0  # the settled 150-cell colony has real contacts
+
+
+def test_multi_delta_loss_normalizes_and_cancels_offsets():
+    """Each observable's contribution is unit-free (normalized by its own
+    target delta scale) and constant offsets cancel exactly."""
+    from hipsc_abm_tpu.calibrate import multi_delta_trajectory_squared_error
+
+    t_rg = np.array([50.0, 49.0, 48.0], np.float32)       # um scale
+    t_ct = np.array([0.10, 0.12, 0.14], np.float32)       # count scale
+    tl = multi_delta_trajectory_squared_error(
+        [(lambda s: None, t_rg), (lambda s: None, t_ct)])
+    # simulated courses = targets + constant offsets -> loss ~0 (f32
+    # rounding of the offset additions leaves ~1e-14)
+    stats = np.stack([t_rg + 7.0, t_ct + 0.05], axis=1)
+    assert float(tl.loss(jnp.asarray(stats))) < 1e-10
+    # equal RELATIVE errors contribute equally despite a 500x unit gap
+    s1 = np.stack([t_rg + np.array([0, 0.1, 0.2], np.float32),
+                   t_ct], axis=1)
+    s2 = np.stack([t_rg,
+                   t_ct + np.array([0, 0.002, 0.004], np.float32)], axis=1)
+    l1, l2 = float(tl.loss(jnp.asarray(s1))), float(tl.loss(jnp.asarray(s2)))
+    assert l1 > 0 and l2 > 0
+    np.testing.assert_allclose(l1, l2, rtol=0.05)
+
+
+@pytest.mark.slow
+def test_joint_force_fit_with_two_observables():
+    """The measured (adhesion, motility) compensating ridge under a single
+    compaction course (docs/CALIBRATION.md) breaks when a coordination
+    course is observed too: a JOINT fit from off starts on BOTH recovers
+    both planted scales."""
+    from hipsc_abm_tpu.calibrate import (
+        multi_delta_trajectory_squared_error,
+        soft_contact_count,
+    )
+
+    true_adh, true_mot = 1.07e-4, 2e-9
+    contact = soft_contact_count(10.0, 1.0)
+    eng_t, st = _settled_engine()
+    eng_t.bio = dataclasses.replace(
+        eng_t.bio, adhesion_const=true_adh, motility_force=true_mot)
+    rg_course, ct_course = [], []
+    for _ in range(4):
+        st, _ = eng_t.safe_step(st)
+        rg_course.append(float(radius_of_gyration(st)))
+        ct_course.append(float(contact(st)))
+
+    eng, state = _settled_engine()
+    eng.bio = dataclasses.replace(
+        eng.bio, adhesion_const=true_adh * 2.5, motility_force=true_mot / 2.5)
+    loss = multi_delta_trajectory_squared_error(
+        [(radius_of_gyration, rg_course), (contact, ct_course)])
+    cal = Calibrator(eng, ["adhesion_const", "motility_force"], loss,
+                     horizon=4)
+    res = cal.fit(state, iters=25, learning_rate=0.15)
+    assert res.best_loss < 0.05 * res.loss_history[0], res.loss_history
+    for name, true in (("adhesion_const", true_adh),
+                       ("motility_force", true_mot)):
+        fitted = res.params[name]
+        assert abs(fitted - true) < 0.5 * true, (name, fitted)
