@@ -47,7 +47,12 @@ PROXY_CELLS = 12_500
 # ---------------------------------------------------------------------------
 
 _T0 = time.monotonic()
-TOTAL_S = float(os.environ.get("HIPSC_BENCH_DEADLINE_S", "780"))
+# 1020 s: a congested tunnel window (measured 2026-08-19: 261 s for ONE
+# PJRT init, ~400 s before the first measurement could start) still fits
+# both headline points; a healthy window fits everything in ~400 s. Safe
+# to run long because the watchdog exits rc=0 with the already-emitted
+# lines whenever the driver's own clock is shorter.
+TOTAL_S = float(os.environ.get("HIPSC_BENCH_DEADLINE_S", "1020"))
 
 
 def remaining() -> float:
