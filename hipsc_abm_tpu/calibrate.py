@@ -310,7 +310,8 @@ class Calibrator:
 
     def __init__(self, engine: HipscEngine, param_names: Sequence[str],
                  loss_fn: Callable[[CellState], jnp.ndarray],
-                 horizon: int = 4, remat: bool = True):
+                 horizon: int = 4, remat: bool = True,
+                 dense_pairs: Optional[bool] = None):
         bad = sorted(set(param_names) - SEARCHABLE)
         if bad:
             raise ValueError(
@@ -330,6 +331,17 @@ class Calibrator:
             )
         if engine.cfg.use_pallas:
             engine.cfg = dataclasses.replace(engine.cfg, use_pallas=False)
+        if dense_pairs is None:
+            # the windowed XLA path is gather-bound on TPU (~45 ns/index);
+            # a vmapped population rollout runs 110 sequential substeps of
+            # window gathers per member, which made ES fits minutes per
+            # iteration at the showcase shape. All-pairs physics removes
+            # every gather and wins below a few thousand slots
+            # (engine._physics_scan_dense) — auto-select it there.
+            dense_pairs = engine.cfg.capacity <= 4096
+        if dense_pairs != engine.cfg.dense_pairs:
+            engine.cfg = dataclasses.replace(
+                engine.cfg, dense_pairs=bool(dense_pairs))
         self.engine = engine
         self.names: Tuple[str, ...] = tuple(param_names)
         self.loss_fn = loss_fn

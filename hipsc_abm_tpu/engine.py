@@ -127,6 +127,12 @@ class EngineConfig:
     # runs in 2D, 9 in 3D); enabled automatically on TPU backends by
     # HipscEngine.
     use_pallas: bool = False
+    # All-pairs O(C^2) physics (no neighbor window, no gathers): wins for
+    # SMALL colonies (<= a few thousand slots) where the windowed XLA
+    # path's per-index gather overhead dominates — 110 sequential substeps
+    # per vmapped calibration rollout made ES fits minutes-per-iteration.
+    # Takes precedence over use_pallas. See engine._physics_scan_dense.
+    dense_pairs: bool = False
     # VMEM-resident FTCS Mosaic kernel (ops.pallas_diffusion). Scoped HERE —
     # not in process-global env — so one engine's compile-failure fallback
     # never degrades other engines in the same process (ensembles,
@@ -684,7 +690,9 @@ def hipsc_step(
     # current positions every substep, exactly as the reference's per-substep
     # get_neighbors does — the cache only changes how often we sort.
     dts = _physics_dts(bio)
-    if cfg.use_pallas:
+    if cfg.dense_pairs:
+        scan_fn = _physics_scan_dense
+    elif cfg.use_pallas:
         scan_fn = _physics_scan_pallas
     else:
         scan_fn = _physics_scan_xla
@@ -722,6 +730,77 @@ def hipsc_step(
         next_id=state.next_id + num_added.astype(jnp.int32),
     )
     return new_state, info
+
+
+def _physics_scan_dense(cfg, bio, arrays, alive, bonds, size, dts):
+    """All-pairs physics for SMALL colonies: zero gathers, zero sorts.
+
+    The windowed XLA path is gather-bound on TPU (~45 ns per gathered
+    index, BENCHMARKS.md), which dominates vmapped calibration rollouts —
+    a population of 64 rollouts runs 110 sequential substeps of (C, W, 8)
+    gathers per member. Below a few thousand slots the O(C^2) pairwise
+    arithmetic is cheaper than ONE window gather: pure VPU broadcasts the
+    MXU/VPU pipeline, no per-index overhead, and the persistent bond set
+    rides a (C, C) mask across all substeps (id-list conversion only at
+    scan entry/exit). Pair law is ``ops.jkr._pair_jkr`` — bit-identical
+    eligibility/break semantics to the windowed paths; only the reduction
+    ORDER over a row's partners differs (slot order vs window order), so
+    cross-path agreement is allclose, not bit-exact
+    (``tests/test_engine.py::test_dense_pairs_matches_windowed``)."""
+    from hipsc_abm_tpu.ops.jkr import _pair_jkr, window_mask_to_bonds
+
+    ids = arrays["ids"]
+    radii = arrays["radii"]
+    C = alive.shape[0]
+    r = jnp.float32(bio.jkr_radius)
+    store_radius = (None if cfg.bond_band_margin is None else
+                    bio.jkr_radius - cfg.bond_band_margin)
+
+    # persistent (C, C) bond mask from the (C, K) id lists (scan entry)
+    bmask0 = jnp.any(
+        (bonds.partners[:, :, None] == ids[None, None, :])
+        & bonds.mask[:, :, None] & alive[None, None, :],
+        axis=1,
+    )
+    not_self = ~jnp.eye(C, dtype=bool)
+    pair_ok = alive[:, None] & alive[None, :] & not_self
+
+    def substep(carry, dt):
+        locations, bmask = carry
+        delta = locations[None, :, :] - locations[:, None, :]
+        dist2 = jnp.sum(delta * delta, axis=-1)
+        eligible = pair_ok & ((dist2 <= r * r) | bmask)
+        force, survive = _pair_jkr(
+            locations[:, None, :], locations[None, :, :],
+            radii[:, None], radii[None, :],
+            bio.adhesion_const, bio.poisson, bio.youngs, bio.jkr_break_d,
+        )
+        keep = eligible & survive
+        forces = jnp.sum(jnp.where(keep[..., None], force, 0.0), axis=1)
+        if store_radius is not None:
+            sr = jnp.float32(store_radius)
+            stored = keep & (dist2 > sr * sr)
+        else:
+            stored = keep
+        max_degree = jnp.max(jnp.sum(stored, axis=1)).astype(jnp.int32)
+        new_loc = stokes_integrate(
+            locations, radii, forces, arrays["motility_forces"],
+            alive, bio.stokes, size, dt,
+        )
+        move2 = jnp.max(jnp.where(
+            alive, jnp.sum((new_loc - locations) ** 2, axis=-1), 0.0))
+        return (new_loc, stored), (max_degree, move2)
+
+    (locations, bmask), (j_degs, moves2) = jax.lax.scan(
+        substep, (arrays["locations"], bmask0), jnp.asarray(dts)
+    )
+    bonds, _ = window_mask_to_bonds(
+        jnp.broadcast_to(ids[None, :], (C, C)), bmask,
+        bonds.partners.shape[1],
+    )
+    return (locations, bonds, jnp.zeros((1,), jnp.int32), j_degs,
+            jnp.zeros((1,), jnp.int32), jnp.sqrt(jnp.max(moves2)),
+            jnp.zeros((), jnp.float32))
 
 
 def _physics_scan_xla(cfg, bio, arrays, alive, bonds, size, dts):

@@ -560,3 +560,41 @@ def test_ftcs_env_override_read_at_construction(monkeypatch):
     monkeypatch.delenv("HIPSC_NO_PALLAS_FTCS")
     eng2 = small_engine(use_pallas=True)
     assert eng2.cfg.use_pallas_ftcs
+
+
+def test_dense_pairs_matches_windowed():
+    """The all-pairs physics path (EngineConfig.dense_pairs — zero gathers,
+    for calibration-sized colonies) agrees with the windowed XLA path over
+    several steps with division/death active: identical ids and bond SETS,
+    positions to reduction-order tolerance."""
+    eng_w = small_engine(use_pallas=False)
+    eng_d = small_engine(use_pallas=False)
+    eng_d.cfg = dataclasses.replace(eng_d.cfg, dense_pairs=True)
+
+    sw = eng_w.init_state(seed=6)
+    sd = eng_d.init_state(seed=6)
+    for _ in range(4):
+        sw, iw = eng_w.safe_step(sw)
+        sd, idn = eng_d.safe_step(sd)
+        assert int(iw.num_added) == int(idn.num_added)
+        assert int(iw.jkr_max_degree) == int(idn.jkr_max_degree)
+
+    a, b = _canon(sw), _canon(sd)
+    np.testing.assert_array_equal(a["ids"], b["ids"])
+    np.testing.assert_allclose(a["locations"], b["locations"], atol=2e-4)
+    for k in ("GATA6", "NANOG", "states", "div_counters", "death_counters"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    # bond SETS are identical (id pairs), independent of slot/window order
+    def bond_sets(state):
+        alive = np.asarray(state.alive)
+        ids = np.asarray(state.arrays["ids"])
+        partners = np.asarray(state.bonds.partners)
+        mask = np.asarray(state.bonds.mask)
+        out = set()
+        for i in np.nonzero(alive)[0]:
+            for k in np.nonzero(mask[i])[0]:
+                out.add((int(ids[i]), int(partners[i, k])))
+        return out
+
+    assert bond_sets(sw) == bond_sets(sd)
