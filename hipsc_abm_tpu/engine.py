@@ -151,6 +151,26 @@ class EngineConfig:
     # disabled and all radii are known equal — the reference default); None
     # selects the general per-pair path
     uniform_radius: Optional[float] = None
+    # Cross-STEP contact-window carryover (VERDICT r4 task 4), honored by
+    # ``run_steps`` blocks on the Pallas windowed path only: the physics
+    # window (sort order + span plan + bond mask) rides the block scan's
+    # carry, and a step whose division phase added NO agents re-enters the
+    # previous step's window via one composed row gather instead of the
+    # unconditional entry rebuild (sort + plan + seed, ~48 ms at 500k).
+    # Births force the rebuild — a daughter's row was dead at window-build
+    # time, so it appears in no block's DMA span and would neither feel nor
+    # exert contact force (the mother-daughter separation force is exactly
+    # what must not be missed). Deaths are safe (the reuse path
+    # re-sentinels the flat-id lane by current liveness, exactly like the
+    # biology kernels), and deferred-division displacement is bounded by
+    # the drift predicate. OFF by default: when the gate fires, the reused
+    # window's candidate order differs from what a fresh sort would give,
+    # so results are allclose-but-not-bit-exact vs per-step stepping —
+    # and in any division-active hiPSC colony the gate essentially never
+    # fires (randomized division clocks make births-per-step > 0 from step
+    # one at n >= a few hundred), which is the measured negative result
+    # recorded in BENCHMARKS.md "Cross-step window carryover".
+    carry_window: bool = False
     # bond band margin (um): when set, only pairs beyond (search radius -
     # margin) are stored in the persistent bond matrix — deeper pairs are
     # re-eligible by the fresh-contact distance test before they can cross
@@ -253,8 +273,51 @@ class StepInfo(NamedTuple):
     # inside the margin, else band storage could forget a live bond)
     max_window_drift: jnp.ndarray  # diagnostic: 0 on both physics paths
     # today (the lax.cond rebuild checks drift BEFORE every force eval, so
-    # staleness cannot occur); kept as the probe slot for static schedules
+    # staleness cannot occur); on the carry_window block path this spare
+    # slot instead reports 1.0 when the step RE-ENTERED the carried window
 
+
+class WindowCache(NamedTuple):
+    """Contact-window state carried ACROSS steps inside a ``run_steps``
+    block (``EngineConfig.carry_window``). Everything the Pallas physics
+    scan needs to re-enter the previous step's Verlet window without the
+    entry rebuild: the sorted layout (``order``: phys row -> state row of
+    the step that built it), the build-time flat bin ids, the persistent
+    span-mask bond set, and the span plan + drift reference."""
+
+    valid: jnp.ndarray  # () bool — False until a block step populates it
+    order: jnp.ndarray  # (C,) i32
+    flat: jnp.ndarray  # (C,) f32 build-time flat bin ids (dead-sentineled)
+    mask: jnp.ndarray  # (R, span//chunk, C, chunk) i8 bond mask
+    starts: jnp.ndarray  # (R+1, nblocks) i32 span starts
+    needs: jnp.ndarray  # (R+1, nblocks) i32 active chunk counts
+    ref: jnp.ndarray  # (C, 3) f32 window-build positions (drift reference)
+    span_needed: jnp.ndarray  # () i32 span overflow probe of the build
+    max_run: jnp.ndarray  # () i32 run-occupancy probe of the build
+
+
+def empty_window_cache(cfg: EngineConfig) -> WindowCache:
+    """All-zeros, ``valid=False`` cache matching ``cfg``'s static shapes.
+    Built with jnp inside the traced block so the GB-scale mask is an XLA
+    broadcast-zero, never a host constant."""
+    from hipsc_abm_tpu.ops.pallas_contact import effective_chunk
+
+    C = cfg.capacity
+    R = len(cfg.jkr_spec.flat_run_offsets)
+    chunk = effective_chunk(cfg.jkr_span, cfg.pallas_chunk)
+    nc = cfg.jkr_span // chunk
+    nblocks = C // cfg.pallas_block
+    return WindowCache(
+        valid=jnp.zeros((), bool),
+        order=jnp.zeros((C,), jnp.int32),
+        flat=jnp.zeros((C,), jnp.float32),
+        mask=jnp.zeros((R, nc, C, chunk), jnp.int8),
+        starts=jnp.zeros((R + 1, nblocks), jnp.int32),
+        needs=jnp.zeros((R + 1, nblocks), jnp.int32),
+        ref=jnp.zeros((C, 3), jnp.float32),
+        span_needed=jnp.zeros((), jnp.int32),
+        max_run=jnp.zeros((), jnp.int32),
+    )
 
 
 def make_bio_moments_xla(
@@ -433,9 +496,14 @@ def hipsc_step(
     xp: ExperimentalParams,
     bio: BiologyParams,
     diff: Optional[DiffusionParams],
-) -> Tuple[CellState, StepInfo]:
+    window_cache: Optional[WindowCache] = None,
+) -> Tuple:
     """One full simulation step — the fused equivalent of the loop body at
-    reference ``cell_simulation.py:85-123``, in the same phase order."""
+    reference ``cell_simulation.py:85-123``, in the same phase order.
+
+    With ``window_cache`` (the ``EngineConfig.carry_window`` block path)
+    the return is ``(state, info, new_cache)``; otherwise ``(state, info)``
+    with a trace identical to before the cache existed."""
     arrays = dict(state.arrays)
     alive = state.alive
     bonds = state.bonds
@@ -690,15 +758,30 @@ def hipsc_step(
     # current positions every substep, exactly as the reference's per-substep
     # get_neighbors does — the cache only changes how often we sort.
     dts = _physics_dts(bio)
-    if cfg.dense_pairs:
-        scan_fn = _physics_scan_dense
-    elif cfg.use_pallas:
-        scan_fn = _physics_scan_pallas
+    carry_cache = (window_cache is not None and cfg.use_pallas
+                   and not cfg.dense_pairs)
+    new_cache = window_cache
+    if carry_cache:
+        # step-top re-sort permutation inverse, for composing the cached
+        # physics layout onto the current state's rows
+        inv_perm = jnp.zeros((capacity,), jnp.int32).at[nbr_grid.order].set(
+            jnp.arange(capacity, dtype=jnp.int32)
+        )
+        (locations, bonds, j_bins, j_degs, j_span, max_move,
+         max_window_drift, new_cache) = _physics_scan_pallas(
+            cfg, bio, arrays, alive, bonds, size, dts,
+            cache=window_cache, inv_perm=inv_perm, births=num_added,
+        )
     else:
-        scan_fn = _physics_scan_xla
-    locations, bonds, j_bins, j_degs, j_span, max_move, max_window_drift = scan_fn(
-        cfg, bio, arrays, alive, bonds, size, dts
-    )
+        if cfg.dense_pairs:
+            scan_fn = _physics_scan_dense
+        elif cfg.use_pallas:
+            scan_fn = _physics_scan_pallas
+        else:
+            scan_fn = _physics_scan_xla
+        locations, bonds, j_bins, j_degs, j_span, max_move, max_window_drift = scan_fn(
+            cfg, bio, arrays, alive, bonds, size, dts
+        )
     arrays["locations"] = locations
     # reference leaves both force arrays zeroed after the step
     # (cell_methods.py:436-439)
@@ -729,7 +812,13 @@ def hipsc_step(
         step=current_step + 1,
         next_id=state.next_id + num_added.astype(jnp.int32),
     )
-    return new_state, info
+    if window_cache is None:
+        return new_state, info
+    if not carry_cache:
+        # a non-windowed physics path cannot maintain the cache — mark it
+        # invalid so a later windowed step re-enters via the fresh build
+        new_cache = new_cache._replace(valid=jnp.zeros((), bool))
+    return new_state, info, new_cache
 
 
 def _physics_scan_dense(cfg, bio, arrays, alive, bonds, size, dts):
@@ -852,8 +941,18 @@ def _physics_scan_xla(cfg, bio, arrays, alive, bonds, size, dts):
             jnp.sqrt(jnp.max(moves2)), jnp.zeros((), jnp.float32))
 
 
-def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
+def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts,
+                         cache=None, inv_perm=None, births=None):
     """Physics substeps on the Pallas path.
+
+    With ``cache``/``inv_perm``/``births`` (the ``EngineConfig.carry_window``
+    block path), the scan ENTRY becomes a ``lax.cond``: when the carried
+    :class:`WindowCache` is valid and this step's division added no agents,
+    the previous step's window is re-entered with one composed row gather
+    (``inv_perm[cache.order]`` maps cached phys rows onto the current
+    state's rows through the step-top re-sort) and substep 0 runs the
+    normal drift-cond; otherwise the usual entry rebuild runs. Returns an
+    extra trailing ``WindowCache`` in that mode.
 
     **Sorted-resident state**: positions, the static pack lanes, and the
     motility forces live in grid order across substeps (one (C, 16) matrix
@@ -937,8 +1036,6 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
     # phys lanes: [0:3] location, [3] radius, [4] agent id, [5] alive,
     # [6] build-time flat bin id, [7] pad, [8:11] motility force, [11:16] pad
     ids = arrays["ids"]
-    grid0 = nbr_ops.build_grid(spec, arrays["locations"], ids, alive)
-    order = grid0.order
     phys_slot = jnp.concatenate(
         [
             arrays["locations"].astype(jnp.float32),
@@ -951,27 +1048,9 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
         ],
         axis=1,
     )
-    phys = set_flat(phys_slot[order], grid0.sorted_flat)
-    srt_bonds0 = jnp.where(
+    slot_bonds = jnp.where(
         bonds.mask, bonds.partners.astype(jnp.float32), NO_BOND
-    )[order]
-    starts0, needs0, span_needed0, max_run0 = plan(grid0.sorted_flat)
-
-    ref0 = phys[:, :3]  # window-build positions (drift reference)
-    force_deg, mask = contact_substep_ids_to_mask(
-        phys[:, :8], srt_bonds0, starts0, needs0, **kern_kwargs
     )
-    deg0 = jnp.max(force_deg[:, 3]).astype(jnp.int32)
-    new_loc = stokes_integrate(
-        phys[:, :3], phys[:, 3], force_deg[:, :3], phys[:, 8:11],
-        phys[:, 5] > 0.0, bio.stokes, size, float(dts[0]),
-    )
-    move2_0 = jnp.max(jnp.where(
-        phys[:, 5] > 0.0, jnp.sum((new_loc - phys[:, :3]) ** 2, axis=-1), 0.0
-    ))
-    phys = phys.at[:, :3].set(new_loc)
-    # win = (starts, needs, build-time ref positions, span probe, run probe)
-    win = (starts0, needs0, ref0, span_needed0, max_run0)
 
     def substep(carry, dt):
         phys, mask, order, win = carry
@@ -1016,6 +1095,63 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
         phys = phys.at[:, :3].set(new_loc)
         return (phys, mask, order, win), (win[4], max_degree, win[3], move2)
 
+    def _entry_fresh():
+        """The unconditional entry rebuild: sort by current positions, plan
+        spans, seed the mask from the (C, K) slot id lists, run substep 0."""
+        grid0 = nbr_ops.build_grid(spec, arrays["locations"], ids, alive)
+        order0 = grid0.order
+        phys0 = set_flat(phys_slot[order0], grid0.sorted_flat)
+        srt_bonds0 = slot_bonds[order0]
+        starts0, needs0, span_needed0, max_run0 = plan(grid0.sorted_flat)
+        ref0 = phys0[:, :3]  # window-build positions (drift reference)
+        force_deg, mask0 = contact_substep_ids_to_mask(
+            phys0[:, :8], srt_bonds0, starts0, needs0, **kern_kwargs
+        )
+        deg0 = jnp.max(force_deg[:, 3]).astype(jnp.int32)
+        new_loc = stokes_integrate(
+            phys0[:, :3], phys0[:, 3], force_deg[:, :3], phys0[:, 8:11],
+            phys0[:, 5] > 0.0, bio.stokes, size, float(dts[0]),
+        )
+        move2_0 = jnp.max(jnp.where(
+            phys0[:, 5] > 0.0,
+            jnp.sum((new_loc - phys0[:, :3]) ** 2, axis=-1), 0.0,
+        ))
+        phys0 = phys0.at[:, :3].set(new_loc)
+        # win = (starts, needs, build-time ref positions, span probe, run probe)
+        win0 = (starts0, needs0, ref0, span_needed0, max_run0)
+        return (phys0, mask0, order0, win0), (
+            max_run0, deg0, span_needed0, move2_0)
+
+    if cache is None:
+        (phys, mask, order, win), probe0 = _entry_fresh()
+    else:
+        def _entry_reuse():
+            # previous step's window, re-entered: phys row i held state row
+            # cache.order[i] of the PREVIOUS step's layout; the step-top
+            # re-sort moved that row to inv_perm[cache.order[i]]
+            composed = inv_perm[cache.order]
+            phys0 = phys_slot[composed]
+            # agents that died since the build stop contributing: sentinel
+            # their flat ids so in_run excludes them as candidates (their
+            # own rows are zeroed by the alive lane) — same device as the
+            # biology kernels' liveness re-sentineling
+            flat0 = jnp.where(
+                phys0[:, 5] > 0.0, cache.flat,
+                jnp.float32(nbr_ops.dead_sentinel(spec)),
+            )
+            phys0 = set_flat(phys0, flat0)
+            win0 = (cache.starts, cache.needs, cache.ref,
+                    cache.span_needed, cache.max_run)
+            # substep 0 through the normal drift-cond (rebuild if stale)
+            return substep((phys0, cache.mask, composed, win0),
+                           jnp.float32(dts[0]))
+
+        reuse = jnp.logical_and(cache.valid, births == 0)
+        (phys, mask, order, win), probe0 = jax.lax.cond(
+            reuse, lambda _: _entry_reuse(), lambda _: _entry_fresh(), None
+        )
+    max_run0, deg0, span_needed0, move2_0 = probe0
+
     (phys, mask, order, win), (j_bins, j_degs, j_spans, moves2) = jax.lax.scan(
         substep, (phys, mask, order, win), jnp.asarray(dts[1:])
     )
@@ -1033,7 +1169,7 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
         partners=jnp.maximum(partners_slot, 0).astype(jnp.int32),
         mask=partners_slot >= 0,
     )
-    return (
+    out = (
         locations,
         bonds,
         jnp.concatenate([max_run0[None], j_bins]),
@@ -1042,8 +1178,25 @@ def _physics_scan_pallas(cfg, bio, arrays, alive, bonds, size, dts):
         # moves2 is empty when the schedule has a single substep
         # (step_dt <= move_dt): jnp.max has no identity on a zero-size array
         jnp.sqrt(jnp.max(jnp.concatenate([move2_0[None], moves2]))),
-        jnp.zeros((), jnp.float32),  # every eval is Verlet-valid (cond)
+        # every eval is Verlet-valid (cond); in carry mode this spare probe
+        # slot reports whether the entry REUSED the carried window (1.0)
+        (jnp.zeros((), jnp.float32) if cache is None
+         else reuse.astype(jnp.float32)),
     )
+    if cache is None:
+        return out
+    new_cache = WindowCache(
+        valid=jnp.ones((), bool),
+        order=order,
+        flat=phys[:, 6],  # build-time flat ids ride lane 6 through the scan
+        mask=mask,
+        starts=win[0],
+        needs=win[1],
+        ref=win[2],
+        span_needed=win[3],
+        max_run=win[4],
+    )
+    return out + (new_cache,)
 
 
 @functools.lru_cache(maxsize=32)
@@ -1408,9 +1561,25 @@ class HipscEngine:
                 diff=self.diff,
             )
 
-            def block(state):
-                return jax.lax.scan(
-                    lambda s, _: step(s), state, None, length=k)
+            if cfg.carry_window and cfg.use_pallas and not cfg.dense_pairs:
+                # cross-step contact-window carryover: the WindowCache rides
+                # the block scan's carry (built in-trace so the GB-scale
+                # mask is an XLA zero, never a host constant) and is
+                # dropped at the block boundary
+                def block(state):
+                    def body(carry, _):
+                        s, cache = carry
+                        s2, info, cache2 = step(s, window_cache=cache)
+                        return (s2, cache2), info
+
+                    (s, _), infos = jax.lax.scan(
+                        body, (state, empty_window_cache(cfg)), None,
+                        length=k)
+                    return s, infos
+            else:
+                def block(state):
+                    return jax.lax.scan(
+                        lambda s, _: step(s), state, None, length=k)
 
             self._compiled[key] = jax.jit(block)
         return self._compiled[key]
