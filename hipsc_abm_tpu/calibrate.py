@@ -175,6 +175,26 @@ class TrajectoryLoss:
     loss: Callable[[jnp.ndarray], jnp.ndarray]
 
 
+@dataclasses.dataclass(frozen=True)
+class EnsembleTrajectoryLoss(TrajectoryLoss):
+    """Trajectory loss on the REPLICATE-MEAN statistic time course.
+
+    The trajectory analog of :class:`EnsembleLoss`: with a stacked state,
+    a plain :class:`TrajectoryLoss` averages per-replicate losses, which
+    bottoms out at each replicate's OWN seed noise against the target —
+    but an observed target that is itself a multi-run average (the
+    calibration showcase's 5-run mean course) should be matched by the
+    simulated replicate-MEAN course, whose noise shrinks by sqrt(R) and
+    whose loss is exactly zero at a perfect fit. Wrap any trajectory loss
+    with :func:`ensemble_trajectory`."""
+
+
+def ensemble_trajectory(loss: TrajectoryLoss) -> EnsembleTrajectoryLoss:
+    """Method-of-moments wrapper: apply ``loss`` to the replicate-mean
+    statistic trajectory instead of averaging per-replicate losses."""
+    return EnsembleTrajectoryLoss(statistic=loss.statistic, loss=loss.loss)
+
+
 def trajectory_squared_error(statistic: Callable[[CellState], jnp.ndarray],
                              targets) -> TrajectoryLoss:
     """Mean squared error of a per-step statistic against an observed time
@@ -392,12 +412,14 @@ class Calibrator:
                 lambda s: self._rollout_single(theta, s, cfg)
             )(state)
             info_max = StepInfo(*(jnp.max(f, axis=0) for f in infos))
-            if isinstance(self.loss_fn, EnsembleLoss):
+            if isinstance(self.loss_fn, (EnsembleLoss, EnsembleTrajectoryLoss)):
                 # method of moments: loss on the replicate-mean statistic
+                # (scalar final-state statistic, or the whole (horizon, ...)
+                # trajectory for EnsembleTrajectoryLoss)
                 return self.loss_fn.loss(jnp.mean(outs, axis=0)), info_max
             return jnp.mean(outs), info_max
         out, info = self._rollout_single(theta, state, cfg)
-        if isinstance(self.loss_fn, EnsembleLoss):
+        if isinstance(self.loss_fn, (EnsembleLoss, EnsembleTrajectoryLoss)):
             out = self.loss_fn.loss(out)
         return out, info
 
@@ -422,7 +444,9 @@ class Calibrator:
             body, state, None, length=self.horizon
         )
         info_max = StepInfo(*(jnp.max(f, axis=0) for f in infos))
-        if traj:
+        if isinstance(self.loss_fn, EnsembleTrajectoryLoss):
+            out = stats  # (horizon, ...) — replicate-averaged by the caller
+        elif traj:
             out = self.loss_fn.loss(stats)
         elif isinstance(self.loss_fn, EnsembleLoss):
             out = self.loss_fn.statistic(final)  # aggregated by the caller

@@ -420,3 +420,46 @@ def test_joint_force_fit_with_two_observables():
                        ("motility_force", true_mot)):
         fitted = res.params[name]
         assert abs(fitted - true) < 0.5 * true, (name, fitted)
+
+
+def test_ensemble_trajectory_loss_on_replicate_mean():
+    """ensemble_trajectory wraps a trajectory loss to score the replicate-
+    MEAN statistic course (method of moments). With the target course set
+    to the engine's own replicate-mean trajectory (same seeds), the loss at
+    truth is exactly zero — while the plain per-replicate-averaged loss
+    floors at the across-replicate variance. This gap is why the joint
+    calibration showcase needs the wrapper: a multi-run-average target
+    cannot be matched below single-seed noise by per-replicate losses."""
+    from hipsc_abm_tpu.calibrate import ensemble_trajectory
+    from hipsc_abm_tpu.parallel.ensemble import EnsembleEngine
+
+    horizon, seeds = 3, [0, 1, 2]
+    eng_t = HipscEngine(GEN, XP, use_pallas=False)
+    ens_t = EnsembleEngine(eng_t)
+    st = ens_t.init_states(seeds=seeds)
+    courses = []
+    for _ in range(horizon):
+        st, _ = ens_t.safe_step(st)
+        courses.append([
+            float(radius_of_gyration(EnsembleEngine.replicate(st, i)))
+            for i in range(len(seeds))
+        ])
+    course = np.asarray(courses, np.float32)  # (horizon, R)
+    target_mean = course.mean(axis=1)
+
+    def eval_loss(loss_fn):
+        eng = HipscEngine(GEN, XP, use_pallas=False)
+        cal = Calibrator(eng, ["adhesion_const"], loss_fn, horizon=horizon)
+        state = cal.prepare(EnsembleEngine(eng).init_states(seeds=seeds))
+        (val_info, _grad), _ = cal._eval_with_growth(0, cal.theta0(), state)
+        return float(val_info[0])
+
+    base = trajectory_squared_error(radius_of_gyration, target_mean)
+    loss_mean = eval_loss(ensemble_trajectory(base))
+    loss_per_rep = eval_loss(base)
+
+    # the true per-replicate floor: mean squared deviation of each
+    # replicate's course from the mean course
+    floor = float(((course - target_mean[:, None]) ** 2).mean())
+    assert loss_mean < 1e-6, loss_mean
+    np.testing.assert_allclose(loss_per_rep, floor, rtol=1e-4)

@@ -224,6 +224,7 @@ def fit_joint(target: dict, start_factor: float, replicates: int,
 
     from hipsc_abm_tpu.calibrate import (
         Calibrator,
+        ensemble_trajectory,
         multi_delta_trajectory_squared_error,
         radius_of_gyration,
         soft_contact_count,
@@ -243,13 +244,17 @@ def fit_joint(target: dict, start_factor: float, replicates: int,
     bio = BiologyParams(**{p: TRUE[p] * start_factor for p in TRUE})
     eng = HipscEngine(gen, xp, bio=bio, use_pallas=False)
 
-    loss = multi_delta_trajectory_squared_error([
+    # method of moments: the target is itself a multi-run AVERAGE course,
+    # so match it with the replicate-MEAN simulated course (noise shrinks
+    # by sqrt(R)) instead of averaging per-replicate losses (which floor
+    # at single-seed noise and flatten the landscape around truth)
+    loss = ensemble_trajectory(multi_delta_trajectory_squared_error([
         (radius_of_gyration,
          np.asarray(target["rg_trajectory_um"], np.float32)),
         (soft_contact_count(target["contact_gate"]["r_um"],
                             target["contact_gate"]["width_um"]),
          np.asarray(target["contact_trajectory"], np.float32)),
-    ])
+    ]))
     cal = Calibrator(eng, list(TRUE), loss, horizon=steps)
     if replicates > 1:
         ens = EnsembleEngine(eng)
@@ -279,7 +284,8 @@ def main():
         n = int(args[0]) if args else 1000
         steps = int(args[1]) if len(args) > 1 else 10
         side = float(args[2]) if len(args) > 2 else 300.0
-        target = make_target(n, steps, side)
+        runs = int(args[3]) if len(args) > 3 else 5
+        target = make_target(n, steps, side, runs=runs)
         with open(TARGET_PATH, "w") as f:
             json.dump(target, f, indent=1)
         print(json.dumps(target))
