@@ -7,7 +7,12 @@ seed-noise floor, the axis sweeps show curvature and any compensating
 ridge. One vmapped population eval per grid: the whole probe is a single
 compile + one device call.
 
-Usage: python tools/calibration_landscape.py [--replicates 4]
+Usage: python tools/calibration_landscape.py [--replicates 4] [--seed-base 0]
+
+``--seed-base`` shifts the replicate seed set: rerunning the probe with a
+disjoint set is the decisive test for whether a displaced minimum is
+systematic (stays put) or the finite-replicate realization gap between
+our ensemble mean and the reference's 20-run target mean (moves).
 """
 
 import json
@@ -46,6 +51,8 @@ def main():
         target = json.load(f)
     replicates = (int(sys.argv[sys.argv.index("--replicates") + 1])
                   if "--replicates" in sys.argv else 4)
+    seed_base = (int(sys.argv[sys.argv.index("--seed-base") + 1])
+                 if "--seed-base" in sys.argv else 0)
 
     n, side, steps = target["n_cells"], target["side"], target["steps"]
     gen = GeneralParams(num_to_start=n, end_step=steps + 1,
@@ -63,10 +70,11 @@ def main():
     names = list(TRUE)
     cal = Calibrator(eng, names, loss, horizon=steps)
     ens = EnsembleEngine(eng)
-    state = cal.prepare(ens.init_states(seeds=range(replicates)))
+    state = cal.prepare(
+        ens.init_states(seeds=range(seed_base, seed_base + replicates)))
 
     # factor grid: truth, the 3x start, each axis, and the diagonal
-    factors = [0.33, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0]
+    factors = [0.33, 0.5, 0.75, 0.9, 1.0, 1.1, 1.25, 1.5, 2.0, 3.0]
     points = [("truth", 1.0, 1.0), ("start3x", 3.0, 3.0)]
     points += [(f"adh={f}", f, 1.0) for f in factors if f != 1.0]
     points += [(f"mot={f}", f_a, f) for f in factors if f != 1.0
@@ -87,6 +95,7 @@ def main():
     out = {
         "backend": jax.default_backend(),
         "replicates": replicates,
+        "seed_base": seed_base,
         "wall_s": round(wall, 1),
         "points": [
             {"label": lbl, "adh_factor": fa, "mot_factor": fm,
