@@ -358,7 +358,12 @@ def test_soft_contact_count_matches_bruteforce():
     gate = 1.0 / (1.0 + np.exp(-(10.0 - d) / 1.0))
     np.fill_diagonal(gate, 0.0)
     want = gate.sum(axis=1).mean()
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # rtol: the statistic computes d2 via the Gram identity (one MXU
+    # matmul; the broadcast (C, C, 3) form OOMs under vmapped reverse-mode
+    # — see soft_contact_count), whose f32 cancellation |x|^2 - <x,x'>
+    # costs ~1e-5 relative at 300 um coordinates; the gate's 1-um width
+    # makes that ~1e-4 of a count — far below replicate noise.
+    np.testing.assert_allclose(got, want, rtol=2e-4)
     assert got > 0.0  # the settled 150-cell colony has real contacts
 
 
