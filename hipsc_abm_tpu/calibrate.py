@@ -470,9 +470,20 @@ class Calibrator:
         key = (cfg, self.engine.gen, self.engine.xp, self.engine.bio,
                self.engine.diff)
         if key not in self._compiled:
+            # Reverse-mode rides the WINDOWED physics even when dense_pairs
+            # is on: the dense path's per-substep (C, C[, 3]) intermediates
+            # become saved residuals under value_and_grad — measured 38.6 GB
+            # (HBM OOM) at capacity 1536 x 32 replicates, vs ~tens of MB of
+            # (C, W, 8) window residuals. Forward-only evaluations (ES
+            # populations, landscape probes) keep the dense path, where it
+            # is the measured win (gather-free). The two paths agree
+            # allclose (reduction order differs); each fit method uses only
+            # one of them, so no fit ever mixes numerics mid-run.
+            vg_cfg = (dataclasses.replace(cfg, dense_pairs=False)
+                      if cfg.dense_pairs else cfg)
             vg = jax.jit(
                 jax.value_and_grad(
-                    lambda t, s: self._rollout(t, s, cfg), has_aux=True
+                    lambda t, s: self._rollout(t, s, vg_cfg), has_aux=True
                 )
             )
             pop = jax.jit(

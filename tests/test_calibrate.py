@@ -468,3 +468,42 @@ def test_ensemble_trajectory_loss_on_replicate_mean():
     floor = float(((course - target_mean[:, None]) ** 2).mean())
     assert loss_mean < 1e-6, loss_mean
     np.testing.assert_allclose(loss_per_rep, floor, rtol=1e-4)
+
+
+def test_grad_path_never_traces_dense_physics():
+    """Reverse-mode fits must ride the WINDOWED physics even when the
+    engine auto-selected ``dense_pairs``: the dense path's per-substep
+    (C, C[, 3]) intermediates become saved residuals under
+    ``value_and_grad`` — measured 38.6 GB (an HBM OOM) at the showcase
+    shape (capacity 1536 x 32 replicates). Forward-only population
+    evaluations (ES, landscape probes) keep the dense path, where it is
+    the measured throughput win."""
+    import hipsc_abm_tpu.engine as engine_mod
+    from hipsc_abm_tpu.calibrate import (
+        Calibrator,
+        radius_of_gyration,
+        squared_error,
+    )
+
+    eng, state = _settled_engine()
+    cal = Calibrator(eng, ["adhesion_const"],
+                     squared_error(radius_of_gyration, 100.0), horizon=2)
+    assert eng.cfg.dense_pairs  # auto-selected at this capacity
+
+    calls = []
+    real = engine_mod._physics_scan_dense
+
+    def spy(*a, **kw):
+        calls.append("dense")
+        return real(*a, **kw)
+
+    engine_mod._physics_scan_dense = spy
+    try:
+        vg, pop = cal._fns(eng.cfg)
+        theta = cal.theta0()
+        jax.make_jaxpr(lambda t, s: vg(t, s))(theta, state)
+        assert calls == [], "value_and_grad traced the dense physics path"
+        jax.make_jaxpr(lambda t, s: pop(t, s))(theta[None, :], state)
+        assert calls, "population path should keep the dense physics"
+    finally:
+        engine_mod._physics_scan_dense = real
