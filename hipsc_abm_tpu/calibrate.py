@@ -479,8 +479,13 @@ class Calibrator:
             # is the measured win (gather-free). The two paths agree
             # allclose (reduction order differs); each fit method uses only
             # one of them, so no fit ever mixes numerics mid-run.
-            vg_cfg = (dataclasses.replace(cfg, dense_pairs=False)
-                      if cfg.dense_pairs else cfg)
+            # remat_substeps: recompute physics-substep residuals from the
+            # scan carry during the backward sweep — without it the
+            # windowed substeps still save ~0.5 GB x 11 HLO temps at the
+            # showcase shape (R=32), which with the step-level remat's own
+            # buffers exceeded HBM.
+            vg_cfg = dataclasses.replace(cfg, dense_pairs=False,
+                                         remat_substeps=True)
             vg = jax.jit(
                 jax.value_and_grad(
                     lambda t, s: self._rollout(t, s, vg_cfg), has_aux=True

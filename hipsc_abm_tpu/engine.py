@@ -184,6 +184,16 @@ class EngineConfig:
     # edge set (the reference's literal graph). Kept as an option for
     # low-density / no-division workloads where it halves bond bookkeeping.
     bond_band_margin: Optional[float] = None
+    # Rematerialize each physics substep under reverse-mode AD
+    # (``lax.scan(jax.checkpoint(substep))``): residuals for the 11-substep
+    # scan are recomputed from the carry during the backward pass instead
+    # of being saved per substep. Forward-only cost: none (checkpoint is
+    # the identity outside AD). The calibration gradient path enables this
+    # — measured at the showcase shape (capacity 1536, 32 vmapped
+    # replicates) the saved windowed-substep residuals alone were
+    # ~0.5 GB x 11+ HLO temps, over HBM; remat trades that for ~2x the
+    # substep FLOPs during the backward sweep.
+    remat_substeps: bool = False
 
     @classmethod
     def create(
@@ -880,6 +890,8 @@ def _physics_scan_dense(cfg, bio, arrays, alive, bonds, size, dts):
             alive, jnp.sum((new_loc - locations) ** 2, axis=-1), 0.0))
         return (new_loc, stored), (max_degree, move2)
 
+    if cfg.remat_substeps:
+        substep = jax.checkpoint(substep)
     (locations, bmask), (j_degs, moves2) = jax.lax.scan(
         substep, (arrays["locations"], bmask0), jnp.asarray(dts)
     )
@@ -934,6 +946,8 @@ def _physics_scan_xla(cfg, bio, arrays, alive, bonds, size, dts):
         )
         return (new_loc, bonds, win), (j_max_in_bin, max_degree, move2)
 
+    if cfg.remat_substeps:
+        substep = jax.checkpoint(substep)
     (locations, bonds, _), (j_bins, j_degs, moves2) = jax.lax.scan(
         substep, (arrays["locations"], bonds, init_win), jnp.asarray(dts)
     )

@@ -507,3 +507,30 @@ def test_grad_path_never_traces_dense_physics():
         assert calls, "population path should keep the dense physics"
     finally:
         engine_mod._physics_scan_dense = real
+
+
+def test_remat_substeps_is_primal_identical_and_grad_equal():
+    """``EngineConfig.remat_substeps`` (the calibration gradient path's
+    memory lever: scan-of-checkpointed-substeps) must not change the
+    computation — primal bit-identical, gradients equal to allclose — on
+    both physics scan paths."""
+    eng, state = _settled_engine()
+    base = eng.bio
+
+    def mkloss(cfg):
+        def loss(theta, s):
+            bio = dataclasses.replace(base, adhesion_const=theta[0])
+            s, _ = hipsc_step(s, cfg=cfg, gen=eng.gen, xp=eng.xp, bio=bio,
+                              diff=eng.diff)
+            return radius_of_gyration(s)
+        return loss
+
+    theta = jnp.asarray([base.adhesion_const], jnp.float32)
+    for dense in (False, True):
+        cfg0 = dataclasses.replace(eng.cfg, dense_pairs=dense)
+        cfg1 = dataclasses.replace(cfg0, remat_substeps=True)
+        v0, g0 = jax.jit(jax.value_and_grad(mkloss(cfg0)))(theta, state)
+        v1, g1 = jax.jit(jax.value_and_grad(mkloss(cfg1)))(theta, state)
+        assert float(v0) == float(v1), ("primal changed", dense)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   rtol=1e-5)
