@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import sys
 from typing import Callable, Dict, List, Sequence, Tuple
 
 import jax
@@ -589,12 +590,16 @@ class Calibrator:
     # -- gradient fitting -------------------------------------------------------
 
     def fit(self, state: CellState, iters: int = 40,
-            optimizer=None, learning_rate: float = 0.05) -> FitResult:
+            optimizer=None, learning_rate: float = 0.05,
+            log_every: int = 0) -> FitResult:
         """Gradient descent through the rollout (reverse-mode AD).
 
         Every name must be in :data:`DIFFERENTIABLE` — the Bernoulli fate
         probabilities have zero pathwise gradient and would silently not
-        move; fit those with :meth:`fit_es`.
+        move; fit those with :meth:`fit_es`. ``log_every=k`` prints
+        iteration/loss/current params to stderr every k iterations —
+        long fits through a congested tunneled backend are otherwise
+        silent for their whole wall time.
         """
         flat = sorted(set(self.names) - DIFFERENTIABLE)
         if flat:
@@ -613,7 +618,7 @@ class Calibrator:
         history: List[float] = []
         best = (float("inf"), theta)
         n_evals = 0
-        for _ in range(iters):
+        for it in range(iters):
             ((loss, _), grad), state = self._eval_with_growth(0, theta, state)
             n_evals += 1
             history.append(float(loss))
@@ -621,6 +626,11 @@ class Calibrator:
                 best = (history[-1], theta)
             updates, opt_state = opt.update(grad, opt_state, theta)
             theta = optax.apply_updates(theta, updates)
+            if log_every and (it + 1) % log_every == 0:
+                print(f"calibrate.fit iter {it + 1}/{iters} "
+                      f"loss {history[-1]:.6g} best {best[0]:.6g} "
+                      f"params {self.params(theta)}",
+                      file=sys.stderr, flush=True)
         return FitResult(self.params(best[1]), np.asarray(best[1]), history,
                          n_evals)
 
@@ -628,7 +638,8 @@ class Calibrator:
 
     def fit_es(self, state: CellState, iters: int = 30, popsize: int = 16,
                sigma: float = 0.1, optimizer=None,
-               learning_rate: float = 0.05, seed: int = 0) -> FitResult:
+               learning_rate: float = 0.05, seed: int = 0,
+               log_every: int = 0) -> FitResult:
         """Antithetic evolution strategies (OpenAI-ES) with rank shaping.
 
         The population of ``popsize`` perturbed parameter vectors rolls out
@@ -652,7 +663,7 @@ class Calibrator:
         history: List[float] = []
         best = (float("inf"), theta)
         n_evals = 0
-        for _ in range(iters):
+        for it in range(iters):
             key, sub = jax.random.split(key)
             eps = jax.random.normal(sub, (half, len(self.names)),
                                     dtype=theta.dtype)
@@ -675,6 +686,11 @@ class Calibrator:
             )
             updates, opt_state = opt.update(g_est, opt_state, theta)
             theta = optax.apply_updates(theta, updates)
+            if log_every and (it + 1) % log_every == 0:
+                print(f"calibrate.fit_es iter {it + 1}/{iters} "
+                      f"mean-loss {history[-1]:.6g} "
+                      f"params {self.params(theta)}",
+                      file=sys.stderr, flush=True)
         # the loop only ever measured PERTURBED populations (a proxy);
         # evaluate the final and proxy-best iterates unperturbed and return
         # the verified winner (appended to the history)

@@ -263,7 +263,7 @@ def fit_joint(target: dict, start_factor: float, replicates: int,
         state = eng.init_state(seed=0)
 
     t0 = time.perf_counter()
-    res = cal.fit(state, iters=iters, learning_rate=lr)
+    res = cal.fit(state, iters=iters, learning_rate=lr, log_every=5)
     wall = time.perf_counter() - t0
     out = {"method": "grad-joint", "iters": iters, "replicates": replicates,
            "loss_start": res.loss_history[0], "loss_best": res.best_loss,
@@ -292,6 +292,8 @@ def main():
         return
 
     import jax  # noqa: F401 — default backend (TPU in the bench env)
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hipsc_jax_cache_tpu")
 
     with open(TARGET_PATH) as f:
         target = json.load(f)
