@@ -123,6 +123,11 @@ def _payload() -> dict:
     if "proxy" in _results and _results["proxy"] > 0 and sps > 0:
         out["vs_round1_numpy_proxy_nonbaseline"] = round(
             sps / _results["proxy"], 2)
+    for k in ("cpu_fallback_100k", "cpu_fallback_500k"):
+        # interim CPU-backend numbers kept for transparency after a late
+        # TPU retry upgraded `value` to a real TPU measurement
+        if k in _results:
+            out[k + "_steps_per_sec"] = round(_results[k], 3)
     for k in ("platform", "error", "note_100k", "note_500k", "note_extras"):
         if k in _results:
             out[k] = _results[k]
@@ -519,6 +524,92 @@ def _bench_cpu_fallback():
         _results["error"] += (
             f"; CPU-backend fallback ALSO failed: {type(e).__name__}: {e}")
     emit()
+    # The measured wedge mode (2026-08-20): PJRT init answers in seconds
+    # while EXECUTION hangs for minutes — and recovers minute-to-minute (a
+    # trivial op measured 107 s in the same window the probe timed out).
+    # The fallback lines above are safely flushed, so any remaining budget
+    # is pure upside: retry the REAL measurement in a subprocess.
+    recovered = _late_tpu_retry()
+    if not recovered and remaining() > 210.0:
+        # still wedged: at least carry BOTH headline points on the CPU
+        # backend (the 500k compile rides the persistent CPU cache)
+        try:
+            _results["500k"] = bench_tpu(N_CELLS_LARGE, steps_timed=2)
+        except Exception as e:  # noqa: BLE001
+            _results["error"] += (
+                f"; CPU-backend 500k also failed: {type(e).__name__}")
+        emit()
+
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _late_tpu_retry() -> bool:
+    """After the CPU-fallback lines are flushed, spend leftover deadline
+    re-trying the TPU measurement in a disposable subprocess (this
+    process's jax is already pinned to the CPU backend, so the retry needs
+    its own interpreter). The child probes with one trivial device op —
+    which hangs if the tunnel is still execution-wedged — then runs the
+    headline measurements through the resilience ladder, appending each
+    result to a scratch file the parent parses even after a timeout kill.
+    Returns True when `value` was upgraded to a real TPU number."""
+    if os.environ.get("HIPSC_BENCH_NO_LATE_RETRY") == "1":
+        return False
+    budget = min(420.0, remaining() - 180.0)
+    if budget < 150.0:
+        return False
+    path = f"/tmp/hipsc_late_retry_{os.getpid()}.jsonl"
+    code = (
+        "import json, sys\n"
+        "import jax, jax.numpy as jnp\n"
+        "assert jax.devices()[0].platform != 'cpu', 'no accelerator'\n"
+        "float(jnp.sum(jnp.ones((8, 8))))\n"  # hangs here while wedged
+        f"sys.path.insert(0, {_REPO_DIR!r})\n"
+        "import bench\n"
+        f"f = open({path!r}, 'a')\n"
+        "sps, _ = bench._bench_resilient(bench.N_CELLS, steps_timed=4)\n"
+        "f.write(json.dumps({'100k': sps}) + '\\n'); f.flush()\n"
+        "sps5, _ = bench._bench_resilient(bench.N_CELLS_LARGE,"
+        " steps_timed=2)\n"
+        "f.write(json.dumps({'500k': sps5}) + '\\n'); f.flush()\n"
+    )
+    print(f"bench: late TPU retry (budget {budget:.0f}s)", file=sys.stderr)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], cwd=_REPO_DIR,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True)
+    try:
+        proc.wait(timeout=budget)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass  # stuck in an uninterruptible PJRT call — abandon it
+    got: dict = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                got.update(json.loads(line))
+        os.remove(path)
+    except OSError:
+        pass
+    if got.get("100k", 0.0) <= 0.0:
+        print("bench: late TPU retry did not land (tunnel still wedged)",
+              file=sys.stderr)
+        return False
+    _results["cpu_fallback_100k"] = _results.get("100k", 0.0)
+    _results["100k"] = got["100k"]
+    if got.get("500k", 0.0) > 0.0:
+        _results["500k"] = got["500k"]
+    _results["platform"] = "tpu-late-retry"
+    _results["error"] = (
+        "initial backend probe timed out (tunnel execution wedge), but the "
+        "tunnel recovered mid-run — `value` IS a TPU measurement from the "
+        "late retry; cpu_fallback_* fields are the interim CPU-backend "
+        "numbers")
+    emit()
+    return True
 
 
 def _bench_resilient(n_cells: int, steps_timed: int):

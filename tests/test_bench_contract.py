@@ -95,6 +95,79 @@ def test_probe_wedge_watchdog_exits_clean():
     assert "deadline" in payload["error"]
 
 
+def test_late_retry_upgrades_value_in_process():
+    """Unit test of the late-TPU-retry bookkeeping (the wedge-recovery
+    path, 2026-08-20 ops note): with the scratch file pre-populated the
+    way a successful retry child writes it, `value` must be upgraded to
+    the TPU number, the interim CPU figures preserved as cpu_fallback_*,
+    and the platform re-labeled."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    scratch = f"/tmp/hipsc_late_retry_{os.getpid()}.jsonl"
+    with open(scratch, "w") as f:
+        f.write(json.dumps({"100k": 5.0}) + "\n")
+        f.write(json.dumps({"500k": 1.25}) + "\n")
+
+    class _Proc:
+        def wait(self, timeout=None):
+            return 0
+
+        def kill(self):
+            pass
+
+    saved = (bench._results.copy(), bench._T0,
+             bench.subprocess.Popen, os.environ.get(
+                 "HIPSC_BENCH_NO_LATE_RETRY"))
+    try:
+        os.environ.pop("HIPSC_BENCH_NO_LATE_RETRY", None)
+        bench._results.clear()
+        bench._results.update({"100k": 0.9, "platform": "cpu-fallback",
+                               "error": "probe timed out"})
+        bench._T0 = time.monotonic()  # full deadline available
+        bench.subprocess.Popen = lambda *a, **k: _Proc()
+        assert bench._late_tpu_retry() is True
+        payload = bench._payload()
+    finally:
+        bench._results.clear()
+        bench._results.update(saved[0])
+        bench._T0 = saved[1]
+        bench.subprocess.Popen = saved[2]
+        if saved[3] is not None:
+            os.environ["HIPSC_BENCH_NO_LATE_RETRY"] = saved[3]
+        if os.path.exists(scratch):
+            os.remove(scratch)
+    assert payload["value"] == 5.0
+    assert payload["steps_per_sec_500k_cells"] == 1.25
+    assert payload["platform"] == "tpu-late-retry"
+    assert payload["cpu_fallback_100k_steps_per_sec"] == 0.9
+    assert "recovered mid-run" in payload["error"]
+
+
+@pytest.mark.slow
+def test_probe_failure_long_deadline_lands_500k_on_cpu():
+    """With budget left after the 100k CPU fallback, the 500k point must
+    also land on the CPU backend so BOTH headline points exist in a
+    fully-wedged artifact. The late retry is explicitly disabled: on this
+    dev box the axon sitecustomize overrides JAX_PLATFORMS=cpu, so the
+    retry child would reach the REAL TPU and (correctly) upgrade the line
+    — measured doing exactly that when this test first ran."""
+    rc, out = _run({
+        "HIPSC_BENCH_FORCE_PROBE_FAIL": "1",
+        "HIPSC_BENCH_NO_LATE_RETRY": "1",
+        "HIPSC_BENCH_CELLS": "2000",
+        "HIPSC_BENCH_CELLS_LARGE": "4000",
+        "HIPSC_BENCH_DEADLINE_S": "500",
+        "HIPSC_BENCH_SKIP_EXTRAS": "1",
+    }, timeout_s=400)
+    assert rc == 0
+    payload = _last_json_line(out)
+    _assert_contract(payload)
+    assert payload["platform"] == "cpu-fallback"
+    assert payload["value"] > 0.0
+    assert payload.get("steps_per_sec_500k_cells", 0.0) > 0.0
+
+
 def test_sigterm_flushes_parseable_line():
     """The driver's `timeout` sends SIGTERM first: the handler must flush
     a best-effort line and exit instead of dying silent (round 4's exact
