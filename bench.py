@@ -369,19 +369,30 @@ def bench_tpu(n_cells: int, steps_timed: int = 8):
                            max_concentration=2.0, degradation=0.1,
                            release_amount=0.01)
     eng = HipscEngine(gen, xp, diff=diff, enable_diffusion=True)
+
+    def _mark(phase: str) -> None:
+        # stderr phase stamps: where a congested window's minutes go
+        # (init vs compile/growth vs measure) — diagnostics for reading
+        # the driver artifact afterwards, never parsed
+        print(f"bench: {n_cells} {phase} t={time.monotonic() - _T0:.0f}s",
+              file=sys.stderr, flush=True)
+
     state = eng.init_state(seed=0)
+    _mark("init_state done")
 
     # warmup: trigger compile + any capacity growth
     for _ in range(3):
         state, info = eng.safe_step(state)
     float(jnp.sum(state.arrays["locations"]))  # force (block_until_ready is
     # unreliable through tunneled TPU backends — always fetch a scalar)
+    _mark("warmup done (compile + growth)")
 
     t0 = time.perf_counter()
     for _ in range(steps_timed):
         state, info = eng.step(state)
     float(jnp.sum(state.arrays["locations"]))
     dt = (time.perf_counter() - t0) / steps_timed
+    _mark("measured")
     return 1.0 / dt
 
 
