@@ -670,7 +670,12 @@ def main():
     # init again just to re-check what the in-process ladder covers) ------
     congested = (time.monotonic() - _T0) > 90.0  # probe ate real time
     if remaining() > 420.0 and not congested:
-        _preflight_kernel_paths(min(180.0, remaining() - 300.0))
+        # 120 s: enough to catch the failure mode this guards (a Mosaic
+        # compile ABORT kills the subprocess in well under a minute); a
+        # timeout is inconclusive-proceed either way, and the measured
+        # cost of a longer window is real — 180 s burned to a timeout in
+        # an otherwise-fast window (2026-08-21 phase stamps)
+        _preflight_kernel_paths(min(120.0, remaining() - 300.0))
 
     # --- headline: 100k, emitted the moment it lands ---------------------
     sps, note = _bench_resilient(N_CELLS, steps_timed=8)
